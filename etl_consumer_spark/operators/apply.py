@@ -1,0 +1,269 @@
+"""CDC apply operators C1-C7 (SURVEY §2.4) — the engine's core semantics.
+
+The reference applies one SQL statement per event against MySQL
+(reference: main.go:348-380). Here the same semantics are a set-based
+micro-batch transform:
+
+- classification by before/after **nullness**, deliberately ignoring the
+  ``op`` field exactly like the reference (data/model.go:15 is parsed but
+  never read): C1-C3
+- last-writer-wins ordering window per key over (source.pos, ts_ms) —
+  required because a micro-batch may hold several events per key where the
+  reference's single-threaded loop saw them in order (SURVEY §2.4 note)
+- duplicate-entry skip (C6): an insert whose key already exists leaves the
+  existing row untouched (reference: main.go:138-141 swallows the error)
+- update with no matching row is a no-op (an UPDATE ... WHERE that matches
+  nothing); delete removes; insert appends
+
+Scale design: :func:`apply_cdc` performs ONE shuffle — a single full-outer
+join of state vs the compacted batch on the key. The batch side is usually
+tiny next to state, so AQE picks a broadcast join at runtime; state never
+needs to be rewritten except for touched partitions when the sink supports
+partition overwrite.
+
+:func:`apply_cdc_sequential` is the *exact* per-key fold (insert→update→
+delete chains within one batch) via ``cogroup().applyInPandas`` — Python,
+but partition-parallel per key; use it only when within-batch multi-event
+chains with existence-dependent semantics matter. For Debezium streams the
+compacted form is the industry-standard semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+
+
+def classify_op(before: Column, after: Column) -> Column:
+    """C1-C3 — nullness classification (reference: main.go:365-377).
+
+    before null & after non-null → insert; both non-null → update;
+    before non-null & after null → delete; both null → null (tombstone)."""
+    return (
+        F.when(before.isNull() & after.isNotNull(), F.lit(OP_INSERT))
+        .when(before.isNotNull() & after.isNotNull(), F.lit(OP_UPDATE))
+        .when(before.isNotNull() & after.isNull(), F.lit(OP_DELETE))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def last_writer_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    pos_col: str = "pos",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Keep only the latest event per key within a batch, ordered by binlog
+    position then event timestamp (source offsets: data/model.go:29-30).
+    The one shuffle here is the price of restoring the reference's implicit
+    single-partition ordering (main.go:63) under parallelism."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(pos_col).desc(), F.col(ts_col).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def compact_events(
+    events: DataFrame,
+    pk_cols: list[str],
+    before_col: str = "before",
+    after_col: str = "after",
+    pos_col: str = "pos",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Project events to (pk..., _before, _after, _op) keeping only the last
+    writer per key. Key is taken from the after image, falling back to the
+    before image (delete events have no after)."""
+    keys = [
+        F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
+        for k in pk_cols
+    ]
+    ev = events.select(
+        *keys,
+        F.col(before_col).alias("_before"),
+        F.col(after_col).alias("_after"),
+        F.col(pos_col).alias("_pos"),
+        F.col(ts_col).alias("_ts"),
+    )
+    latest = last_writer_wins(ev, pk_cols, "_pos", "_ts")
+    return latest.withColumn("_op", classify_op(F.col("_before"), F.col("_after")))
+
+
+def apply_cdc(
+    state: DataFrame,
+    events: DataFrame,
+    pk_cols: list[str],
+    before_col: str = "before",
+    after_col: str = "after",
+    pos_col: str = "pos",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Apply a batch of CDC events to a state table, returning the new state.
+
+    Single full-outer join on the key (one shuffle; AQE broadcasts the
+    compacted batch when small). Per-row outcome matrix (reference
+    semantics, compacted):
+
+    ===============  ==============  =====================================
+    latest event      key in state    result
+    ===============  ==============  =====================================
+    (none)            yes             state row unchanged
+    insert            yes             state row unchanged (C6 dup skip)
+    insert            no              after image appended (C1)
+    update            yes             after image replaces row (C2)
+    update            no              no-op (UPDATE matched nothing)
+    delete            yes/no          row absent (C3)
+    ===============  ==============  =====================================
+    """
+    cols = state.columns
+    latest = compact_events(events, pk_cols, before_col, after_col, pos_col, ts_col)
+    exists_marker = pk_cols[0]
+    joined = state.alias("s").join(latest.alias("e"), on=pk_cols, how="full_outer")
+    op = F.col("_op")
+    s_exists = F.col(f"s.{exists_marker}").isNotNull()
+    keep = op.isNull() | (op == OP_INSERT) | ((op == OP_UPDATE) & s_exists)
+    out_cols = []
+    for c in cols:
+        if c in pk_cols:
+            out_cols.append(F.col(c).alias(c))
+        else:
+            use_state = op.isNull() | ((op == OP_INSERT) & s_exists)
+            out_cols.append(
+                F.when(use_state, F.col(f"s.{c}")).otherwise(F.col(f"_after.{c}")).alias(c)
+            )
+    return joined.filter(keep).select(*out_cols)
+
+
+def apply_cdc_full_row(
+    state: DataFrame,
+    events: DataFrame,
+    before_col: str = "before",
+    after_col: str = "after",
+    pos_col: str = "pos",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Faithful full-row-predicate variant (SURVEY §7 hard-part 2): the
+    reference matches UPDATE/DELETE rows on the AND of *all* before-image
+    columns (main.go:372,376), not on a primary key.
+
+    - delete: anti-join state against before images (all columns null-safe)
+    - update: rows matching a before image are replaced by its after image
+    - insert: after images appended, skipping exact-duplicate rows (C6
+      without a declared key degenerates to whole-row uniqueness)
+
+    Assumes at most one event per distinct before-image per batch (enforced
+    here by last-writer-wins over the image).
+    """
+    cols = state.columns
+    classified = events.withColumn("_op", classify_op(F.col(before_col), F.col(after_col)))
+    img_keyed = classified.select(
+        "_op",
+        F.col(before_col).alias("_before"),
+        F.col(after_col).alias("_after"),
+        F.col(pos_col).alias("_pos"),
+        F.col(ts_col).alias("_ts"),
+    )
+    # one event per distinct before-image (last writer wins on the image)
+    w = Window.partitionBy("_before").orderBy(F.col("_pos").desc(), F.col("_ts").desc())
+    latest = (
+        img_keyed.filter(F.col("_op").isin(OP_UPDATE, OP_DELETE))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Single left join covers both update-replace and delete-drop.
+    joined = state.alias("s").join(
+        latest.alias("e"),
+        on=_nullsafe_cond_struct("s", cols, "e", "_before"),
+        how="left",
+    )
+    survivors = joined.filter(F.col("e._op").isNull() | (F.col("e._op") == OP_UPDATE)).select(
+        *[
+            F.when(F.col("e._op") == OP_UPDATE, F.col(f"e._after.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+    )
+    insert_images = (
+        classified.filter(F.col("_op") == OP_INSERT)
+        .select(*[F.col(f"{after_col}.{c}").alias(c) for c in cols])
+        .dropDuplicates(cols)
+    )
+    # C6 without a declared key: whole-row uniqueness against current state
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(f"i.{c}").eqNullSafe(F.col(f"t.{c}"))
+    new_inserts = insert_images.alias("i").join(state.alias("t"), on=cond, how="left_anti")
+    return survivors.unionByName(new_inserts)
+
+
+def _nullsafe_cond_struct(state_alias: str, cols: Iterable[str], ev_alias: str, img: str) -> Column:
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(f"{state_alias}.{c}").eqNullSafe(F.col(f"{ev_alias}.{img}.{c}"))
+    return cond
+
+
+def dedupe_insert_replays(events: DataFrame, pk_cols: list[str], after_col: str = "after") -> DataFrame:
+    """C6 — at-least-once replays of the same insert collapse to one
+    (reference: duplicate-entry skip main.go:138-141)."""
+    return events.dropDuplicates([*(f"{after_col}.{k}" for k in pk_cols)])
+
+
+def apply_cdc_sequential(
+    state: DataFrame,
+    events: DataFrame,
+    pk_cols: list[str],
+    before_col: str = "before",
+    after_col: str = "after",
+    pos_col: str = "pos",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Exact per-key sequential fold of mixed insert/update/delete chains —
+    the reference's one-at-a-time semantics (main.go:63-169) reproduced
+    per key, partition-parallel via cogrouped applyInPandas.
+
+    Use when a batch may contain existence-dependent chains (e.g. insert
+    then update of the same key); ~10-100× slower per byte than
+    :func:`apply_cdc`, so it is the opt-in path.
+    """
+    cols = state.columns
+    schema = state.schema
+    keys = [
+        F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
+        for k in pk_cols
+    ]
+    ev = events.select(
+        *keys,
+        F.col(before_col).alias("_before"),
+        F.col(after_col).alias("_after"),
+        F.col(pos_col).alias("_pos"),
+        F.col(ts_col).alias("_ts"),
+    )
+
+    def fold(state_pdf: pd.DataFrame, ev_pdf: pd.DataFrame) -> pd.DataFrame:
+        ev_pdf = ev_pdf.sort_values(["_pos", "_ts"])
+        # current rows for this key, as dict keyed by pk tuple
+        rows = {tuple(r[k] for k in pk_cols): r for r in state_pdf.to_dict("records")}
+        for r in ev_pdf.to_dict("records"):
+            before, after = r["_before"], r["_after"]
+            key = tuple(r[k] for k in pk_cols)
+            if before is None and after is not None:
+                if key not in rows:  # C6 dup skip
+                    rows[key] = {c: after.get(c) for c in cols}
+            elif before is not None and after is not None:
+                if key in rows:
+                    rows[key] = {c: after.get(c) for c in cols}
+            elif before is not None and after is None:
+                rows.pop(key, None)
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(list(rows.values()), columns=cols)
+
+    return state.groupBy(*pk_cols).cogroup(ev.groupBy(*pk_cols)).applyInPandas(fold, schema=schema)

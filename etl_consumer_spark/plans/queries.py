@@ -1,0 +1,664 @@
+"""Driver-facing query registry.
+
+Every implemented operator from SURVEY §2 appears here as a named query:
+a Spark DataFrame builder ``fn(spark, sf_dir)`` exercising the *engine's*
+implementation, paired with an independent ANSI-SQL oracle that DuckDB runs
+over the same parquet tables. Inputs the reference would receive from Kafka
+(base64 decimals, epoch numbers, DDL strings, retry headers...) are derived
+deterministically from the driver tables with identical arithmetic on both
+sides, so the oracle validates the engine's decode/apply logic, not the
+derivation.
+
+Hash-stability rules used throughout:
+- double aggregation is done in DECIMAL (exact, order-insensitive) — raw
+  double sums differ across engines by summation order;
+- floats compared only through deterministic orderings with integer
+  tie-breaks, or rounded;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_consumer_spark import functions as EF
+from etl_consumer_spark.operators import apply as A
+from etl_consumer_spark.operators import retry as R
+from etl_consumer_spark.operators import routing as P
+from etl_consumer_spark.sources.tables import load_table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql_dict() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# F1 — decimal decode (reference main.go:224-258)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_decimal_roundtrip",
+    """
+    SELECT event_id,
+           CAST(floor((value - 50) * 1000) AS BIGINT) AS unscaled
+    FROM events
+    """,
+    doc="F1: base64 two's-complement decimal decode (encode->decode round trip)",
+)
+def f1_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    unscaled = F.floor((F.col("value") - 50) * 1000).cast("long")
+    wire = ev.select("event_id", EF.decimal_encode_b64(unscaled).alias("b64"))
+    return wire.select(
+        "event_id",
+        EF.decimal_unscaled("b64").cast("long").alias("unscaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — epoch days -> date (reference main.go:259-264)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f2_epoch_day",
+    """
+    SELECT event_id,
+           strftime(DATE '1970-01-01' + CAST(event_id % 40000 - 10000 AS INTEGER),
+                    '%Y-%m-%d') AS d
+    FROM events
+    """,
+    doc="F2: days-since-epoch decode incl. pre-1970 negatives "
+        "(ISO-string output: Spark DateType and DuckDB DATE pandas-ize differently)",
+)
+def f2_epoch_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = (F.col("event_id") % 40000 - 10000).cast("int")
+    return ev.select("event_id", F.date_format(EF.epoch_day_to_date(days), "yyyy-MM-dd").alias("d"))
+
+
+# ---------------------------------------------------------------------------
+# F3 — epoch ms -> timestamp, optional -7h (reference main.go:265-276)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f3_epoch_ms",
+    """
+    SELECT event_id,
+           epoch_ms(epoch_ns(ts) // 1000000) AS t,
+           epoch_ms(epoch_ns(ts) // 1000000) - INTERVAL 7 HOUR AS t_tz
+    FROM events
+    """,
+    doc="F3: ms-since-epoch decode with reference's -7h WithTimezone variant",
+)
+def f3_epoch_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        EF.epoch_ms_to_timestamp(ms).alias("t"),
+        EF.epoch_ms_to_timestamp(ms, with_timezone=True).alias("t_tz"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — micros-since-midnight -> unpadded H:M:S (reference main.go:277-287)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f4_micro_time",
+    """
+    WITH m AS (SELECT event_id, (event_id * 7919823) % 86400000000 AS micros FROM events),
+    s AS (SELECT event_id, micros // 1000000 AS sec FROM m)
+    SELECT event_id,
+           CAST(sec // 3600 AS VARCHAR) || ':' ||
+           CAST((sec // 60) % 60 AS VARCHAR) || ':' ||
+           CAST(sec % 60 AS VARCHAR) AS hms
+    FROM s
+    """,
+    doc="F4: unpadded %d:%d:%d time format, faithful to the reference",
+)
+def f4_micro_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    micros = (F.col("event_id") * 7919823) % 86_400_000_000
+    return ev.select("event_id", EF.micros_to_time(micros).alias("hms"))
+
+
+# ---------------------------------------------------------------------------
+# F5 — zoned timestamp normalize (+7h) (reference main.go:289-297)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f5_zoned_ts",
+    """
+    SELECT event_id,
+           strptime(
+             replace(replace(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ'), 'T', ' '), 'Z', ''),
+             '%Y-%m-%d %H:%M:%S') + INTERVAL 7 HOUR AS zts
+    FROM events
+    """,
+    doc="F5: ISO-8601 T/Z strip behind regex gate, parse, +7h shift",
+)
+def f5_zoned_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return ev.select("event_id", EF.zoned_ts_normalize(iso).alias("zts"))
+
+
+# ---------------------------------------------------------------------------
+# F6/F7 — bool->int, quote strip (reference main.go:301-308, 336)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f6_f7_bool_quote",
+    """
+    SELECT event_id,
+           CASE WHEN value > 50 THEN 1 ELSE 0 END AS bi,
+           replace('it''s ' || event_type, '''', '') AS qs
+    FROM events
+    """,
+    doc="F6 bool->1/0; F7 single-quote strip",
+)
+def f6_f7_bool_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        EF.bool_to_int(F.col("value") > 50).alias("bi"),
+        EF.quote_strip(F.concat(F.lit("it's "), F.col("event_type"))).alias("qs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — CleanText (reference utils/clean.go:9-102)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f8_clean_text",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) < 5 THEN ''
+                WHEN length(text) > 80 THEN substr(text, 1, 77) || '...'
+                ELSE text END AS cleaned
+    FROM documents
+    """,
+    doc="F8: CleanText over ASCII corpus (short-drop + truncate paths; full char-map in tests)",
+)
+def f8_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", EF.clean_text("text", 80).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# F9/F10 — CleanString, sanitize (reference utils/clean.go:105-111)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f9_f10_clean_sanitize",
+    """
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 40), '[^a-zA-Z0-9]+', '', 'g') AS cs,
+           regexp_replace('err: ' || substr(text, 1, 20), '[^a-zA-Z0-9-]+', '-', 'g') AS sb
+    FROM documents
+    """,
+    doc="F9 alphanumeric-only; F10 dead-letter error sanitizer",
+)
+def f9_f10_clean_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        EF.clean_string(F.substring("text", 1, 40)).alias("cs"),
+        EF.sanitize_basename(F.concat(F.lit("err: "), F.substring("text", 1, 20))).alias("sb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11/F12 — topic name, DDL db-qualifier strip (reference main.go:52,87)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f11_f12_topic_ddlstrip",
+    """
+    SELECT event_id,
+           'srv.db0.' || event_type AS topic,
+           replace('ALTER TABLE `db0`.`' || event_type || '` ADD COLUMN c INT',
+                   '`db0`.', '') AS ddl_clean
+    FROM events
+    """,
+    doc="F11 topic construction; F12 literal db-qualifier strip",
+)
+def f11_f12_topic_ddlstrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ddl = F.concat(F.lit("ALTER TABLE `db0`.`"), F.col("event_type"), F.lit("` ADD COLUMN c INT"))
+    return ev.select(
+        "event_id",
+        EF.topic_name(F.lit("srv"), F.lit("db0"), F.col("event_type")).alias("topic"),
+        EF.ddl_strip_db(ddl, F.lit("db0")).alias("ddl_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 + S7 — topic routing and tombstone filter (reference main.go:70-71,124-126)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p1_s7_route_tombstones",
+    """
+    WITH msgs AS (
+      SELECT event_id,
+             CASE WHEN event_id % 20 = 0 THEN 'srv' ELSE 'srv.db0.' || event_type END AS topic,
+             CASE WHEN event_id % 15 = 0 THEN '' ELSE props END AS value
+      FROM events
+    )
+    SELECT 'schema' AS branch, count(*) AS n FROM msgs WHERE topic = 'srv'
+    UNION ALL
+    SELECT 'dml' AS branch, count(*) AS n
+    FROM msgs WHERE topic <> 'srv' AND length(value) > 0
+    """,
+    doc="P1 topic dispatch + S7 empty-value (tombstone) filter",
+)
+def p1_s7_route_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 20 == 0, F.lit("srv"))
+        .otherwise(F.concat(F.lit("srv.db0."), F.col("event_type")))
+        .alias("topic"),
+        F.when(F.col("event_id") % 15 == 0, F.lit("")).otherwise(F.col("props")).alias("value"),
+    )
+    schema_n = P.route_schema(msgs, "srv").agg(F.count("*").alias("n")).select(
+        F.lit("schema").alias("branch"), "n"
+    )
+    dml_n = (
+        P.drop_tombstones(P.route_dml(msgs, "srv"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("dml").alias("branch"), "n")
+    )
+    return schema_n.unionByName(dml_n)
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 — whitelist + instance-event filters (reference main.go:390-407)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p3_p4_schema_filters",
+    """
+    WITH sch AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN '' ELSE 'db0' END AS database_name,
+             event_type AS source_table
+      FROM events
+    )
+    SELECT event_id, source_table FROM sch
+    WHERE length(database_name) > 0 AND source_table IN ('click', 'view')
+    """,
+    doc="P4 instance-event drop then P3 table whitelist",
+)
+def p3_p4_schema_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sch = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(F.lit("db0")).alias("database_name"),
+        F.col("event_type").alias("source_table"),
+    )
+    out = P.drop_instance_events(sch)
+    out = P.table_whitelist(out, ["click", "view"], replace_all=False, table_col="source_table")
+    return out.select("event_id", "source_table")
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — DDL blocklist + empty guard (reference utils/clean.go:113-140)
+# ---------------------------------------------------------------------------
+
+_DDL_CASE_SQL = """
+      CASE event_id % 6
+        WHEN 0 THEN 'CREATE DATABASE x'
+        WHEN 1 THEN 'USE x'
+        WHEN 2 THEN 'DROP DATABASE x'
+        WHEN 3 THEN 'DROP TABLE `db0`.`t`'
+        WHEN 4 THEN ''
+        ELSE 'ALTER TABLE `db0`.`t` ADD COLUMN c INT'
+      END
+"""
+
+
+def _ddl_case_spark(ev: DataFrame) -> F.Column:
+    k = F.col("event_id") % 6
+    return (
+        F.when(k == 0, F.lit("CREATE DATABASE x"))
+        .when(k == 1, F.lit("USE x"))
+        .when(k == 2, F.lit("DROP DATABASE x"))
+        .when(k == 3, F.lit("DROP TABLE `db0`.`t`"))
+        .when(k == 4, F.lit(""))
+        .otherwise(F.lit("ALTER TABLE `db0`.`t` ADD COLUMN c INT"))
+    )
+
+
+@register(
+    "p5_p6_ddl_guards",
+    f"""
+    WITH d AS (SELECT event_id, {_DDL_CASE_SQL} AS ddl FROM events)
+    SELECT event_id, ddl,
+           (contains(ddl, 'CREATE DATABASE') OR contains(ddl, 'USE')
+            OR contains(ddl, 'DROP DATABASE') OR contains(ddl, 'DROP TABLE')) AS blocked,
+           (contains(ddl, 'CREATE DATABASE') OR contains(ddl, 'USE')
+            OR contains(ddl, 'DROP DATABASE')) AS blocked_reclaim,
+           (length(ddl) = 0) AS is_error
+    FROM d
+    """,
+    doc="P5 substring blocklist (reclaim variant) + P6 empty-DDL guard",
+)
+def p5_p6_ddl_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_id", _ddl_case_spark(ev).alias("ddl"))
+    return d.select(
+        "event_id",
+        "ddl",
+        P.is_blocked_ddl("ddl", reclaim=False).alias("blocked"),
+        P.is_blocked_ddl("ddl", reclaim=True).alias("blocked_reclaim"),
+        P.is_empty_ddl("ddl").alias("is_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — passthrough query detect (reference main.go:357-359)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p7_passthrough",
+    """
+    WITH q AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0 THEN 'SELECT 1 FROM ' || event_type
+                  WHEN event_id % 4 = 1 THEN 'abc'
+                  ELSE NULL END AS src_query
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN length(src_query) > 5 THEN src_query ELSE NULL END AS passthrough
+    FROM q
+    """,
+    doc="P7: source.query length>5 passthrough gate",
+)
+def p7_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.col("event_id") % 4
+    q = ev.select(
+        "event_id",
+        F.when(k == 0, F.concat(F.lit("SELECT 1 FROM "), F.col("event_type")))
+        .when(k == 1, F.lit("abc"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("src_query"),
+    )
+    return q.select("event_id", P.passthrough_query("src_query").alias("passthrough"))
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 — retry header parse + republish gate (reference main.go:98-115)
+# ---------------------------------------------------------------------------
+
+@register(
+    "e1_e2_retry_gate",
+    """
+    WITH h AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  WHEN event_id % 5 = 4 THEN NULL   -- non-numeric header -> parse failure
+                  ELSE CAST(event_id % 5 AS INTEGER) END AS loop_count
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(loop_count + 1, 1) AS next_attempt,
+           COALESCE(loop_count + 1, 1) < 3 AS republish
+    FROM h
+    """,
+    doc="E1 loop-header parse (with Atoi-failure default) + E2 limit gate",
+)
+def e1_e2_retry_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.col("event_id") % 5
+    # build real Kafka-style headers incl. a non-numeric value to exercise the
+    # reference's strconv.Atoi failure path (main.go:104-108)
+    headers = (
+        F.when(k == 0, F.lit(None).cast("array<struct<key:string,value:binary>>"))
+        .when(k == 4, F.array(F.struct(F.lit("loop").alias("key"), F.lit("abc").cast("binary").alias("value"))))
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.lit("loop").alias("key"),
+                    k.cast("string").cast("binary").alias("value"),
+                )
+            )
+        )
+    )
+    h = ev.select("event_id", headers.alias("headers"))
+    lc = R.loop_count_from_headers("headers")
+    return h.select(
+        "event_id",
+        R.next_attempt(lc).alias("next_attempt"),
+        R.republish_gate(lc, 3).alias("republish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1-C3 — nullness classification (reference main.go:365-377)
+# ---------------------------------------------------------------------------
+
+@register(
+    "c1_c3_classify",
+    """
+    WITH ev AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 < 6 THEN 'insert'
+                  WHEN o_orderkey % 10 < 9 THEN 'update'
+                  ELSE 'delete' END AS cdc_op
+      FROM orders
+    )
+    SELECT cdc_op, count(*) AS n FROM ev GROUP BY cdc_op
+    """,
+    doc="C1-C3: before/after nullness classification counts (op field ignored)",
+)
+def c1_c3_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 10
+    img = F.struct(F.col("o_orderkey"), F.col("o_totalprice"))
+    ev = orders.select(
+        F.when(k < 6, F.lit(None).cast("struct<o_orderkey:long,o_totalprice:double>"))
+        .otherwise(img)
+        .alias("before"),
+        F.when(k >= 9, F.lit(None).cast("struct<o_orderkey:long,o_totalprice:double>"))
+        .otherwise(img)
+        .alias("after"),
+    )
+    return (
+        ev.select(A.classify_op(F.col("before"), F.col("after")).alias("cdc_op"))
+        .groupBy("cdc_op")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — the flagship operator (C1-C6 + LWW, reference main.go:348-380)
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_ORACLE = """
+    WITH state AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 3
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+    FROM state
+    WHERE o_orderkey % 4 <> 1          -- deletes drop
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 4 = 3   -- inserts (were excluded from state)
+"""
+
+
+@register(
+    "cdc_apply_orders",
+    _CDC_APPLY_ORACLE,
+    doc="Full CDC apply: insert/update/delete + within-batch replay dedupe over orders-derived events",
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    state = orders.filter(F.col("o_orderkey") % 4 != 3)
+    k = F.col("o_orderkey") % 4
+    img_t = "struct<o_orderkey:long,o_custkey:long,o_orderstatus:string,o_totalprice:double>"
+    row_img = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    events = orders.filter(k != 2).select(
+        F.when(k == 3, F.lit(None).cast(img_t)).otherwise(row_img).alias("before"),
+        F.when(k == 1, F.lit(None).cast(img_t))
+        .when(k == 0, upd_img)
+        .otherwise(row_img)
+        .alias("after"),
+        F.col("o_orderkey").alias("pos"),
+        F.lit(0).cast("long").alias("ts_ms"),
+    )
+    # at-least-once delivery: replay the whole batch twice; engine must dedupe
+    events = events.unionByName(events)
+    return A.apply_cdc(state, events, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# LWW ordering window (SURVEY §2.4 ordering note)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_lww_window",
+    """
+    WITH ev AS (
+      SELECT o_orderkey AS k, o_totalprice + 100 AS v, 1 AS pos, 0 AS ts_ms FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 200, 2, 0 FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 1, 0 FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    r AS (
+      SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY pos DESC, ts_ms DESC) AS rn
+      FROM ev
+    )
+    SELECT k, v FROM r WHERE rn = 1
+    """,
+    doc="last-writer-wins per key by (source.pos, ts_ms)",
+)
+def cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    ev = (
+        even.select(F.col("o_orderkey").alias("k"), (F.col("o_totalprice") + 100).alias("v"),
+                    F.lit(1).alias("pos"), F.lit(0).alias("ts_ms"))
+        .unionByName(
+            even.select(F.col("o_orderkey").alias("k"), (F.col("o_totalprice") + 200).alias("v"),
+                        F.lit(2).alias("pos"), F.lit(0).alias("ts_ms")))
+        .unionByName(
+            odd.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v"),
+                       F.lit(1).alias("pos"), F.lit(0).alias("ts_ms")))
+    )
+    return A.last_writer_wins(ev, ["k"], "pos", "ts_ms").select("k", "v")
+
+
+# ---------------------------------------------------------------------------
+# Full-row predicate apply (SURVEY §7 hard-part 2, reference main.go:372,376)
+# ---------------------------------------------------------------------------
+
+_FULL_ROW_ORACLE = """
+    WITH state AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 8 < 4
+    )
+    -- update applies only when the full before-image matches; stale images
+    -- (o_orderkey % 8 = 1 events carry price+999) match nothing
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 7 ELSE o_totalprice END AS o_totalprice
+    FROM state
+    WHERE o_orderkey % 8 <> 2       -- exact-match deletes drop
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 8 = 5   -- inserts of rows not in state
+"""
+
+
+@register(
+    "cdc_full_row_apply",
+    _FULL_ROW_ORACLE,
+    doc="UPDATE/DELETE matched on ALL before-image columns (not PK)",
+)
+def cdc_full_row_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    state = orders.filter(F.col("o_orderkey") % 8 < 4)
+    k = F.col("o_orderkey") % 8
+    img_t = "struct<o_orderkey:long,o_custkey:long,o_totalprice:double>"
+    exact = F.struct("o_orderkey", "o_custkey", "o_totalprice")
+    stale = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), (F.col("o_totalprice") + 999).alias("o_totalprice")
+    )
+    upd = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), (F.col("o_totalprice") + 7).alias("o_totalprice")
+    )
+    events = orders.filter(k.isin(0, 1, 2, 5)).select(
+        F.when(k == 0, exact).when(k == 1, stale).when(k == 2, exact)
+        .otherwise(F.lit(None).cast(img_t)).alias("before"),
+        F.when(k == 0, upd).when(k == 1, upd).when(k == 5, exact)
+        .otherwise(F.lit(None).cast(img_t)).alias("after"),
+        F.col("o_orderkey").alias("pos"),
+        F.lit(0).cast("long").alias("ts_ms"),
+    )
+    return A.apply_cdc_full_row(state, events)
+
+
+# ---------------------------------------------------------------------------
+# Observability aggregate (SURVEY §2.8: per-table/op event counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_counts",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="hash-agg observability counts (decimal sums for order-insensitive "
+        "exactness, surfaced as double for uniform pandas dtype)",
+)
+def event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+    )

@@ -58,7 +58,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # exact integer floor-division: `/` would round-trip through double and
+        # lose precision for epoch-nanos > 2^53
+        micros = F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
+        df = df.withColumn(c, F.timestamp_micros(micros))
     return df
 
 

@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at sf0.01, then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted by stringified values).
+
+Usage: python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = pd.to_datetime(col).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_float_dtype(col):
+            df[c] = col.round(9)
+        elif col.dtype == object:
+            df[c] = col.map(lambda v: str(v) if v is not None else None)
+    rows = sorted(df.astype(str).values.tolist())
+    return rows
+
+
+def main():
+    only = set(sys.argv[1:])
+    import __spark_entry__ as e
+    from etl_consumer_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        status = []
+        if len(sdf) != len(odf):
+            status.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            status.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            a, b = normalize(sdf), normalize(odf)
+            if a != b:
+                n_bad = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))
+                status.append(f"values differ ({n_bad} rows)")
+                for x, y in list(zip(a, b))[:3000]:
+                    if x != y:
+                        status.append(f"  spark={x} oracle={y}")
+                        break
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status[:3])} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
