@@ -1,0 +1,78 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full computation, no write
+cost). A tiny warmup action runs first so the JVM/codegen warmup isn't
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_consumer_spark.plans import QUERIES  # noqa: E402
+from etl_consumer_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "f1_decimal_roundtrip",       # scalar decode pipeline (expression fold)
+    "cdc_apply_orders",           # the engine's core: full CDC apply
+    "cdc_full_row_apply",         # full-row-predicate variant
+    "event_counts",               # hash agg
+    "olap_q1_pricing_summary",    # scan-heavy agg (600k lineitem)
+    "olap_revenue_by_nation",     # two-hop join
+    "olap_topk_orders_per_customer",  # ranking window
+    "dedup_exact",                # content-hash dedup
+    "dedup_minhash_signatures",   # shingle explode + 8-way min agg
+    "dedup_ngram_jaccard",        # shingle self-join similarity
+    "sim_knn_bruteforce",         # cross-join cosine top-k
+    "sim_ivf_clusters",           # IVF assignment
+    "text_token_stats",           # tokenize + fingerprints
+    "text_quality_langid",        # quality + langid heuristics
+    "mm_image_features",          # Arrow mapInPandas kernel
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(
+        app_name="etl_consumer_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # warmup: JVM + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        per_query[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (SURVEY §7 Phase 5): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the standard
+training-data pipeline family, designed partition-parallel:
+
+- all hashing uses ``md5`` (identical across Spark and the DuckDB oracle;
+  no engine-specific hash functions in comparable outputs)
+- the only shuffles are the explode→groupBy signature build and the
+  bucket/shingle self-joins, both on high-cardinality keys
+- hot shingles (present in a large fraction of documents) are droppable via
+  ``max_doc_freq`` — at 100 TB a stop-shingle cap is what keeps the
+  candidate join from quadratic blowup on boilerplate text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one representative (min id) per distinct
+    text, plus the duplicate count. Hash-groupBy — one shuffle on the hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (distinct, order-free)."""
+    words = F.split(F.trim(text), r"\s+")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, shingle) pairs, optionally dropping shingles that appear in more
+    than ``max_doc_freq`` documents (stop-shingle cap — the scale guard)."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("_df") > max_doc_freq)), "shingle", "left_anti")
+        )
+    return sh
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document: for seed j, ``min(md5(j || '|' ||
+    shingle))``. Lexicographic min over md5 hex is a valid uniform hash
+    family and is engine-portable (DuckDB computes the identical value).
+
+    One groupBy with ``num_hashes`` aggregate expressions — a single
+    shuffle regardless of signature width."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature: bucket id = md5 of the concatenated band slice.
+    Documents sharing any (band, bucket) become near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        out.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a, b) candidate pairs (a < b) sharing any LSH bucket.
+    Self-join on (band, bucket) — high-cardinality key, shuffle-friendly."""
+    left = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    right = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (or for every pair
+    sharing >= 1 shingle when ``pairs`` is None — n-gram Jaccard dedup).
+
+    |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| − |A∩B|."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("shingle"), F.col(id_col).alias("a"))
+    b = shingles.select(F.col("shingle"), F.col(id_col).alias("b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash16(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """16-bit SimHash per document from the first 4 md5 nibbles of each
+    shingle: bit_i contributes +1 when set else −1; sign of the sum forms
+    the fingerprint. Pure expressions (explode → groupBy sum) and
+    engine-portable (conv/md5 exist in both engines)."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("long")
+    withbits = shingles.select(
+        F.col(id_col),
+        *[
+            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+    sums = withbits.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)])
+    fp = None
+    for i in range(16):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucketed: assign each vector to
+    its nearest deterministic centroid (the first ``n_clusters`` vectors by
+    id), then compare only within a cluster — the quadratic join becomes
+    per-cluster local. Returns (a, b, cosine >= threshold)."""
+    from etl_consumer_spark.extensions.similarity import cosine_sim
+
+    centroids = emb.orderBy(id_col).limit(n_clusters).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    a = assigned.select(F.col("cid"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = assigned.select(F.col("cid"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

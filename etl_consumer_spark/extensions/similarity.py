@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline; IVF-bucketed search
+as the scale path (assign to nearest centroid, probe only matching
+clusters). All math is built-in expressions (``zip_with``/``aggregate``)
+— JVM-side, codegen'd, no Python in the hot loop.
+
+Scale notes: brute-force is O(|Q|·|C|) — fine when |Q| is small or as a
+per-cluster refinement; the IVF variant turns the cross join into
+|Q|·|C|/n_clusters with a broadcast centroid table. For 100 TB-scale
+corpora, partition the corpus by cluster id (bucketBy) so probes are
+partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns (double accumulation,
+    left-to-right — matches DuckDB's list_dot_product order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self-matches
+    excluded). Deterministic output: ties broken by neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_sim(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF assignment: nearest centroid per vector (broadcast centroids,
+    argmax cosine with deterministic tie-break)."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cid_col),
+        cosine_sim(F.col(vec_col), F.col(cvec_col)).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col(cid_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, cid_col)
+    )
+
+
+def deterministic_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First ``n_clusters`` vectors by id as centroids — deterministic and
+    oracle-reproducible (a k-means step would converge better but is not
+    SQL-checkable; swap in ml.clustering.KMeans for production use)."""
+    return emb.orderBy(id_col).limit(n_clusters).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's own cluster. Recall trades
+    off with n_clusters; probing is a co-partitioned equi-join on cid
+    instead of a full cross join."""
+    cents = deterministic_centroids(corpus, n_clusters, id_col, vec_col)
+    c_assigned = assign_clusters(corpus, cents, id_col, vec_col)
+    q_assigned = assign_clusters(queries, cents, id_col, vec_col)
+    q = q_assigned.select(F.col("cid"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = c_assigned.select(F.col("cid"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        q.join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_sim(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for corpus curation: language ID, quality
+scoring, token counting, and document fingerprinting.
+
+All pure column expressions (portable to the DuckDB oracle); heuristics are
+deliberately simple and deterministic — the point is the Spark-shaped
+plumbing (no shuffles except explicit aggregations, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword-ratio heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-string-safe)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND word/number/punct
+    boundaries (a cheap stand-in for BPE vocab size estimation)."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + mean word length
+    band + stopword presence. Deterministic, expression-only."""
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 10) & (n <= 100000), 0.4).otherwise(0.0)
+    word_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 0.3).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) > 0.05, 0.3).otherwise(0.0)
+    return (len_ok + word_ok + stop_ok).cast("double")
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
+
+
+def lang_id(text: Column, min_ratio: float = 0.03) -> Column:
+    """Argmax stopword-ratio language guess; 'und' (undetermined) when the
+    best ratio doesn't exceed ``min_ratio``. Ties break by declaration
+    order (en > de > fr > es), encoded as a preference field so the rule is
+    a pure argmax — trivially reproducible in the SQL oracle."""
+    scores = lang_scores(text)
+    n = len(scores)
+    candidates = F.array(
+        *[
+            F.struct(
+                score.alias("score"),
+                F.lit(n - i).alias("pref"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, score) in enumerate(scores)
+        ]
+    )
+    best = F.element_at(F.sort_array(candidates, asc=False), 1)
+    return F.when(best["score"] > min_ratio, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable across engines; use for exact-dup detection and incremental
+    re-crawl diffing."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hash(text: Column, modulus: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (ord * base^i mod p) — the
+    classic fingerprint primitive, as a fold expression. Engine-portable
+    via aggregate/list_reduce."""
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % modulus,
+    )

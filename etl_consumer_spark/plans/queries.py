@@ -662,3 +662,489 @@ def event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP core (SURVEY §2.8: engine ships hash-agg/join/window/top-k/sort even
+# though the reference has none — they're the observability & harness layer,
+# and the scale-path building blocks).
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary; decimal partial aggregation, pushdown-friendly",
+)
+def olap_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "olap_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="two-hop join + agg; dims broadcast (nation always, customer when small)",
+)
+def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "olap_topk_orders_per_customer",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3
+    """,
+    doc="top-k per group via ranking window (deterministic integer tie-break)",
+)
+def olap_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "olap_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM orders
+    """,
+    doc="running-sum window (decimal accumulation, deterministic frame order)",
+)
+def olap_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "olap_distinct_setops",
+    """
+    SELECT count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    )
+    """,
+    doc="distinct + set difference (EXCEPT) over join keys",
+)
+def olap_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k")).distinct()
+    south = customer.filter(F.col("c_nationkey") < 5).select(F.col("c_custkey").alias("k"))
+    return big.exceptAll(south.distinct()).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Extensions: dedup / similarity / text analysis / multimodal
+# (SURVEY §7 Phase 5 — training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+           FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i))
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH d2 AS (
+      SELECT d1.doc_id,
+             CASE WHEN d1.doc_id % 5 = 4 THEN prev.text ELSE d1.text END AS text
+      FROM documents d1 LEFT JOIN documents prev ON prev.doc_id = d1.doc_id - 1
+    )
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM d2 GROUP BY md5(text)
+    """,
+    doc="exact dedup via content-hash groupBy (synthetic dups: every 5th doc repeats its predecessor)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("prev_text"))
+    with_dups = (
+        docs.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 5 == 4) & F.col("prev_text").isNotNull(), F.col("prev_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return D.exact_dedup(with_dups)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id,
+           min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+           min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+           min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+           min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signatures (8 hashes) over distinct word 3-gram shingles",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(D.exploded_shingles(docs), num_hashes=8)
+
+
+@register(
+    "dedup_lsh_candidates",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+             min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
+             min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
+             min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
+      FROM sh GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_common
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT c.a, c.b,
+           i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes za ON za.doc_id = c.a
+    JOIN sizes zb ON zb.doc_id = c.b
+    """,
+    doc="MinHash-LSH near-dup candidates (8 bands x 1 row) verified with exact shingle Jaccard",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    pairs = D.candidate_pairs(buckets)
+    return D.jaccard_pairs(sh, pairs)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SHINGLE_CTE},
+    bits AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 4))::BIGINT AS h
+      FROM sh
+    ),
+    sums AS (
+      SELECT doc_id,
+             {', '.join(f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16))}
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({' + '.join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))})::BIGINT AS simhash
+    FROM sums
+    """,
+    doc="16-bit SimHash fingerprints from shingle md5 nibbles",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16(D.exploded_shingles(docs))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_common
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT i.a, i.b, i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_common / (za.sz + zb.sz - i.n_common) >= 0.05
+    """,
+    doc="n-gram Jaccard similarity pairs (shingle self-join, threshold 0.05)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.exploded_shingles(docs), threshold=0.05)
+
+
+_DOT_SQL = """list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len({a})),
+                              i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x,y) -> x+y)"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "sim_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.qvec', 'c.embedding')} AS cos_sim
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="brute-force cosine top-3 (identical left-to-right double accumulation both engines)",
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_bruteforce(queries, emb, k=3)
+
+
+@register(
+    "sim_ivf_clusters",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS csim
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      FROM scored
+    )
+    SELECT cid, count(*) AS n FROM assigned WHERE rn = 1 GROUP BY cid
+    """,
+    doc="IVF cluster assignment histogram (deterministic centroids = first 16 vectors)",
+)
+def sim_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.deterministic_centroids(emb, 16)
+    assigned = S.assign_clusters(emb, cents)
+    return assigned.groupBy("cid").agg(F.count("*").alias("n"))
+
+
+@register(
+    "sim_embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS l2_norm
+    FROM embeddings
+    """,
+    doc="per-vector L2 norm (no cross-row float aggregation -> exact)",
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", S.l2_norm(F.col("embedding")).alias("l2_norm"))
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(generate_series(1, length(text)),
+                            i -> ascii(substr(text, i, 1))::BIGINT)),
+             (a,b) -> (a*31+b) % 1000000007) AS rhash
+    FROM documents
+    """,
+    doc="token counting (whitespace + BPE-ish), md5 fingerprint, polynomial rolling hash",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        TA.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        TA.rolling_hash(F.col("text")).alias("rhash"),
+    )
+
+
+_RATIO_SQL = """(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  t -> list_contains({words}, t)))
+                 / len(string_split_regex(trim(lower(text)), '\\s+')))"""
+
+_LANG_WORDS = {
+    "en": "['the','and','of','to','a','in','is','it']",
+    "de": "['der','die','das','und','ist','nicht','ein']",
+    "fr": "['le','la','les','et','est','un','une']",
+    "es": "['el','la','los','y','es','un','una']",
+}
+
+
+@register(
+    "text_quality_langid",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             {_RATIO_SQL.format(words=_LANG_WORDS['en'])} AS r_en,
+             {_RATIO_SQL.format(words=_LANG_WORDS['de'])} AS r_de,
+             {_RATIO_SQL.format(words=_LANG_WORDS['fr'])} AS r_fr,
+             {_RATIO_SQL.format(words=_LANG_WORDS['es'])} AS r_es,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             length(replace(text, ' ', '')) AS n_char_nospace
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.03 THEN 'und'
+                WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+                WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+                WHEN r_fr >= r_es THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN n_char_nospace / n_tok BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN r_en > 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM r
+    """,
+    doc="language-ID by stopword-ratio argmax + composite quality score",
+)
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TA.lang_id(F.col("text")).alias("lang_guess"),
+        TA.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "mm_image_features",
+    None,  # mapInPandas kernel — not SQL-expressible; rows-only check
+    doc="multimodal: Arrow-batched image feature extraction over binary blobs (deterministic stub decode)",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    return M.extract_image_features(media)
+
+
+@register(
+    "mm_frame_sample",
+    None,  # mapInPandas kernel — rows-only check
+    doc="multimodal: frame sampling plumbing (5 frames per blob, md5-hashed)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    return M.sample_frames(media)
