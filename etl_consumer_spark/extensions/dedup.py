@@ -48,8 +48,17 @@ def exploded_shingles(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id, shingle) pairs, optionally dropping shingles that appear in more
-    than ``max_doc_freq`` documents (stop-shingle cap — the scale guard)."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    than ``max_doc_freq`` documents (stop-shingle cap — the scale guard).
+
+    The input is repartitioned before the explode: shingling multiplies both
+    row count and per-row CPU (hashing downstream), so parallelism must be
+    established *before* the expensive operator — a single-row-group parquet
+    file would otherwise pin the whole explode+hash pipeline to one task."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    )
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (

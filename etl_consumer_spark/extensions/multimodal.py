@@ -109,7 +109,8 @@ def extract_image_features(media: DataFrame, use_real_codec: bool = False) -> Da
                 )
             yield pd.DataFrame(out, columns=["media_id", "mean_px", "std_px", "n_px"])
 
-    return media.select("media_id", "blob", "meta").mapInPandas(kernel, FEATURE_SCHEMA)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, resized binary"
@@ -138,7 +139,8 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "resized"])
 
-    return media.select("media_id", "blob", "meta").mapInPandas(kernel, RESIZE_SCHEMA)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_hash string"
@@ -168,4 +170,5 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
                     )
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_hash"])
 
-    return media.select("media_id", "blob", "meta").mapInPandas(kernel, FRAME_SCHEMA)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, FRAME_SCHEMA)

@@ -44,13 +44,28 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-matches
-    excluded). Deterministic output: ties broken by neighbor id."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    excluded). Deterministic output: ties broken by neighbor id.
+
+    Norms are precomputed per side before the pair join — computing
+    ``l2_norm`` inside the pair expression would redo |C| norm folds per
+    query (3x the flops, and the dominant cost at corpus scale)."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_sim(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -69,12 +84,20 @@ def assign_clusters(
     cvec_col: str = "cvec",
 ) -> DataFrame:
     """IVF assignment: nearest centroid per vector (broadcast centroids,
-    argmax cosine with deterministic tie-break)."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    argmax cosine with deterministic tie-break). Vector norms are computed
+    once per row, not once per (row, centroid) pair."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    with_norm = emb.repartition(par).select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vnorm")
+    )
+    cents_norm = centroids.select(
+        F.col(cid_col), F.col(cvec_col), l2_norm(F.col(cvec_col)).alias("_cnorm")
+    )
+    scored = with_norm.crossJoin(F.broadcast(cents_norm)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col(cid_col),
-        cosine_sim(F.col(vec_col), F.col(cvec_col)).alias("csim"),
+        (dot(F.col(vec_col), F.col(cvec_col)) / (F.col("_vnorm") * F.col("_cnorm"))).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col(cid_col).asc())
     return (

@@ -1065,6 +1065,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import text_analysis as TA
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
         "doc_id",
         TA.token_count(F.col("text")).alias("n_tokens"),
@@ -1116,6 +1117,7 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import text_analysis as TA
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select(
         "doc_id",
         "lang",
