@@ -102,12 +102,14 @@ def apply_cdc(
     after_col: str = "after",
     pos_col: str = "pos",
     ts_col: str = "ts_ms",
+    missing_update: str = "noop",
 ) -> DataFrame:
     """Apply a batch of CDC events to a state table, returning the new state.
 
     Single full-outer join on the key (one shuffle; AQE broadcasts the
-    compacted batch when small). Per-row outcome matrix (reference
-    semantics, compacted):
+    compacted batch when small). Per-row outcome matrix with
+    ``missing_update="noop"`` (strict reference semantics — each statement
+    judged against *pre-batch* state):
 
     ===============  ==============  =====================================
     latest event      key in state    result
@@ -119,20 +121,36 @@ def apply_cdc(
     update            no              no-op (UPDATE matched nothing)
     delete            yes/no          row absent (C3)
     ===============  ==============  =====================================
+
+    ``missing_update="upsert"`` is the streaming-pipeline mode: the latest
+    event's after-image always wins (delete removes, insert/update upsert).
+    For a *consistent* ordered CDC stream this equals the reference's
+    one-at-a-time outcome even for within-batch chains (insert→update of a
+    key created in the same batch — the strict mode would wrongly no-op
+    those, because the chain's intermediate state never hits the store).
+    Strict mode only differs on streams that are already inconsistent with
+    the target (stale updates / duplicate inserts), where the reference's
+    per-statement no-op/dup-skip is the faithful answer.
     """
+    if missing_update not in ("noop", "upsert"):
+        raise ValueError(f"missing_update must be 'noop' or 'upsert', got {missing_update!r}")
     cols = state.columns
     latest = compact_events(events, pk_cols, before_col, after_col, pos_col, ts_col)
     exists_marker = pk_cols[0]
     joined = state.alias("s").join(latest.alias("e"), on=pk_cols, how="full_outer")
     op = F.col("_op")
     s_exists = F.col(f"s.{exists_marker}").isNotNull()
-    keep = op.isNull() | (op == OP_INSERT) | ((op == OP_UPDATE) & s_exists)
+    if missing_update == "noop":
+        keep = op.isNull() | (op == OP_INSERT) | ((op == OP_UPDATE) & s_exists)
+        use_state = op.isNull() | ((op == OP_INSERT) & s_exists)
+    else:
+        keep = op.isNull() | op.isin(OP_INSERT, OP_UPDATE)
+        use_state = op.isNull()
     out_cols = []
     for c in cols:
         if c in pk_cols:
             out_cols.append(F.col(c).alias(c))
         else:
-            use_state = op.isNull() | ((op == OP_INSERT) & s_exists)
             out_cols.append(
                 F.when(use_state, F.col(f"s.{c}")).otherwise(F.col(f"_after.{c}")).alias(c)
             )

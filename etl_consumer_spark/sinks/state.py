@@ -1,0 +1,79 @@
+"""K1 — materialized current-state tables (the reference's target MySQL).
+
+The reference applies each event to MySQL via GORM (db.Exec, main.go:135).
+The engine's equivalent is a maintained current-state table per source
+table, updated per micro-batch by the set-based CDC apply (operators.apply).
+
+Backend here: versioned parquet directories with an atomic pointer file —
+the dependency-free fallback that works in this container. Each upsert
+writes a full new version (read-modify-write). On a real deployment the
+same ``apply_fn`` drives Delta Lake ``MERGE INTO`` (partial file rewrite +
+txn log) or a JDBC upsert; the protocol (LWW ordering, dup-skip,
+dead-letter) is identical and lives above the backend.
+
+Scale note: the rewrite cost is bounded by partitioning state on the key
+(only touched partitions rewritten via dynamic partition overwrite); with
+Delta, AQE-sized MERGE touches only matching files. The versioned-pointer
+scheme keeps readers consistent (they always see a complete version dir) —
+the same idea as Delta's log, minus concurrent writers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_consumer_spark.operators.apply import apply_cdc
+
+
+class ParquetStateStore:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+
+    def _table_dir(self, table: str) -> str:
+        return f"{self.base}/{table}"
+
+    def _pointer(self, table: str) -> str:
+        return f"{self._table_dir(table)}/_CURRENT"
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def init(self, table: str, df: DataFrame) -> None:
+        """Seed version 0 of a state table."""
+        self._write_version(table, df, 0)
+
+    def read(self, table: str) -> DataFrame:
+        v = self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"state table {table} not initialized under {self.base}")
+        return self.spark.read.parquet(f"{self._table_dir(table)}/v{v}")
+
+    def _write_version(self, table: str, df: DataFrame, version: int) -> None:
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        df.write.mode("overwrite").parquet(f"{self._table_dir(table)}/v{version}")
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer(table))  # atomic pointer swap
+
+    def upsert(
+        self, table: str, events: DataFrame, pk_cols: list[str], missing_update: str = "upsert"
+    ) -> int:
+        """Apply one micro-batch of CDC events; returns the new version.
+
+        Default mode is ``upsert`` compaction — exact for consistent ordered
+        CDC streams including within-batch insert→update chains (see
+        apply_cdc docstring); pass ``noop`` for strict per-statement
+        reference semantics."""
+        state = self.read(table)
+        new_state = apply_cdc(state, events, pk_cols, missing_update=missing_update)
+        v = (self.current_version(table) or 0) + 1
+        self._write_version(table, new_state, v)
+        return v

@@ -1,0 +1,98 @@
+"""Kafka streaming source builders S1-S4 (SURVEY §2.1).
+
+Reference: a librdkafka consumer subscribing to per-table CDC topics or the
+schema topic (main.go:30-68). Here the same topology is a Structured
+Streaming source; consumer-group offset management becomes checkpointing,
+and the poll loop becomes micro-batch triggers.
+
+No broker exists in the test container — these builders are exercised
+end-to-end in tests through the file-based envelope source
+(:func:`file_envelope_stream`), which produces byte-identical downstream
+DataFrames (topic/value/headers columns) for the same pipeline code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_consumer_spark.config import Config
+
+# What the downstream pipeline expects from any envelope transport.
+TRANSPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("headers", T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("value", T.BinaryType()),
+                ]
+            )
+        )),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+
+def kafka_stream(spark: SparkSession, cfg: Config) -> DataFrame:
+    """S1-S4 — subscribe to the config's topic list (per-table CDC topics,
+    or the schema topic alone under ActiveScheme — reference main.go:50-58),
+    with offset policy and backpressure.
+
+    Checkpointing supplies the consumer-group semantics (S3); the driver
+    must set ``checkpointLocation`` on the writer side."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.kafka)
+        .option("subscribe", ",".join(cfg.topics()))
+        .option("startingOffsets", "earliest" if cfg.auto_offset == "earliest" else "latest")
+        .option("includeHeaders", "true")
+        .option("maxOffsetsPerTrigger", str(cfg.max_offsets_per_trigger))
+        .option("failOnDataLoss", "false")
+        .load()
+        .select("topic", "value", "headers", "timestamp")
+    )
+
+
+def kafka_batch(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Batch-mode replay of the same topics (for backfills): identical
+    downstream schema, bounded read."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.kafka)
+        .option("subscribe", ",".join(cfg.topics()))
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .option("includeHeaders", "true")
+        .load()
+        .select("topic", "value", "headers", "timestamp")
+    )
+
+
+def file_envelope_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Broker-free transport: a file stream of (topic, value, headers,
+    timestamp) rows in parquet under ``path``. Same columns as the Kafka
+    source, so the whole pipeline (parse → route → decode → apply) is the
+    production code path; used by tests and availableNow backfills."""
+    return spark.readStream.schema(TRANSPORT_SCHEMA).parquet(path)
+
+
+def file_envelope_batch(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TRANSPORT_SCHEMA).parquet(path)
+
+
+def as_transport(df: DataFrame) -> DataFrame:
+    """Normalize any source to the transport schema (adds missing optional
+    columns as nulls)."""
+    cols = {f.name for f in df.schema.fields}
+    out = df
+    if "headers" not in cols:
+        out = out.withColumn(
+            "headers", F.lit(None).cast("array<struct<key:string,value:binary>>")
+        )
+    if "timestamp" not in cols:
+        out = out.withColumn("timestamp", F.lit(None).cast("timestamp"))
+    return out.select("topic", "value", "headers", "timestamp")

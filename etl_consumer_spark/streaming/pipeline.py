@@ -1,0 +1,203 @@
+"""The end-to-end CDC streaming pipeline: transport → parse → route →
+decode → apply, inside ``foreachBatch``.
+
+Maps the reference's main loop (main.go:63-169) onto micro-batches:
+
+1. split the batch by topic (P1) — schema events vs DML events;
+2. apply the DDL path FIRST (the reference pauses the connector and
+   applies DDL synchronously before more DML flows — cross-batch ordering
+   per SURVEY §4): filter chain P3-P6, pause (X1), translate+apply,
+   resume (X2), errors dead-lettered (E5);
+3. DML path: tombstone filter (S7) → envelope parse (S5) → parse-error
+   drop (E4) → per-table decode (C5/§1.2) → set-based apply with LWW +
+   dup-skip (C1-C6) into the state store (K1);
+4. any per-table apply failure dead-letters the whole table's slice (K2)
+   and emits a bounded republish frame (K3/E1-E3).
+
+Exactly-once: the transport checkpoint plus idempotent apply (replays
+collapse in LWW + dup-skip) gives effective exactly-once on state, the
+same guarantee the reference approximates with its Duplicate-entry skip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_consumer_spark.client.debezium import DebeziumAPI
+from etl_consumer_spark.config import Config
+from etl_consumer_spark.operators.ddl import translate_mysql_ddl
+from etl_consumer_spark.operators.routing import (
+    drop_blocked_ddl,
+    drop_instance_events,
+    drop_tombstones,
+    is_empty_ddl,
+    route_dml,
+    route_schema,
+    table_whitelist,
+)
+from etl_consumer_spark.sinks.dead_letter import dead_letter_rows, write_dead_letters
+from etl_consumer_spark.sinks.republish import republish_frame
+from etl_consumer_spark.sinks.state import ParquetStateStore
+from etl_consumer_spark.sources.envelope import (
+    WireField,
+    decode_envelope,
+    parse_ddl_envelope,
+    parse_dml_envelope,
+)
+
+
+@dataclass
+class TableSpec:
+    """Build-time description of one replicated table (C5: the per-table
+    Debezium schema resolved once, not per row)."""
+
+    name: str
+    fields: list[WireField]
+    pk_cols: list[str]
+
+
+@dataclass
+class BatchResult:
+    """Observability record for one micro-batch."""
+
+    epoch_id: int
+    applied: dict[str, int] = field(default_factory=dict)      # table -> new version
+    ddl_applied: list[str] = field(default_factory=list)
+    ddl_skipped: list[str] = field(default_factory=list)
+    dead_letters: int = 0
+    republish: DataFrame | None = None
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: Config,
+        tables: list[TableSpec],
+        store: ParquetStateStore,
+        api: DebeziumAPI | None = None,
+        dead_letter_path: str | None = None,
+        ddl_executor=None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.tables = {t.name: t for t in tables}
+        self.store = store
+        self.api = api
+        self.dead_letter_path = dead_letter_path
+        # injectable DDL execution (default: no-op log — catalog-backed state
+        # would call spark.sql; JDBC-backed would exec against MySQL)
+        self.ddl_executor = ddl_executor or (lambda stmt: None)
+        self.results: list[BatchResult] = []
+
+    # -- DDL path (reference main.go:70-121, 382-424) ----------------------
+
+    def _process_ddl(self, batch: DataFrame, result: BatchResult) -> None:
+        parsed = parse_ddl_envelope(batch).select(
+            "value",
+            F.col("ddl_envelope.payload.databaseName").alias("database_name"),
+            F.col("ddl_envelope.payload.source.table").alias("source_table"),
+            F.col("ddl_envelope.payload.ddl").alias("ddl"),
+        )
+        parsed = drop_instance_events(parsed)                                  # P4
+        parsed = table_whitelist(                                              # P3
+            parsed, list(self.tables), self.cfg.replace_all_scheme, "source_table"
+        )
+        errors = parsed.filter(is_empty_ddl("ddl"))                            # P6
+        dead = dead_letter_rows(
+            errors.withColumn("err", F.lit("unexpected ddl")),
+            "err",
+            ",".join(self.tables),
+            self.cfg.db_name,
+        )
+        n_err = dead.count()
+        if n_err and self.dead_letter_path:
+            write_dead_letters(dead, self.dead_letter_path)
+        result.dead_letters += n_err
+
+        good = drop_blocked_ddl(parsed.filter(~is_empty_ddl("ddl")), self.cfg.reclaim)  # P5
+        ddl_rows = [r["ddl"] for r in good.select("ddl").collect()]
+        if not ddl_rows:
+            return
+        if self.api is not None:
+            self.api.pause()                                                   # X1
+        try:
+            for ddl in ddl_rows:
+                stripped = ddl.replace(f"`{self.cfg.db_name}`.", "")           # C7/F12
+                for t in translate_mysql_ddl(stripped):
+                    if t.statement is None:
+                        result.ddl_skipped.append(t.reason or "")
+                        continue
+                    try:
+                        self.ddl_executor(t.statement)
+                        result.ddl_applied.append(t.statement)
+                    except Exception as exc:  # noqa: BLE001 — dead-letter path (E5)
+                        result.ddl_skipped.append(f"{t.statement}: {exc}")
+        finally:
+            if self.api is not None:
+                self.api.resume(max_attempts=30)                               # X2/E6
+
+    # -- DML path (reference main.go:122-168, 348-380) ---------------------
+
+    def _process_dml(self, batch: DataFrame, result: BatchResult) -> None:
+        batch = drop_tombstones(batch)                                         # S7
+        parsed = parse_dml_envelope(batch)
+        # E4: parse failures are logged-and-dropped (no dead letter for DML)
+        parsed = parsed.filter(F.col("envelope.payload").isNotNull())
+        parsed = parsed.withColumn(
+            "table", F.col("envelope.payload.source.table")
+        ).cache()
+        try:
+            for name, spec in self.tables.items():
+                slice_df = parsed.filter(F.col("table") == name)
+                decoded = decode_envelope(
+                    slice_df,
+                    spec.fields,
+                    with_timezone=self.cfg.with_timezone,
+                    tz_hours=self.cfg.timezone_hours,
+                )
+                events = decoded.filter(F.col("passthrough").isNull())
+                try:
+                    version = self.store.upsert(name, events, spec.pk_cols)
+                    result.applied[name] = version
+                except Exception as exc:  # noqa: BLE001 — K2 + K3 branch
+                    dead = dead_letter_rows(
+                        slice_df.withColumn("err", F.lit(str(exc)[:200])),
+                        "err",
+                        name,
+                        self.cfg.db_name,
+                    )
+                    if self.dead_letter_path:
+                        write_dead_letters(dead, self.dead_letter_path)
+                    result.dead_letters += dead.count()
+                    if self.cfg.republish:
+                        rf = republish_frame(slice_df, self.cfg.republish_limit)
+                        result.republish = (
+                            rf if result.republish is None else result.republish.unionByName(rf)
+                        )
+        finally:
+            parsed.unpersist()
+
+    # -- foreachBatch entry point ------------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> BatchResult:
+        result = BatchResult(epoch_id=epoch_id)
+        schema_events = route_schema(batch, self.cfg.server)                   # P1
+        dml_events = route_dml(batch, self.cfg.server)
+        # DDL strictly before DML (SURVEY §4: pause-the-world ordering)
+        self._process_ddl(schema_events, result)
+        self._process_dml(dml_events, result)
+        self.results.append(result)
+        return result
+
+    def start(self, transport: DataFrame, checkpoint_dir: str | None = None, trigger_available_now: bool = False):
+        """Attach to a streaming transport DataFrame and run."""
+        writer = transport.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir or self.cfg.checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
