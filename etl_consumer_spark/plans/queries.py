@@ -1150,3 +1150,244 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthesize_media_table(docs, "doc_id", "text")
     return M.sample_frames(media)
+
+
+# ---------------------------------------------------------------------------
+# Full-stack streaming CDC (Phase 4 through the oracle gate): the same event
+# set as cdc_apply_orders, but serialized to Debezium JSON envelopes, ridden
+# through the file transport -> Structured Streaming (availableNow) ->
+# foreachBatch pipeline -> parquet state store, then read back.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_cdc_full_stack",
+    _CDC_APPLY_ORACLE.replace("o_totalprice + 1000", "o_totalprice + 1000.0"),
+    doc="end-to-end Structured Streaming CDC apply vs the same SQL oracle as the batch path",
+)
+def stream_cdc_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.state import ParquetStateStore
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey") % 4
+    row_img = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    img_t = "struct<o_orderkey:long,o_custkey:long,o_orderstatus:string,o_totalprice:double>"
+    envelopes = orders.filter(k != 2).select(
+        F.lit("srv.db0.orders").alias("topic"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.when(k == 3, F.lit(None).cast(img_t)).otherwise(row_img).alias("before"),
+                    F.when(k == 1, F.lit(None).cast(img_t))
+                    .when(k == 0, upd_img)
+                    .otherwise(row_img)
+                    .alias("after"),
+                    F.struct(
+                        F.lit("srv").alias("name"),
+                        F.lit("db0").alias("db"),
+                        F.lit("orders").alias("table"),
+                        F.col("o_orderkey").alias("pos"),
+                        F.lit(0).alias("row"),
+                    ).alias("source"),
+                    F.lit("c").alias("op"),
+                    F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).cast("binary").alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_cdc_")
+    envelopes.write.mode("overwrite").parquet(f"{base}/transport")
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
+    store = ParquetStateStore(spark, f"{base}/state")
+    store.init("orders", orders.filter(k != 3))
+    fields = [
+        WireField("o_orderkey", "int64"),
+        WireField("o_custkey", "int64"),
+        WireField("o_orderstatus", "string"),
+        WireField("o_totalprice", "float64"),
+    ]
+    pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
+    q = pipe.start(
+        file_envelope_stream(spark, f"{base}/transport"),
+        checkpoint_dir=f"{base}/ckpt",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    return store.read("orders")
+
+
+# ---------------------------------------------------------------------------
+# K2 — dead-letter shaping (reference main.go:76,92,143; FIXTURES.md §5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "k2_dead_letter_shape",
+    """
+    SELECT props AS data,
+           regexp_replace('Error 1062: Duplicate entry ''' || event_type || '''',
+                          '[^a-zA-Z0-9-]+', '-', 'g') AS error,
+           'orders' AS table_name,
+           'db0' AS db_name
+    FROM events
+    """,
+    doc="dead-letter row shaping with sanitize.BaseName-style error text",
+)
+def k2_dead_letter_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.sinks.dead_letter import dead_letter_rows
+
+    ev = load_table(spark, sf_dir, "events")
+    shaped = ev.select(
+        F.col("props").alias("value"),
+        F.concat(F.lit("Error 1062: Duplicate entry '"), F.col("event_type"), F.lit("'")).alias("err"),
+    )
+    return dead_letter_rows(shaped, "err", "orders", "db0")
+
+
+# ---------------------------------------------------------------------------
+# As-of join + sessionization (analytic operators; SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_asof_join",
+    """
+    WITH r AS (  -- unique right rows per (key, ts): keep max orderkey
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           r.o_orderkey AS last_orderkey, r.o_totalprice AS last_totalprice
+    FROM (SELECT event_id, user_id, epoch_ms(epoch_ns(ts) // 1000000) AS ts FROM events) e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    doc="as-of (backward) join: latest order at-or-before each event, union+carry-forward plan",
+)
+def analytic_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.analytic import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", F.col("user_id").alias("k"), "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .select(F.col("o_custkey").alias("k"), "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    out = asof_join(
+        ev, r, key="k", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@register(
+    "analytic_sessionize",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ms(epoch_ns(ts) // 1000000) AS ts FROM events
+    ),
+    g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM g
+    """,
+    doc="sessionization: 30-min-gap session ids via lag + running sum",
+)
+def analytic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.analytic import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot / percentiles (agg-family coverage)
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotal + grand-total rows)",
+)
+def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "olap_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot on linestatus (conditional-agg equivalent in the oracle)",
+)
+def olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
+    "olap_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact continuous percentiles (linear interpolation both engines, rounded)",
+)
+def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )

@@ -1,0 +1,46 @@
+"""As-of join and sessionization operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_consumer_spark.operators.analytic import asof_join, sessionize
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts(5), "e1"), (1, ts(15), "e2"), (1, ts(2), "e0"), (2, ts(10), "e3")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(4), 100), (1, ts(10), 200), (3, ts(1), 999)],
+        "k long, rts timestamp, v int",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    }
+    assert out == {"e0": None, "e1": 100, "e2": 200, "e3": None}
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, ts(10), "x")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, ts(10), 7)], "k long, rts timestamp, v int")
+    out = asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    assert out[0]["v"] == 7  # right_ts == left_ts counts (<= semantics)
+
+
+def test_sessionize_gaps(spark):
+    rows = [
+        (1, ts(0)), (1, ts(10)), (1, ts(50)),   # gap 40min -> new session
+        (2, ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp")
+    out = sessionize(df, "user", "ts", gap_minutes=30).collect()
+    by = {(r["user"], r["ts"].minute): r["session_id"] for r in out}
+    assert by[(1, 0)] == 1 and by[(1, 10)] == 1 and by[(1, 50)] == 2
+    assert by[(2, 0)] == 1
