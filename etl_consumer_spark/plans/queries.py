@@ -1391,3 +1391,52 @@ def olap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed aggregation with watermark (Structured Streaming
+# surface: tumbling windows + late-data handling), verified against a
+# date_trunc oracle — window start == hour truncation for 1h tumbling.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_windowed_agg",
+    """
+    SELECT date_trunc('hour', epoch_ms(epoch_ns(ts) // 1000000)) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h windowed agg with 10min watermark through readStream/availableNow",
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_win_")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("total_value"),
+        )
+    )
+    sink = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
