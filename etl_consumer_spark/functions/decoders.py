@@ -56,6 +56,23 @@ def decimal_unscaled(b64: ColumnOrName) -> Column:
     """
     raw = F.try_to_binary(_col(b64), F.lit("base64"))
     hx = F.hex(raw)
+    nbytes = F.length(raw)
+    first_byte = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    is_negative = first_byte >= 128
+
+    # Fast path (<=8 bytes — every MySQL DECIMAL(<=18) and most others):
+    # one conv() call interpreting the hex as unsigned 64-bit, minus
+    # 256^nbytes for negatives. No array fold at all.
+    fast_unsigned = F.conv(hx, 16, 10).cast(T.DecimalType(20, 0)).cast(_DEC38)
+    pow_pairs: list[Column] = []
+    for n in range(1, 9):
+        pow_pairs.append(F.lit(n))
+        pow_pairs.append(F.lit(str(256**n)).cast(_DEC38))
+    pow_small = F.element_at(F.create_map(*pow_pairs), nbytes)
+    fast_signed = F.when(is_negative, fast_unsigned - pow_small).otherwise(fast_unsigned)
+
+    # General expression path (9..15 bytes): fold hex digits into a
+    # Decimal(38,0) accumulator.
     digits = F.filter(F.split(hx, ""), lambda c: c != F.lit(""))
     hexmap = _hex_digit_map()
     unsigned = F.aggregate(
@@ -63,21 +80,21 @@ def decimal_unscaled(b64: ColumnOrName) -> Column:
         F.lit(0).cast(_DEC38),
         lambda acc, c: acc * F.lit(16) + F.element_at(hexmap, c).cast(_DEC38),
     )
-    nbytes = F.length(raw)
     # 256^nbytes as exact decimal (pow() would go through double and lose precision)
     pow256 = F.aggregate(
         F.sequence(F.lit(1), nbytes),
         F.lit(1).cast(_DEC38),
         lambda acc, _: acc * F.lit(256),
     )
-    first_byte = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
-    signed = F.when(first_byte >= 128, unsigned - pow256).otherwise(unsigned)
+    signed = F.when(is_negative, unsigned - pow256).otherwise(unsigned)
+
     # Width guard keeps the expression ANSI-safe: >15-byte payloads would
     # overflow Decimal(38,0) mid-fold; they yield null here (use
     # decimal_decode_big for those — CASE WHEN short-circuits, so the fold
     # never executes for the wide rows).
     return (
         F.when(nbytes == 0, F.lit(0).cast(_DEC38))
+        .when(nbytes <= 8, fast_signed)
         .when(nbytes <= _EXPR_MAX_BYTES, signed)
         .otherwise(F.lit(None).cast(_DEC38))
     )

@@ -1,0 +1,54 @@
+"""Sink unit tests: republish frame (K3), dead-letter shaping (K2), state
+store versioning (K1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_consumer_spark.sinks.dead_letter import dead_letter_rows
+from etl_consumer_spark.sinks.republish import republish_frame
+from etl_consumer_spark.sinks.state import ParquetStateStore
+
+
+def _headers(val: bytes | None):
+    if val is None:
+        return None
+    return [("loop", bytearray(val))]
+
+
+def test_republish_frame_gate_and_header(spark):
+    df = spark.createDataFrame(
+        [
+            ("t1", bytearray(b"m1"), _headers(None)),   # no header -> attempt 1, retry
+            ("t1", bytearray(b"m2"), _headers(b"1")),   # attempt 2, retry
+            ("t1", bytearray(b"m3"), _headers(b"2")),   # attempt 3 -> at limit, dropped
+            ("t1", bytearray(b"m4"), _headers(b"abc")), # unparseable -> attempt 1, retry
+        ],
+        "topic string, value binary, headers array<struct<key:string,value:binary>>",
+    )
+    out = republish_frame(df, limit=3).collect()
+    got = {bytes(r["value"]): bytes(r["headers"][0]["value"]) for r in out}
+    assert got == {b"m1": b"1", b"m2": b"2", b"m4": b"1"}
+    assert all(r["headers"][0]["key"] == "loop" for r in out)
+
+
+def test_dead_letter_rows_shape(spark):
+    df = spark.createDataFrame([("payload",)], "value string").withColumn(
+        "err", F.lit("Error 1062: Duplicate entry 'x'")
+    )
+    r = dead_letter_rows(df, "err", "batch_seq", "batch").collect()[0]
+    assert (r["data"], r["table_name"], r["db_name"]) == ("payload", "batch_seq", "batch")
+    assert r["error"] == "Error-1062-Duplicate-entry-x-"
+
+
+def test_state_store_versioning(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path))
+    store.init("t", spark.createDataFrame([(1, 10)], "id long, v long"))
+    assert store.current_version("t") == 0
+    events = spark.createDataFrame(
+        [(None, (2, 20), 1, 0)],
+        "before struct<id:long,v:long>, after struct<id:long,v:long>, pos long, ts_ms long",
+    )
+    v = store.upsert("t", events, ["id"])
+    assert v == 1 and store.current_version("t") == 1
+    assert {tuple(r) for r in store.read("t").collect()} == {(1, 10), (2, 20)}
