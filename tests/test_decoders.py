@@ -138,3 +138,12 @@ def test_bool_quote_topic_ddl(spark):
     assert r["qs"] == "obrien"
     assert r["topic"] == "srv.db1.t1"
     assert r["ddl2"] == "ALTER TABLE `t1` ADD COLUMN c INT"
+
+
+def test_zoned_ts_year_2100_outside_gate(spark):
+    """Year 2100 fails the (19|20)\\d\\d gate: no T/Z strip, parse fails,
+    Go zero-time fallback (+7h). Collected as string because a year-1
+    timestamp cannot round-trip through PySpark's datetime conversion."""
+    df = spark.createDataFrame([("2100-01-01T00:00:00Z",)], "z string")
+    out = [r[0] for r in df.select(EF.zoned_ts_normalize("z", as_string=True)).collect()]
+    assert out == ["0001-01-01 07:00:00"]
