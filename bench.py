@@ -35,6 +35,9 @@ HEADLINE = [
     "text_token_stats",           # tokenize + fingerprints
     "text_quality_langid",        # quality + langid heuristics
     "mm_image_features",          # Arrow mapInPandas kernel
+    "analytic_asof_join",         # union+carry-forward as-of join
+    "cdc_apply_sequential",       # sorted-partition linear Python fold
+    "stream_cdc_full_stack",      # Debezium JSON -> Structured Streaming -> state
 ]
 
 
@@ -66,6 +69,13 @@ def main() -> None:
         per_query[name] = dt
         total += dt
 
+    # derived throughput: CDC events applied per second in the batch apply
+    # (3/4 of orders become events, replayed 2x in the query)
+    from etl_consumer_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "orders").count() * 3 // 4 * 2
+    cdc_eps = round(n_events / per_query["cdc_apply_orders"], 1)
+
     print(
         json.dumps(
             {
@@ -74,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "cdc_events_per_sec": cdc_eps,
             }
         )
     )

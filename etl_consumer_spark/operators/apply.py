@@ -245,43 +245,83 @@ def apply_cdc_sequential(
 ) -> DataFrame:
     """Exact per-key sequential fold of mixed insert/update/delete chains —
     the reference's one-at-a-time semantics (main.go:63-169) reproduced
-    per key, partition-parallel via cogrouped applyInPandas.
+    per key, partition-parallel.
 
-    Use when a batch may contain existence-dependent chains (e.g. insert
-    then update of the same key); ~10-100× slower per byte than
-    :func:`apply_cdc`, so it is the opt-in path.
+    Implementation: seed rows (current state) and events are unioned,
+    hash-partitioned by key and sorted within partitions by
+    (key, seed-first, pos, ts); a single linear ``mapInPandas`` pass folds
+    each key's contiguous run. ONE shuffle and one Python scan — unlike a
+    per-key ``applyInPandas`` cogroup, which pays a Python invocation per
+    key (disastrous for millions of small keys).
+
+    Use when a batch may contain existence-dependent chains on streams
+    that are inconsistent with the target; otherwise :func:`apply_cdc`
+    (set-based) is the fast path.
     """
+    from collections.abc import Iterator
+
     cols = state.columns
     schema = state.schema
     keys = [
         F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
         for k in pk_cols
     ]
+    img_type = F.struct(*[F.col(c) for c in cols])
+    seed = state.select(
+        *[F.col(k) for k in pk_cols],
+        F.lit(None).cast(events.schema[before_col].dataType).alias("_before"),
+        img_type.alias("_after"),
+        F.lit(0).cast("long").alias("_pos"),
+        F.lit(0).cast("long").alias("_ts"),
+        F.lit(0).alias("_seed"),
+    )
     ev = events.select(
         *keys,
         F.col(before_col).alias("_before"),
         F.col(after_col).alias("_after"),
-        F.col(pos_col).alias("_pos"),
-        F.col(ts_col).alias("_ts"),
+        F.col(pos_col).cast("long").alias("_pos"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.lit(1).alias("_seed"),
+    )
+    par = state.sparkSession.sparkContext.defaultParallelism
+    unioned = (
+        seed.unionByName(ev)
+        .repartition(par, *pk_cols)
+        .sortWithinPartitions(*pk_cols, "_seed", "_pos", "_ts")
     )
 
-    def fold(state_pdf: pd.DataFrame, ev_pdf: pd.DataFrame) -> pd.DataFrame:
-        ev_pdf = ev_pdf.sort_values(["_pos", "_ts"])
-        # current rows for this key, as dict keyed by pk tuple
-        rows = {tuple(r[k] for k in pk_cols): r for r in state_pdf.to_dict("records")}
-        for r in ev_pdf.to_dict("records"):
-            before, after = r["_before"], r["_after"]
-            key = tuple(r[k] for k in pk_cols)
-            if before is None and after is not None:
-                if key not in rows:  # C6 dup skip
-                    rows[key] = {c: after.get(c) for c in cols}
-            elif before is not None and after is not None:
-                if key in rows:
-                    rows[key] = {c: after.get(c) for c in cols}
-            elif before is not None and after is None:
-                rows.pop(key, None)
-        if not rows:
-            return pd.DataFrame(columns=cols)
-        return pd.DataFrame(list(rows.values()), columns=cols)
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        current_key = None
+        exists = False
+        row: dict | None = None
+        out: list[dict] = []
 
-    return state.groupBy(*pk_cols).cogroup(ev.groupBy(*pk_cols)).applyInPandas(fold, schema=schema)
+        def flush():
+            if exists and row is not None:
+                out.append({c: row.get(c) for c in cols})
+
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                key = tuple(r[k] for k in pk_cols)
+                if key != current_key:
+                    flush()
+                    current_key, exists, row = key, False, None
+                before, after = r["_before"], r["_after"]
+                if r["_seed"] == 0:
+                    exists, row = True, dict(after)
+                elif before is None and after is not None:
+                    if not exists:  # C6 dup skip
+                        exists, row = True, dict(after)
+                elif before is not None and after is not None:
+                    if exists:
+                        row = dict(after)
+                elif before is not None and after is None:
+                    exists, row = False, None
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        flush()
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return unioned.mapInPandas(fold, schema=schema)

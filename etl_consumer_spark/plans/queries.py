@@ -1440,3 +1440,81 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 unicode char-map parity: inject the reference charMap specials into the
+# ASCII corpus so the translate/replace chain is oracle-verified, not just
+# the length/truncate paths.
+# ---------------------------------------------------------------------------
+
+@register(
+    "f8_clean_text_unicode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'rock & roll … ' || chr(8216) || 'q' || chr(8217) || ' ' ||
+             chr(8220) || 'w' || chr(8221) || ' – x — ' || chr(10004) ||
+             substr(text, 1, 40) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) < 5 THEN ''
+                WHEN length(replaced) > 70 THEN substr(replaced, 1, 67) || '...'
+                ELSE replaced END AS cleaned
+    FROM (
+      SELECT doc_id, t,
+             replace(replace(replace(replace(replace(replace(replace(replace(
+               t, '&', 'and'), '…', '...'),
+               chr(8216), ''), chr(8217), ''),
+               chr(8220), '"'), chr(8221), '"'),
+               '–', '-'), '—', '-') AS replaced
+      FROM d
+    )
+    """,
+    doc="F8 char-map parity: ampersand/ellipsis/curly-quotes/dashes through the translate chain",
+)
+def f8_clean_text_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("rock & roll … ‘q’ “w” – x — ✔"),
+        F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", EF.clean_text(injected, 70).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# Exact sequential per-key fold (cogrouped applyInPandas) — same event set
+# as cdc_apply_orders; single-event-per-key batches make sequential ==
+# compacted, so the same oracle gates the Python fold path too.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_apply_sequential",
+    _CDC_APPLY_ORACLE,
+    doc="exact sequential per-key fold (cogrouped applyInPandas) vs the batch oracle",
+)
+def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    state = orders.filter(F.col("o_orderkey") % 4 != 3)
+    k = F.col("o_orderkey") % 4
+    img_t = "struct<o_orderkey:long,o_custkey:long,o_orderstatus:string,o_totalprice:double>"
+    row_img = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    events = orders.filter(k != 2).select(
+        F.when(k == 3, F.lit(None).cast(img_t)).otherwise(row_img).alias("before"),
+        F.when(k == 1, F.lit(None).cast(img_t))
+        .when(k == 0, upd_img)
+        .otherwise(row_img)
+        .alias("after"),
+        F.col("o_orderkey").alias("pos"),
+        F.lit(0).cast("long").alias("ts_ms"),
+    )
+    return A.apply_cdc_sequential(state, events, ["o_orderkey"])
