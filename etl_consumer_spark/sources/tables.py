@@ -18,6 +18,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -58,6 +59,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
+        # Only rebuild columns Spark actually surfaced as nanos-longs. INT96
+        # timestamps also probe as timestamp[ns] in the footer but Spark
+        # reads them as proper timestamps already.
+        if not isinstance(df.schema[c].dataType, LongType):
+            continue
         # exact integer floor-division: `/` would round-trip through double and
         # lose precision for epoch-nanos > 2^53
         micros = F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
