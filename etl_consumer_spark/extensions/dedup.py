@@ -67,22 +67,41 @@ def exploded_shingles(
     return sh
 
 
+# Universal-hash family constants for MinHash: mh_j = min((A_j*h + B_j) mod P)
+# over h = 60 bits of md5(shingle) reduced mod P. One md5 per shingle row
+# regardless of signature width (the naive per-seed md5 costs k hashes/row).
+MINHASH_P = 1_000_000_007
+MINHASH_A = [769_406_093, 297_281_389, 613_599_841, 936_024_263,
+             83_102_273, 521_470_367, 402_360_139, 158_700_989]
+MINHASH_B = [329_170_049, 851_730_013, 104_938_207, 734_102_389,
+             611_920_481, 271_828_183, 946_073_821, 39_916_801]
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """60-bit integer hash of a shingle (md5 prefix), reduced mod MINHASH_P.
+    Engine-portable: DuckDB computes the identical value via
+    ``('0x' || substr(md5(s),1,15))::BIGINT % P``."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """MinHash signature per document: for seed j, ``min(md5(j || '|' ||
-    shingle))``. Lexicographic min over md5 hex is a valid uniform hash
-    family and is engine-portable (DuckDB computes the identical value).
+    """MinHash signature per document via a universal hash family over one
+    base hash per shingle: ``mh_j = min((A_j*h + B_j) mod P)``.
 
     One groupBy with ``num_hashes`` aggregate expressions — a single
-    shuffle regardless of signature width."""
+    shuffle and a single md5 per shingle regardless of signature width."""
+    assert num_hashes <= len(MINHASH_A)
+    h = shingle_hash(F.col("shingle"))
+    with_h = shingles.withColumn("_h", h)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        F.min((F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return with_h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_buckets(

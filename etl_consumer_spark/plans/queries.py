@@ -809,6 +809,23 @@ _SHINGLE_CTE = """
            FROM w, UNNEST(generate_series(1, len(ws)-2)) AS t(i))
 """
 
+SIG_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min((769406093*h + 329170049) % 1000000007) AS mh0,
+             min((297281389*h + 851730013) % 1000000007) AS mh1,
+             min((613599841*h + 104938207) % 1000000007) AS mh2,
+             min((936024263*h + 734102389) % 1000000007) AS mh3,
+             min((83102273*h + 611920481) % 1000000007) AS mh4,
+             min((521470367*h + 271828183) % 1000000007) AS mh5,
+             min((402360139*h + 946073821) % 1000000007) AS mh6,
+             min((158700989*h + 39916801) % 1000000007) AS mh7
+      FROM h GROUP BY doc_id
+    )
+"""
+
 
 @register(
     "dedup_exact",
@@ -842,16 +859,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_signatures",
-    f"""
-    WITH {_SHINGLE_CTE}
-    SELECT doc_id,
-           min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
-           min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
-           min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
-           min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
-    FROM sh GROUP BY doc_id
+    f"""{SIG_SQL}
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig
     """,
-    doc="MinHash signatures (8 hashes) over distinct word 3-gram shingles",
+    doc="MinHash signatures: universal hash family over one md5 per shingle",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import dedup as D
@@ -862,25 +873,16 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_candidates",
-    f"""
-    WITH {_SHINGLE_CTE},
-    sig AS (
-      SELECT doc_id,
-             min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
-             min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3,
-             min(md5('4|' || shingle)) AS mh4, min(md5('5|' || shingle)) AS mh5,
-             min(md5('6|' || shingle)) AS mh6, min(md5('7|' || shingle)) AS mh7
-      FROM sh GROUP BY doc_id
-    ),
+    f"""{SIG_SQL},
     buckets AS (
-      SELECT doc_id, 0 AS band, md5(mh0) AS bucket FROM sig UNION ALL
-      SELECT doc_id, 1, md5(mh1) FROM sig UNION ALL
-      SELECT doc_id, 2, md5(mh2) FROM sig UNION ALL
-      SELECT doc_id, 3, md5(mh3) FROM sig UNION ALL
-      SELECT doc_id, 4, md5(mh4) FROM sig UNION ALL
-      SELECT doc_id, 5, md5(mh5) FROM sig UNION ALL
-      SELECT doc_id, 6, md5(mh6) FROM sig UNION ALL
-      SELECT doc_id, 7, md5(mh7) FROM sig
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
