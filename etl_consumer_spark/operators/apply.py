@@ -15,17 +15,18 @@ micro-batch transform:
 - update with no matching row is a no-op (an UPDATE ... WHERE that matches
   nothing); delete removes; insert appends
 
-Scale design: :func:`apply_cdc` performs ONE shuffle — a single full-outer
-join of state vs the compacted batch on the key. The batch side is usually
-tiny next to state, so AQE picks a broadcast join at runtime; state never
-needs to be rewritten except for touched partitions when the sink supports
-partition overwrite.
+Scale design: :func:`apply_cdc` broadcasts the compacted batch so state is
+only streamed, never shuffled (the batch side shuffles once for the LWW
+window — O(batch) network per batch, not O(state)); a full-outer
+sort-merge variant remains for backfills where the batch rivals state.
+State is never rewritten except for touched partitions when the sink
+supports partition overwrite.
 
 :func:`apply_cdc_sequential` is the *exact* per-key fold (insert→update→
-delete chains within one batch) via ``cogroup().applyInPandas`` — Python,
-but partition-parallel per key; use it only when within-batch multi-event
-chains with existence-dependent semantics matter. For Debezium streams the
-compacted form is the industry-standard semantics.
+delete chains within one batch): seed+events hash-partitioned and sorted,
+then one linear Arrow pass — use it when within-batch multi-event chains
+with existence-dependent semantics matter on inconsistent streams. For
+Debezium streams the compacted form is the industry-standard semantics.
 """
 
 from __future__ import annotations
@@ -103,11 +104,15 @@ def apply_cdc(
     pos_col: str = "pos",
     ts_col: str = "ts_ms",
     missing_update: str = "noop",
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Apply a batch of CDC events to a state table, returning the new state.
 
-    Single full-outer join on the key (one shuffle; AQE broadcasts the
-    compacted batch when small). Per-row outcome matrix with
+    With ``broadcast_batch=True`` (default — micro-batches are small next
+    to state) the plan broadcasts the compacted batch and state is only
+    streamed, never shuffled; ``False`` selects the one-shot full-outer
+    sort-merge plan for backfills where the batch rivals state in size.
+    Per-row outcome matrix with
     ``missing_update="noop"`` (strict reference semantics — each statement
     judged against *pre-batch* state):
 
@@ -136,9 +141,49 @@ def apply_cdc(
         raise ValueError(f"missing_update must be 'noop' or 'upsert', got {missing_update!r}")
     cols = state.columns
     latest = compact_events(events, pk_cols, before_col, after_col, pos_col, ts_col)
+    op = F.col("_op")
+
+    if broadcast_batch:
+        # Scale path (micro-batch ≪ state): state is only STREAMED, never
+        # shuffled. Two broadcast joins of the compacted batch:
+        #  1. state ⟕ broadcast(latest): per-row merge decision
+        #     (keep / replace with after-image / drop) — map-side only.
+        #  2. inserts: batch keys semi-probed against a pk-pruned state
+        #     scan (again broadcast-right, map-side), then appended.
+        # A full-outer formulation would sort-merge-shuffle the entire
+        # state table every batch — the difference between O(batch) and
+        # O(state) network per batch at 100 TB.
+        latest = latest.cache()
+        joined = state.alias("s").join(F.broadcast(latest.alias("e")), on=pk_cols, how="left")
+        if missing_update == "noop":
+            keep = op.isNull() | (op == OP_INSERT) | (op == OP_UPDATE)
+            use_state = op.isNull() | (op == OP_INSERT)  # C6 dup skip
+        else:
+            keep = op.isNull() | op.isin(OP_INSERT, OP_UPDATE)
+            use_state = op.isNull()  # upsert: after-image always wins
+        survivors = joined.filter(keep).select(
+            *[
+                c if c in pk_cols
+                else F.when(use_state, F.col(f"s.{c}")).otherwise(F.col(f"_after.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+        candidates = latest.filter(
+            op.isin(OP_INSERT, OP_UPDATE) if missing_update == "upsert" else (op == OP_INSERT)
+        )
+        matched_keys = (
+            state.select(*pk_cols)
+            .join(F.broadcast(candidates.select(*pk_cols)), on=pk_cols, how="left_semi")
+        )
+        new_rows = candidates.join(F.broadcast(matched_keys), on=pk_cols, how="left_anti").select(
+            *[c if c in pk_cols else F.col(f"_after.{c}").alias(c) for c in cols]
+        )
+        return survivors.unionByName(new_rows)
+
+    # Backfill path (batch comparable to state): one full-outer sort-merge
+    # join — both sides shuffle once.
     exists_marker = pk_cols[0]
     joined = state.alias("s").join(latest.alias("e"), on=pk_cols, how="full_outer")
-    op = F.col("_op")
     s_exists = F.col(f"s.{exists_marker}").isNotNull()
     if missing_update == "noop":
         keep = op.isNull() | (op == OP_INSERT) | ((op == OP_UPDATE) & s_exists)
