@@ -1520,3 +1520,39 @@ def cdc_apply_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("ts_ms"),
     )
     return A.apply_cdc_sequential(state, events, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, IVF-bucketed (dedup family, embeddings
+# table). Oracle reproduces the same cluster-bucketed search — candidate
+# scope is the cluster, matching the operator's documented recall trade.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_neardups",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS csim
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      FROM scored
+    ),
+    mine AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM mine a JOIN mine b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs within IVF clusters (threshold 0.4)",
+)
+def dedup_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.4, n_clusters=16)
+    return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))

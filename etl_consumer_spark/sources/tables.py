@@ -52,7 +52,12 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table, normalizing nanos timestamps to TimestampType."""
+    """Load one driver table, normalizing nanos timestamps to TimestampType.
+
+    Pins the session timezone to UTC: the caller may hand us a vanilla
+    session, and every oracle comparison (DuckDB is UTC-naive) plus the
+    epoch decoders assume UTC semantics."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:

@@ -37,11 +37,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if not a.startswith("--")}
     import __spark_entry__ as e
-    from etl_consumer_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        # mimic the driver: a plain session with none of the engine's configs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("vanilla_check").getOrCreate()
+    else:
+        from etl_consumer_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
