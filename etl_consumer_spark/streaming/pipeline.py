@@ -67,6 +67,7 @@ class BatchResult:
     applied: dict[str, int] = field(default_factory=dict)      # table -> new version
     ddl_applied: list[str] = field(default_factory=list)
     ddl_skipped: list[str] = field(default_factory=list)
+    passthrough: list[str] = field(default_factory=list)       # P7 verbatim SQL
     dead_letters: int = 0
     republish: DataFrame | None = None
 
@@ -81,6 +82,7 @@ class CDCPipeline:
         api: DebeziumAPI | None = None,
         dead_letter_path: str | None = None,
         ddl_executor=None,
+        passthrough_executor=None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -91,6 +93,10 @@ class CDCPipeline:
         # injectable DDL execution (default: no-op log — catalog-backed state
         # would call spark.sql; JDBC-backed would exec against MySQL)
         self.ddl_executor = ddl_executor or (lambda stmt: None)
+        # P7: passthrough SQL executor (reference runs source.query verbatim
+        # against the target, main.go:357-359); default records only —
+        # verbatim MySQL SQL is only executable on a JDBC-backed target
+        self.passthrough_executor = passthrough_executor or (lambda stmt: None)
         self.results: list[BatchResult] = []
 
     # -- DDL path (reference main.go:70-121, 382-424) ----------------------
@@ -159,6 +165,15 @@ class CDCPipeline:
                     with_timezone=self.cfg.with_timezone,
                     tz_hours=self.cfg.timezone_hours,
                 )
+                passthrough_rows = [
+                    r["passthrough"]
+                    for r in decoded.filter(F.col("passthrough").isNotNull())
+                    .select("passthrough")
+                    .collect()
+                ]
+                for stmt in passthrough_rows:
+                    result.passthrough.append(stmt)
+                    self.passthrough_executor(stmt)
                 events = decoded.filter(F.col("passthrough").isNull())
                 try:
                     version = self.store.upsert(name, events, spec.pk_cols)

@@ -4,7 +4,6 @@ pure-Python reference implementations of the Go semantics."""
 
 from __future__ import annotations
 
-import base64
 import datetime as dt
 
 from hypothesis import given, settings

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from etl_consumer_spark.operators import (
     ddl_pipeline,

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 
 from etl_consumer_spark.streaming.stateful import (
     streaming_first_seen,

@@ -12,7 +12,6 @@ import base64
 import json
 
 import pytest
-from pyspark.sql import functions as F
 
 from etl_consumer_spark.client.debezium import DebeziumAPI
 from etl_consumer_spark.config import Config
@@ -251,3 +250,35 @@ def test_debezium_client_non_202_and_retry():
     attempts.clear()
     api.resume(max_attempts=5, backoff_s=0.0)
     assert len(attempts) == 3
+
+
+def test_pipeline_passthrough_query(spark, pipeline_env):
+    """P7: events with meaningful source.query bypass DML generation and go
+    to the passthrough executor verbatim (reference main.go:357-359)."""
+    import json as _json
+
+    cfg, store, pipe, _, tmp = pipeline_env
+    executed = []
+    pipe.passthrough_executor = executed.append
+    env = _json.dumps(
+        {
+            "payload": {
+                "before": None,
+                "after": row(9, 1, 0, 100, 18000),
+                "source": {
+                    "name": SERVER, "db": DB, "table": "batch_seq",
+                    "pos": 500, "row": 0,
+                    "query": "INSERT INTO batch_seq VALUES (9)",
+                },
+                "op": "c",
+                "ts_ms": 1,
+            }
+        }
+    )
+    transport = str(tmp / "t_pass")
+    make_transport(spark, [(TOPIC, env)], transport)
+    run_stream(spark, pipe, transport, str(tmp / "ckpt_pass"))
+    assert executed == ["INSERT INTO batch_seq VALUES (9)"]
+    assert pipe.results[-1].passthrough == executed
+    # the passthrough event must NOT also apply as a decoded insert
+    assert store.read("batch_seq").filter("id = 9").count() == 0
