@@ -273,10 +273,19 @@ def _nullsafe_cond_struct(state_alias: str, cols: Iterable[str], ev_alias: str, 
     return cond
 
 
-def dedupe_insert_replays(events: DataFrame, pk_cols: list[str], after_col: str = "after") -> DataFrame:
-    """C6 — at-least-once replays of the same insert collapse to one
-    (reference: duplicate-entry skip main.go:138-141)."""
-    return events.dropDuplicates([*(f"{after_col}.{k}" for k in pk_cols)])
+def dedupe_insert_replays(
+    events: DataFrame,
+    pk_cols: list[str] | None = None,
+    before_col: str = "before",
+    after_col: str = "after",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """C6 — at-least-once replays of the same event collapse to one
+    (reference: duplicate-entry skip main.go:138-141). A replay is an
+    identical (before, after, pos) triple; ``pk_cols`` is accepted for
+    signature compatibility but unused (replays are whole-event
+    duplicates)."""
+    return events.dropDuplicates([before_col, after_col, pos_col])
 
 
 def apply_cdc_sequential(
