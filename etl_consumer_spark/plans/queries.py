@@ -1556,3 +1556,39 @@ def dedup_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_near_dups(emb, threshold=0.4, n_clusters=16)
     return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Frequency-capped n-gram Jaccard — the scale-path variant: shingles present
+# in more than max_doc_freq documents are dropped before the self-join
+# (boilerplate text otherwise makes the candidate join quadratic). The
+# oracle applies the identical cap.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH {_SHINGLE_CTE},
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    kept AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE freq.df <= 4
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_common
+      FROM kept sa JOIN kept sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT i.a, i.b, i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_common / (za.sz + zb.sz - i.n_common) >= 0.05
+    """,
+    doc="n-gram Jaccard with stop-shingle cap (doc freq <= 4) — the bounded-join scale path",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.exploded_shingles(docs, max_doc_freq=4), threshold=0.05)

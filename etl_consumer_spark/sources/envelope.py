@@ -126,3 +126,34 @@ def decode_envelope(
         ).alias("passthrough"),
         (env["payload"].isNull()).alias("parse_error"),
     )
+
+
+def wire_fields_from_connect_schema(schema_block: dict, section: str = "after") -> list[WireField]:
+    """C5 (build-time) — derive the per-column decoder bindings from a
+    captured Kafka-Connect ``schema`` block (the self-describing JSON that
+    rides with every Debezium message, reference data/model.go:34-53).
+
+    The reference resolves this per row (SearchFieldByName →
+    SearchFieldsByName, main.go:211,222); here one captured sample message
+    configures the whole pipeline. ``section`` picks the ``before``/``after``
+    field list (they are structurally identical for MySQL sources)."""
+    fields_json = schema_block.get("fields", [])
+    section_field = next((f for f in fields_json if f.get("field") == section), None)
+    if section_field is None:
+        raise ValueError(f"no {section!r} section in schema block")
+    out: list[WireField] = []
+    for f in section_field.get("fields", []) or []:
+        params = f.get("parameters") or {}
+        try:
+            scale = int(params.get("scale", 0))
+        except (TypeError, ValueError):
+            scale = 0  # reference: strconv.Atoi failure keeps scale 1.0 -> our 0
+        out.append(
+            WireField(
+                name=f.get("field"),
+                type=f.get("type", "string"),
+                logical=f.get("name"),
+                scale=scale,
+            )
+        )
+    return out

@@ -83,3 +83,42 @@ def test_resize_images_kernel(spark):
     for r in out:
         assert (r["width"], r["height"]) == (8, 6)
         assert len(bytes(r["resized"])) == 8 * 6
+
+
+def test_wire_fields_from_connect_schema():
+    """Schema block shaped like the reference fixture (collection.json /
+    data/model.go comment): enum + int32 + int64 + Decimal columns."""
+    from etl_consumer_spark.sources.envelope import wire_fields_from_connect_schema
+
+    block = {
+        "type": "struct",
+        "fields": [
+            {
+                "type": "struct",
+                "field": "after",
+                "fields": [
+                    {"type": "int64", "optional": False, "field": "id"},
+                    {"type": "int32", "optional": True, "field": "province_id"},
+                    {
+                        "type": "bytes", "optional": True,
+                        "name": "org.apache.kafka.connect.data.Decimal",
+                        "parameters": {"scale": "2", "connect.decimal.precision": "10"},
+                        "field": "amount",
+                    },
+                    {
+                        "type": "string", "optional": True,
+                        "name": "io.debezium.data.Enum",
+                        "parameters": {"allowed": "a,b"},
+                        "field": "status",
+                    },
+                ],
+            },
+            {"type": "struct", "field": "before", "fields": []},
+        ],
+    }
+    fields = wire_fields_from_connect_schema(block)
+    by = {f.name: f for f in fields}
+    assert by["id"].type == "int64" and by["id"].logical is None
+    assert by["amount"].logical == "org.apache.kafka.connect.data.Decimal"
+    assert by["amount"].scale == 2
+    assert by["status"].logical == "io.debezium.data.Enum"  # decodes via default/string branch

@@ -282,3 +282,37 @@ def test_pipeline_passthrough_query(spark, pipeline_env):
     assert pipe.results[-1].passthrough == executed
     # the passthrough event must NOT also apply as a decoded insert
     assert store.read("batch_seq").filter("id = 9").count() == 0
+
+
+def test_pipeline_multi_table(spark, tmp_path):
+    """Two tables in one micro-batch route to their own state stores."""
+    import json as _json
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq", "other_t"]
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    store.init("batch_seq", spark.createDataFrame([], "id long, province_id long, seq long, amount double, created_day date"))
+    store.init("other_t", spark.createDataFrame([], "id long, name string"))
+    specs = [
+        TableSpec("batch_seq", FIELDS, PK),
+        TableSpec("other_t", [WireField("id", "int64"), WireField("name", "string")], ["id"]),
+    ]
+    pipe = CDCPipeline(spark, cfg, specs, store)
+
+    def env_for(table, after, pos):
+        return _json.dumps(
+            {"payload": {"before": None, "after": after,
+                         "source": {"name": SERVER, "db": DB, "table": table, "pos": pos, "row": 0},
+                         "op": "c", "ts_ms": pos}}
+        )
+
+    msgs = [
+        (TOPIC, env_for("batch_seq", row(1, 5, 0, 777, 18000), 1)),
+        (f"{SERVER}.{DB}.other_t", env_for("other_t", {"id": 42, "name": "x'y"}, 2)),
+    ]
+    make_transport(spark, msgs, str(tmp_path / "t"))
+    run_stream(spark, pipe, str(tmp_path / "t"), str(tmp_path / "ck"))
+    assert store.read("batch_seq").count() == 1
+    other = store.read("other_t").collect()
+    assert len(other) == 1
+    assert other[0]["name"] == "xy"  # F7 quote strip on the default string branch
