@@ -1,0 +1,88 @@
+"""Distributed sketches built from portable primitives.
+
+Spark ships ``approx_count_distinct`` (HLL++), but its sketch is opaque and
+engine-specific — useless when a DuckDB oracle (or any other system) must
+agree bit-for-bit. This module rebuilds HyperLogLog from md5 + string ops
+so every engine computes the identical registers:
+
+- bucket  = first 2 hex digits of md5(value)        (m = 256 registers)
+- payload = next 13 hex digits (52 bits)
+- rank    = leading-zero bits of payload + 1, derived from hex-digit
+  string arithmetic (NO float log2 — libm rounding could differ across
+  engines near powers of two)
+
+Registers (bucket, max rank) are exactly comparable; the cardinality
+estimate is driver-side arithmetic over 256 values. Merging sketches =
+max per bucket — associative, so partial aggregation works and the
+operator scales as an ordinary groupBy.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256  # registers (precision 8)
+
+# leading-zero bits within one hex digit (above its bit length)
+_DIGIT_LZ = {
+    "0": 4,
+    "1": 3,
+    "2": 2, "3": 2,
+    "4": 1, "5": 1, "6": 1, "7": 1,
+    "8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0, "e": 0, "f": 0,
+}
+
+
+def _digit_lz_map() -> Column:
+    pairs = []
+    for d, lz in _DIGIT_LZ.items():
+        pairs.append(F.lit(d))
+        pairs.append(F.lit(lz))
+    return F.create_map(*pairs)
+
+
+def hll_rank(payload_hex: Column) -> Column:
+    """Leading-zero bits of the 13-hex-digit payload, +1 (1..53).
+
+    Pure string arithmetic: count leading '0' digits, then add the
+    partial leading zeros of the first non-zero digit."""
+    stripped = F.regexp_replace(payload_hex, "^0+", "")
+    n_zero_digits = F.length(payload_hex) - F.length(stripped)
+    first_digit = F.substring(stripped, 1, 1)
+    partial = F.coalesce(F.element_at(_digit_lz_map(), first_digit), F.lit(0))
+    all_zero = F.length(stripped) == 0
+    return F.when(all_zero, F.lit(53)).otherwise(n_zero_digits * 4 + partial + 1).cast("int")
+
+
+def hll_registers(df: DataFrame, value: Column) -> DataFrame:
+    """HLL registers for one column: (bucket 0..255, r = max rank).
+    Buckets with no hash are absent (rank 0 implied)."""
+    h = F.md5(value.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rank = hll_rank(F.substring(h, 3, 13))
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_M) -> float:
+    """Driver-side HLL estimate (Flajolet et al. 2007, alpha_256) with the
+    standard small-range (linear counting) correction."""
+    by_bucket = dict(registers)
+    ranks = [by_bucket.get(b, 0) for b in range(m)]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in ranks)
+    zeros = ranks.count(0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def hll_count_distinct(df: DataFrame, value: Column) -> float:
+    regs = [(r["bucket"], r["r"]) for r in hll_registers(df, value).collect()]
+    return hll_estimate(regs)

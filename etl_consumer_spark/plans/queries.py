@@ -1592,3 +1592,44 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return D.jaccard_pairs(D.exploded_shingles(docs, max_doc_freq=4), threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog registers (custom sketch as a composition of
+# built-ins — engine-agnostic, unlike approx_count_distinct's opaque HLL++).
+# Registers are exactly comparable across engines; the estimate is
+# deterministic driver-side arithmetic over them.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_hll_registers",
+    """
+    WITH h AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+    ),
+    parts AS (
+      SELECT ('0x' || substr(hx, 1, 2))::INTEGER AS bucket,
+             substr(hx, 3, 13) AS payload
+      FROM h
+    ),
+    ranks AS (
+      SELECT bucket,
+             CASE WHEN regexp_replace(payload, '^0+', '') = '' THEN 53
+                  ELSE (length(payload) - length(regexp_replace(payload, '^0+', ''))) * 4
+                       + CASE substr(regexp_replace(payload, '^0+', ''), 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS rank
+      FROM parts
+    )
+    SELECT bucket, CAST(max(rank) AS INTEGER) AS r FROM ranks GROUP BY bucket
+    """,
+    doc="portable HLL-256 registers over orders.o_custkey (md5 bucketing, string-arithmetic ranks)",
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hll_registers(orders, F.col("o_custkey"))
