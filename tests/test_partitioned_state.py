@@ -1,0 +1,66 @@
+"""Partitioned state store: partial rewrite correctness incl. the
+empty-bucket deletion edge, and equivalence with the versioned store."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+
+def ev_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "before struct<id:long,v:long>, after struct<id:long,v:long>, pos long, ts_ms long",
+    )
+
+
+def test_partitioned_upsert_matrix(spark, tmp_path):
+    store = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=8)
+    state = spark.createDataFrame([(i, i * 10) for i in range(1, 9)], "id long, v long")
+    store.init("t", state, ["id"])
+    events = ev_rows(
+        spark,
+        [
+            (None, Row(id=100, v=1), 1, 0),              # insert
+            (Row(id=2, v=20), Row(id=2, v=21), 2, 0),    # update
+            (Row(id=3, v=30), None, 3, 0),               # delete
+        ],
+    )
+    n = store.upsert("t", events, ["id"])
+    assert 1 <= n <= 8
+    got = {(r["id"], r["v"]) for r in store.read("t").collect()}
+    expect = {(i, i * 10) for i in range(1, 9) if i not in (2, 3)} | {(2, 21), (100, 1)}
+    assert got == expect
+
+
+def test_partitioned_untouched_buckets_not_rewritten(spark, tmp_path):
+    store = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=16)
+    state = spark.createDataFrame([(i, i) for i in range(200)], "id long, v long")
+    store.init("t", state, ["id"])
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(str(tmp_path), "t", d))
+        for d in os.listdir(str(tmp_path / "t"))
+        if d.startswith("_bucket=")
+    }
+    events = ev_rows(spark, [(Row(id=5, v=5), Row(id=5, v=99), 1, 0)])
+    store.upsert("t", events, ["id"])
+    mtimes_after = {
+        d: os.path.getmtime(os.path.join(str(tmp_path), "t", d))
+        for d in os.listdir(str(tmp_path / "t"))
+        if d.startswith("_bucket=")
+    }
+    changed = [d for d in mtimes_before if mtimes_after.get(d) != mtimes_before[d]]
+    assert len(changed) == 1  # only the bucket containing id=5
+    assert {r["v"] for r in store.read("t").filter("id = 5").collect()} == {99}
+
+
+def test_partitioned_delete_empties_bucket(spark, tmp_path):
+    store = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    state = spark.createDataFrame([(1, 10)], "id long, v long")
+    store.init("t", state, ["id"])
+    events = ev_rows(spark, [(Row(id=1, v=10), None, 1, 0)])
+    store.upsert("t", events, ["id"])
+    assert store.read("t").count() == 0
