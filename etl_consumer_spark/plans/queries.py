@@ -1633,3 +1633,54 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return hll_registers(orders, F.col("o_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (training-data pipeline primitives):
+# hash-derived assignment is reproducible across engines, runs, and
+# repartitioning — unlike rand(seed).
+# ---------------------------------------------------------------------------
+
+_HASH_FRac_SQL = "(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+
+@register(
+    "sample_deterministic_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_HASH_FRac_SQL.format(salt='split', key='doc_id')} < 0.8 THEN 'train'
+                WHEN {_HASH_FRac_SQL.format(salt='split', key='doc_id')} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="stable train/val/test assignment by hashed key (80/10/10)",
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@register(
+    "sample_per_source_quota",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+    doc="per-source document quota (top-10 by length) — corpus curation cap",
+)
+def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import per_group_quota
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_ord", -F.col("n_chars") + F.col("doc_id") / 1e12
+    )
+    out = per_group_quota(docs, "source", quota=10, order_col="_ord")
+    return out.select("doc_id", "source")
