@@ -1684,3 +1684,113 @@ def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = per_group_quota(docs, "source", quota=10, order_col="_ord")
     return out.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Deeper OLAP coverage: multi-join analytics in TPC-H shapes (Q3/Q5-like),
+# semi/anti-join predicates — the query surface a reference user's analytics
+# would migrate onto.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_nationkey < 12
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    doc="TPC-H Q3 shape: 3-way join, date-range pushdown, decimal revenue agg",
+)
+def olap_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 12)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@register(
+    "olap_q5_local_suppliers",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join with same-nation predicate, region filter",
+)
+def olap_q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "olap_semi_anti_joins",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)) AS n_big_customers,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_orderless
+    """,
+    doc="EXISTS / NOT EXISTS as left_semi / left_anti joins",
+)
+def olap_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    n_big = c.join(big, c.c_custkey == big.o_custkey, "left_semi").count()
+    n_none = c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(n_big, n_none)], "n_big_customers long, n_orderless long"
+    )
