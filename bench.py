@@ -35,6 +35,7 @@ HEADLINE = [
     "text_token_stats",           # tokenize + fingerprints
     "text_quality_langid",        # quality + langid heuristics
     "mm_image_features",          # Arrow mapInPandas kernel
+    "olap_q5_local_suppliers",    # 6-way join with broadcast dims
     "analytic_asof_join",         # union+carry-forward as-of join
     "cdc_apply_sequential",       # sorted-partition linear Python fold
     "stream_cdc_full_stack",      # Debezium JSON -> Structured Streaming -> state
