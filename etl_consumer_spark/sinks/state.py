@@ -63,6 +63,42 @@ class ParquetStateStore:
             fh.write(str(version))
         os.replace(tmp, self._pointer(table))  # atomic pointer swap
 
+    # MySQL->Spark type mapping lives in operators.ddl; here we apply the
+    # already-translated statement shapes to the parquet-backed state.
+    def evolve(self, table: str, statement: str) -> None:
+        """Apply one translated DDL statement (operators.ddl output) to the
+        state table by rewriting with the evolved schema — the parquet
+        backend's equivalent of the reference's db.Exec(ddl) (main.go:88).
+
+        Supported: ADD COLUMNS (new column null for existing rows),
+        DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE."""
+        import re
+
+        from pyspark.sql import functions as SF
+
+        df = self.read(table)
+        m = re.match(r"(?i)ALTER TABLE (\w+) ADD COLUMNS \((\w+) (.+)\)", statement)
+        if m:
+            _, col, typ = m.groups()
+            df = df.withColumn(col, SF.lit(None).cast(typ))
+        else:
+            m = re.match(r"(?i)ALTER TABLE (\w+) DROP COLUMN (\w+)", statement)
+            if m:
+                df = df.drop(m.group(2))
+            else:
+                m = re.match(r"(?i)ALTER TABLE (\w+) RENAME COLUMN (\w+) TO (\w+)", statement)
+                if m:
+                    df = df.withColumnRenamed(m.group(2), m.group(3))
+                else:
+                    m = re.match(r"(?i)ALTER TABLE (\w+) ALTER COLUMN (\w+) TYPE (.+)", statement)
+                    if m:
+                        _, col, typ = m.groups()
+                        df = df.withColumn(col, SF.col(col).cast(typ.strip()))
+                    else:
+                        raise ValueError(f"unsupported evolved DDL: {statement}")
+        v = (self.current_version(table) or 0) + 1
+        self._write_version(table, df, v)
+
     def upsert(
         self, table: str, events: DataFrame, pk_cols: list[str], missing_update: str = "upsert"
     ) -> int:

@@ -37,6 +37,23 @@ TRANSPORT_SCHEMA = T.StructType(
 )
 
 
+def _require_kafka(spark: SparkSession) -> None:
+    """The spark-sql-kafka connector jar is not bundled with a plain pyspark
+    install; fail with an actionable message instead of Spark's generic
+    DATA_SOURCE_NOT_FOUND (tests use the file transport, which needs no
+    broker or jar)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka-0-10 package "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+            "use file_envelope_stream for broker-free runs"
+        ) from exc
+
+
 def kafka_stream(spark: SparkSession, cfg: Config) -> DataFrame:
     """S1-S4 — subscribe to the config's topic list (per-table CDC topics,
     or the schema topic alone under ActiveScheme — reference main.go:50-58),
@@ -44,6 +61,7 @@ def kafka_stream(spark: SparkSession, cfg: Config) -> DataFrame:
 
     Checkpointing supplies the consumer-group semantics (S3); the driver
     must set ``checkpointLocation`` on the writer side."""
+    _require_kafka(spark)
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", cfg.kafka)
@@ -60,6 +78,7 @@ def kafka_stream(spark: SparkSession, cfg: Config) -> DataFrame:
 def kafka_batch(spark: SparkSession, cfg: Config) -> DataFrame:
     """Batch-mode replay of the same topics (for backfills): identical
     downstream schema, bounded read."""
+    _require_kafka(spark)
     return (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", cfg.kafka)

@@ -90,14 +90,25 @@ class CDCPipeline:
         self.store = store
         self.api = api
         self.dead_letter_path = dead_letter_path
-        # injectable DDL execution (default: no-op log — catalog-backed state
-        # would call spark.sql; JDBC-backed would exec against MySQL)
-        self.ddl_executor = ddl_executor or (lambda stmt: None)
+        # injectable DDL execution; default evolves the state store's
+        # schema for managed tables (the parquet equivalent of the
+        # reference's db.Exec(ddl), main.go:88) — catalog-backed state
+        # would call spark.sql, JDBC-backed would exec against MySQL
+        self.ddl_executor = ddl_executor or self._evolve_state_schema
         # P7: passthrough SQL executor (reference runs source.query verbatim
         # against the target, main.go:357-359); default records only —
         # verbatim MySQL SQL is only executable on a JDBC-backed target
         self.passthrough_executor = passthrough_executor or (lambda stmt: None)
         self.results: list[BatchResult] = []
+
+    def _evolve_state_schema(self, statement: str) -> None:
+        import re
+
+        m = re.match(r"(?i)ALTER TABLE (\w+)", statement)
+        if not m or m.group(1) not in self.tables:
+            return  # not a managed table -> nothing to evolve
+        if hasattr(self.store, "evolve"):
+            self.store.evolve(m.group(1), statement)
 
     # -- DDL path (reference main.go:70-121, 382-424) ----------------------
 

@@ -52,3 +52,19 @@ def test_state_store_versioning(spark, tmp_path):
     v = store.upsert("t", events, ["id"])
     assert v == 1 and store.current_version("t") == 1
     assert {tuple(r) for r in store.read("t").collect()} == {(1, 10), (2, 20)}
+
+
+def test_state_store_schema_evolution(spark, tmp_path):
+    """The DDL loop closed on the parquet backend: translated ALTER
+    statements evolve the state schema (reference main.go:88 equivalent)."""
+    store = ParquetStateStore(spark, str(tmp_path / "evo"))
+    store.init("t", spark.createDataFrame([(1, 10)], "id long, v long"))
+    store.evolve("t", "ALTER TABLE t ADD COLUMNS (note STRING)")
+    assert store.read("t").columns == ["id", "v", "note"]
+    assert store.read("t").collect()[0]["note"] is None
+    store.evolve("t", "ALTER TABLE t RENAME COLUMN v TO val")
+    assert store.read("t").columns == ["id", "val", "note"]
+    store.evolve("t", "ALTER TABLE t ALTER COLUMN val TYPE DOUBLE")
+    assert dict(store.read("t").dtypes)["val"] == "double"
+    store.evolve("t", "ALTER TABLE t DROP COLUMN note")
+    assert store.read("t").columns == ["id", "val"]

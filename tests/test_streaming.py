@@ -316,3 +316,24 @@ def test_pipeline_multi_table(spark, tmp_path):
     other = store.read("other_t").collect()
     assert len(other) == 1
     assert other[0]["name"] == "xy"  # F7 quote strip on the default string branch
+
+
+def test_pipeline_ddl_evolves_parquet_state(spark, tmp_path):
+    """Default DDL executor: an ALTER on a managed table evolves the state
+    store schema end-to-end through the streaming DDL path."""
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    store.init("batch_seq", spark.createDataFrame(
+        [(1, 2, 3, 4.0, None)],
+        "id long, province_id long, seq long, amount double, created_day date"))
+    pipe = CDCPipeline(spark, cfg, [TableSpec("batch_seq", FIELDS, PK)], store)
+    make_transport(
+        spark,
+        [(SERVER, ddl_envelope(DB, "batch_seq", "ALTER TABLE `batch`.`batch_seq` ADD COLUMN note VARCHAR(32)"))],
+        str(tmp_path / "t"),
+    )
+    run_stream(spark, pipe, str(tmp_path / "t"), str(tmp_path / "ck"))
+    evolved = store.read("batch_seq")
+    assert "note" in evolved.columns
+    assert evolved.collect()[0]["note"] is None
