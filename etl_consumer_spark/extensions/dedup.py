@@ -6,6 +6,9 @@ training-data pipeline family, designed partition-parallel:
 
 - all hashing uses ``md5`` (identical across Spark and the DuckDB oracle;
   no engine-specific hash functions in comparable outputs)
+- algorithms follow the published formulations: MinHash resemblance
+  (Broder, SEQUENCES 1997), LSH banding (Leskovec/Rajaraman/Ullman,
+  "Mining of Massive Datasets" ch. 3), SimHash (Charikar, STOC 2002)
 - the only shuffles are the explode→groupBy signature build and the
   bucket/shingle self-joins, both on high-cardinality keys
 - hot shingles (present in a large fraction of documents) are droppable via

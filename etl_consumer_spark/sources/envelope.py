@@ -35,6 +35,7 @@ class WireField:
     type: str = "string"           # connect primitive: boolean/int32/int64/float32/float64/string
     logical: str | None = None     # connect `name` (logical type), e.g. Decimal
     scale: int = 0                 # parameters.scale for Decimal
+    precision: int = 18            # connect.decimal.precision for Decimal
 
 
 def parse_dml_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
@@ -57,6 +58,10 @@ def bind_decoder(field: WireField, raw: Column, *, with_timezone: bool = False, 
     reference main.go:223-340, resolved at build time). ``raw`` is the
     string value from the before/after map."""
     if field.logical == DECIMAL:
+        # precision > 35 digits can exceed the 15-byte expression path
+        # (Decimal(38,0) fold); route those columns to the Arrow UDF
+        if field.precision > 35:
+            return EF.decimal_decode_big(raw, F.lit(field.scale)).cast("double")
         return EF.decimal_decode(raw, field.scale)
     if field.logical == DATE:
         return EF.epoch_day_to_date(raw.cast("long"))
@@ -148,12 +153,17 @@ def wire_fields_from_connect_schema(schema_block: dict, section: str = "after") 
             scale = int(params.get("scale", 0))
         except (TypeError, ValueError):
             scale = 0  # reference: strconv.Atoi failure keeps scale 1.0 -> our 0
+        try:
+            precision = int(params.get("connect.decimal.precision", 18))
+        except (TypeError, ValueError):
+            precision = 18
         out.append(
             WireField(
                 name=f.get("field"),
                 type=f.get("type", "string"),
                 logical=f.get("name"),
                 scale=scale,
+                precision=precision,
             )
         )
     return out

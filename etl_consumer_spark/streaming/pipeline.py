@@ -17,6 +17,8 @@ Maps the reference's main loop (main.go:63-169) onto micro-batches:
 Exactly-once: the transport checkpoint plus idempotent apply (replays
 collapse in LWW + dup-skip) gives effective exactly-once on state, the
 same guarantee the reference approximates with its Duplicate-entry skip.
+Micro-batch architecture per "Structured Streaming: A Declarative API for
+Real-Time Applications in Apache Spark" (SIGMOD 2018).
 """
 
 from __future__ import annotations

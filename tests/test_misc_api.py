@@ -122,3 +122,20 @@ def test_wire_fields_from_connect_schema():
     assert by["amount"].logical == "org.apache.kafka.connect.data.Decimal"
     assert by["amount"].scale == 2
     assert by["status"].logical == "io.debezium.data.Enum"  # decodes via default/string branch
+
+
+def test_wide_decimal_routes_to_arrow_path(spark):
+    """A DECIMAL(40) column decodes through the Arrow UDF (the expression
+    fold would null out >15-byte payloads)."""
+    from tests.test_decoders import py_encode
+    from etl_consumer_spark.sources.envelope import WireField, decode_image
+    from pyspark.sql import functions as F
+
+    wide = 10**38  # 17-byte two's-complement payload
+    fields = [
+        WireField("amount", "bytes", logical="org.apache.kafka.connect.data.Decimal",
+                  scale=2, precision=40),
+    ]
+    df = spark.createDataFrame([({"amount": py_encode(wide)},)], "img map<string,string>")
+    out = df.select(decode_image(F.col("img"), fields).alias("d")).collect()
+    assert abs(out[0]["d"]["amount"] - wide / 100) / (wide / 100) < 1e-12
