@@ -1794,3 +1794,44 @@ def olap_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_big, n_none)], "n_big_customers long, n_orderless long"
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 newline-join parity: the reference's accumulate-lines-until-max loop
+# (utils/clean.go:14-24) as a fold, oracle-verified with injected newlines
+# (the corpus itself has none).
+# ---------------------------------------------------------------------------
+
+@register(
+    "f8_clean_text_newlines",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 30) || chr(10) || substr(text, 31, 30) || chr(10) ||
+             substr(text, 61, 30) || chr(10) || substr(text, 91, 30) AS t
+      FROM documents
+    ),
+    j AS (
+      SELECT doc_id, t,
+             list_reduce(string_split(t, chr(10)),
+                         (acc, s) -> CASE WHEN length(acc) < 50
+                                          THEN acc || ' ' || s ELSE acc END) AS joined
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) < 5 THEN ''
+                WHEN length(joined) > 50 THEN substr(joined, 1, 47) || '...'
+                ELSE joined END AS cleaned
+    FROM j
+    """,
+    doc="F8 newline handling: first line + append-while-short fold, then truncate",
+)
+def f8_clean_text_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.substring("text", 1, 30), F.lit("\n"),
+        F.substring("text", 31, 30), F.lit("\n"),
+        F.substring("text", 61, 30), F.lit("\n"),
+        F.substring("text", 91, 30),
+    )
+    return docs.select("doc_id", EF.clean_text(injected, 50).alias("cleaned"))
