@@ -148,3 +148,48 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash for vectors): deterministic planes derived
+# from md5 so any engine reproduces the same buckets (Charikar, STOC 2002).
+# ---------------------------------------------------------------------------
+
+def _plane_component(j: int, i: int) -> int:
+    """Plane j, dimension i → zero-mean integer in [-500, 499], derived from
+    md5 — identical in SQL: ('0x'||substr(md5(j||'_'||i),1,8))::BIGINT % 1000 - 500."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8]
+    return int(h, 16) % 1000 - 500
+
+
+def hyperplane_planes(n_planes: int, dim: int) -> list[list[int]]:
+    return [[_plane_component(j, i) for i in range(1, dim + 1)] for j in range(n_planes)]
+
+
+def hyperplane_lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """LSH bucket id: one sign bit per hyperplane, concatenated to a bit
+    string. Vectors in the same bucket are angular-similarity candidates;
+    at scale, bucket becomes the shuffle/partition key so candidate search
+    is an equi-join instead of a cross join."""
+    planes = hyperplane_planes(n_planes, dim)
+    bits = []
+    for plane in planes:
+        plane_col = F.array(*[F.lit(float(c)) for c in plane])
+        d = dot(vec, plane_col)
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col),
+        hyperplane_lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )

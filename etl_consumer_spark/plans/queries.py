@@ -1835,3 +1835,34 @@ def f8_clean_text_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 91, 30),
     )
     return docs.select("doc_id", EF.clean_text(injected, 50).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH buckets for ANN (the LSH-bucketed variant alongside
+# IVF): deterministic md5-derived planes, bucket-exact oracle.
+# ---------------------------------------------------------------------------
+
+_PLANE_SQL = "((('0x' || substr(md5({j} || '_' || i), 1, 8))::BIGINT % 1000) - 500)"
+
+_LSH_BITS_SQL = " || ".join(
+    f"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, 64),
+                          i -> embedding[i]::DOUBLE * {_PLANE_SQL.format(j=j)}::DOUBLE)),
+           (x,y) -> x+y) >= 0 THEN '1' ELSE '0' END)"""
+    for j in range(8)
+)
+
+
+@register(
+    "sim_hyperplane_lsh",
+    f"""
+    SELECT vec_id, {_LSH_BITS_SQL} AS bucket
+    FROM embeddings
+    """,
+    doc="random-hyperplane LSH buckets (8 planes, md5-derived, bucket-exact across engines)",
+)
+def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.similarity import hyperplane_lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_buckets(emb, n_planes=8, dim=64)
