@@ -115,6 +115,8 @@ class CDCPipeline:
     # -- DDL path (reference main.go:70-121, 382-424) ----------------------
 
     def _process_ddl(self, batch: DataFrame, result: BatchResult) -> None:
+        if batch.isEmpty():  # skip the parse/filter/count jobs on DML-only batches
+            return
         parsed = parse_ddl_envelope(batch).select(
             "value",
             F.col("ddl_envelope.payload.databaseName").alias("database_name"),
@@ -163,6 +165,8 @@ class CDCPipeline:
 
     def _process_dml(self, batch: DataFrame, result: BatchResult) -> None:
         batch = drop_tombstones(batch)                                         # S7
+        if batch.isEmpty():  # DDL-only batch
+            return
         parsed = parse_dml_envelope(batch)
         # E4: parse failures are logged-and-dropped (no dead letter for DML)
         parsed = parsed.filter(F.col("envelope.payload").isNotNull())
