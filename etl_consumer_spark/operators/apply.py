@@ -105,6 +105,7 @@ def apply_cdc(
     ts_col: str = "ts_ms",
     missing_update: str = "noop",
     broadcast_batch: bool = True,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Apply a batch of CDC events to a state table, returning the new state.
 
@@ -154,6 +155,10 @@ def apply_cdc(
         # state table every batch — the difference between O(batch) and
         # O(state) network per batch at 100 TB.
         latest = latest.cache()
+        if cache_handle is not None:
+            # long-running streams must unpersist after materializing the
+            # result, or cached micro-batches accumulate until LRU eviction
+            cache_handle.append(latest)
         joined = state.alias("s").join(F.broadcast(latest.alias("e")), on=pk_cols, how="left")
         if missing_update == "noop":
             keep = op.isNull() | (op == OP_INSERT) | (op == OP_UPDATE)

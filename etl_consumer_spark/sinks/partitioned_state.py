@@ -114,7 +114,10 @@ class PartitionedParquetStateStore:
             return 0
         full = self.spark.read.parquet(self._path(table))
         state_slice = full.filter(F.col("_bucket").isin(touched)).drop("_bucket")
-        new_slice = apply_cdc(state_slice, events, pk_cols, missing_update=missing_update).cache()
+        handle: list = []
+        new_slice = apply_cdc(
+            state_slice, events, pk_cols, missing_update=missing_update, cache_handle=handle
+        ).cache()
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -134,6 +137,8 @@ class PartitionedParquetStateStore:
             for r in new_slice.select(self._bucket(pk_cols).alias("_bucket")).distinct().collect()
         }
         new_slice.unpersist()
+        for df in handle:
+            df.unpersist()
         import shutil
 
         for b in set(touched) - surviving:

@@ -109,7 +109,12 @@ class ParquetStateStore:
         apply_cdc docstring); pass ``noop`` for strict per-statement
         reference semantics."""
         state = self.read(table)
-        new_state = apply_cdc(state, events, pk_cols, missing_update=missing_update)
+        handle: list = []
+        new_state = apply_cdc(
+            state, events, pk_cols, missing_update=missing_update, cache_handle=handle
+        )
         v = (self.current_version(table) or 0) + 1
         self._write_version(table, new_state, v)
+        for df in handle:
+            df.unpersist()
         return v
