@@ -1866,3 +1866,48 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_buckets(emb, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets and lag/lead analytics (agg/window family completion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all subtotal combinations)",
+)
+def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "olap_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP))
+                - epoch(CAST(lag(o_orderdate) OVER w AS TIMESTAMP)) AS BIGINT)
+             AS secs_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="lag/lead offset windows with inter-order gap seconds",
+)
+def olap_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        (F.unix_timestamp("o_orderdate") - F.unix_timestamp(F.lag("o_orderdate").over(w)))
+        .cast("long")
+        .alias("secs_since_prev"),
+    )
