@@ -85,6 +85,12 @@ class Config:
     )
     max_offsets_per_trigger: int = field(default_factory=lambda: _env_int("MAX_OFFSETS_PER_TRIGGER", 100_000))
     shuffle_partitions: int = field(default_factory=lambda: _env_int("SHUFFLE_PARTITIONS", 32))
+    # P7 flood guard: max passthrough statements executed per micro-batch;
+    # overflow is dead-lettered (the reference executes them one-at-a-time on
+    # the driver-equivalent, main.go:357-359 — unbounded there)
+    passthrough_limit: int = field(default_factory=lambda: _env_int("PASSTHROUGH_LIMIT", 100))
+    # driver-side observability ring buffer (BatchResult retention)
+    max_results: int = field(default_factory=lambda: _env_int("MAX_RESULTS", 256))
 
     def topics(self) -> list[str]:
         """CDC topic list ``{server}.{db}.{table}`` per table, or the schema

@@ -15,7 +15,17 @@ Per-batch I/O is O(touched partitions), independent of total state size —
 the property that makes per-batch upserts viable at 100 TB. Measured on a
 1.2M-row state with a 4k hot-tail batch: 1 of 143 range partitions
 rewritten (vs all of state with the versioned store); at local toy scale
-wall-time is constant-dominated, the win is the I/O asymptotics. Trade-off vs the versioned store: dynamic partition overwrite is
+wall-time is constant-dominated, the win is the I/O asymptotics.
+
+Bucket count is data-dependent by default (``n_buckets=None`` → about
+``rows / target_bucket_rows`` at init, clamped to [8, 4096]) and persisted
+in a per-table ``_layout.json`` sidecar, so every later reader/writer —
+including a fresh store instance — agrees on the layout. A fixed k would
+either over-partition small tables (small-file storm, constant-dominated
+batches) or under-partition huge ones (per-bucket rewrite approaches
+O(state) again).
+
+Trade-off vs the versioned store: dynamic partition overwrite is
 not atomic across partitions (a crash mid-write can leave a partially
 applied batch; re-running the batch repairs it because the apply is
 idempotent). Delta's transaction log gives both properties at once — this
@@ -25,8 +35,13 @@ above it is identical.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_consumer_spark.operators.apply import apply_cdc
 
@@ -44,9 +59,10 @@ class PartitionedParquetStateStore:
         self,
         spark: SparkSession,
         base_path: str,
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
         bucket_mode: str = "hash",
         range_size: int = 1_000_000,
+        target_bucket_rows: int = 65536,
     ):
         if bucket_mode not in ("hash", "range"):
             raise ValueError(f"bucket_mode must be 'hash' or 'range', got {bucket_mode!r}")
@@ -55,43 +71,105 @@ class PartitionedParquetStateStore:
         self.n_buckets = n_buckets
         self.bucket_mode = bucket_mode
         self.range_size = range_size
+        self.target_bucket_rows = target_bucket_rows
 
     def _path(self, table: str) -> str:
         return f"{self.base}/{table}"
 
-    def _bucket_of(self, cols: list):
-        if self.bucket_mode == "range":
-            return F.floor(cols[0].cast("long") / F.lit(self.range_size)).cast("long")
-        return F.pmod(F.hash(*cols), F.lit(self.n_buckets))
+    # -- per-table layout (persisted so re-instantiated stores agree) ------
 
-    def _bucket(self, pk_cols: list[str]):
-        return self._bucket_of([F.col(c) for c in pk_cols])
+    def _layout(self, table: str) -> dict:
+        try:
+            with open(f"{self._path(table)}/_layout.json") as fh:
+                return json.loads(fh.read())
+        except FileNotFoundError:
+            return {
+                "bucket_mode": self.bucket_mode,
+                "n_buckets": self.n_buckets or 64,
+                "range_size": self.range_size,
+            }
+
+    def _bucket_of(self, cols: list, layout: dict):
+        if layout["bucket_mode"] == "range":
+            # exact integer division — `/` would round-trip through double
+            # and drift bucket boundaries for pks above 2^53 (same
+            # convention as sources/tables.py nanos conversion)
+            return F.call_function("div", cols[0].cast("long"), F.lit(layout["range_size"]))
+        return F.pmod(F.hash(*cols), F.lit(layout["n_buckets"]))
+
+    def _bucket(self, pk_cols: list[str], layout: dict):
+        return self._bucket_of([F.col(c) for c in pk_cols], layout)
 
     def init(self, table: str, df: DataFrame, pk_cols: list[str]) -> None:
+        k = self.n_buckets
+        if k is None and self.bucket_mode == "hash":
+            # data-dependent bucket count: one count() per table lifetime
+            k = max(8, min(4096, -(-df.count() // self.target_bucket_rows)))
+        layout = {
+            "bucket_mode": self.bucket_mode,
+            "n_buckets": k or 64,
+            "range_size": self.range_size,
+        }
         (
-            df.withColumn("_bucket", self._bucket(pk_cols))
+            df.withColumn("_bucket", self._bucket(pk_cols, layout))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(self._path(table))
         )
-        # schema sidecar: read() must survive a fully-emptied table (all
-        # buckets deleted -> no parquet files left to infer from)
+        # sidecars: read() must survive a fully-emptied table (no parquet
+        # files left to infer schema from), and every writer must agree on
+        # the bucket layout and pk
         with open(f"{self._path(table)}/_schema.json", "w") as fh:
             fh.write(df.schema.json())
+        with open(f"{self._path(table)}/_pk.json", "w") as fh:
+            fh.write(json.dumps(pk_cols))
+        with open(f"{self._path(table)}/_layout.json", "w") as fh:
+            fh.write(json.dumps(layout))
+
+    def _has_parts(self, table: str) -> bool:
+        return any(d.startswith("_bucket=") for d in os.listdir(self._path(table)))
+
+    def _empty(self, table: str) -> DataFrame:
+        with open(f"{self._path(table)}/_schema.json") as fh:
+            schema = T.StructType.fromJson(json.loads(fh.read()))
+        return self.spark.createDataFrame([], schema)
 
     def read(self, table: str) -> DataFrame:
-        import os
-
-        from pyspark.sql import types as T
-
-        has_parts = any(
-            d.startswith("_bucket=") for d in os.listdir(self._path(table))
-        )
-        if not has_parts:
-            with open(f"{self._path(table)}/_schema.json") as fh:
-                schema = T.StructType.fromJson(__import__("json").loads(fh.read()))
-            return self.spark.createDataFrame([], schema)
+        if not self._has_parts(table):
+            return self._empty(table)
         return self.spark.read.parquet(self._path(table)).drop("_bucket")
+
+    def _pk_cols(self, table: str) -> list[str]:
+        try:
+            with open(f"{self._path(table)}/_pk.json") as fh:
+                return json.loads(fh.read())
+        except FileNotFoundError:
+            return []
+
+    def evolve(self, table: str, statement: str) -> None:
+        """Apply one translated DDL statement (operators.ddl output) by
+        rewriting the table with the evolved schema. DDL is rare (the
+        reference pauses the connector around it, main.go:70-121), so a
+        full rewrite here is acceptable; per-batch DML stays partial."""
+        import re
+
+        from etl_consumer_spark.sinks.state import evolve_frame
+
+        df = evolve_frame(self.read(table), statement)
+        pk = self._pk_cols(table) or [df.columns[0]]
+        m = re.match(r"(?i)ALTER TABLE \w+ RENAME COLUMN (\w+) TO (\w+)", statement)
+        if m and m.group(1) in pk:
+            pk = [m.group(2) if c == m.group(1) else c for c in pk]
+        # stage to a sibling dir first: init() overwrites the path the
+        # evolved plan still reads from
+        tmp = f"{self._path(table)}__evolving"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            staged = self.spark.read.parquet(tmp)
+        except Exception:  # noqa: BLE001 — zero-row stage leaves no files to infer from
+            staged = self.spark.createDataFrame([], df.schema)
+        self.init(table, staged, pk)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(
         self,
@@ -101,46 +179,56 @@ class PartitionedParquetStateStore:
         missing_update: str = "upsert",
     ) -> int:
         """Apply one micro-batch; returns the number of rewritten buckets."""
+        layout = self._layout(table)
         key_cols = [
             F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in pk_cols
         ]
         touched = [
             r["_bucket"]
-            for r in events.select(self._bucket_of(key_cols).alias("_bucket"))
+            for r in events.select(self._bucket_of(key_cols, layout).alias("_bucket"))
             .distinct()
             .collect()
         ]
         if not touched:
             return 0
-        full = self.spark.read.parquet(self._path(table))
-        state_slice = full.filter(F.col("_bucket").isin(touched)).drop("_bucket")
+        if self._has_parts(table):
+            full = self.spark.read.parquet(self._path(table))
+            state_slice = full.filter(F.col("_bucket").isin(touched)).drop("_bucket")
+        else:
+            # fully-emptied (or never-seeded) table: only the sidecar is left
+            state_slice = self._empty(table)
         handle: list = []
         new_slice = apply_cdc(
             state_slice, events, pk_cols, missing_update=missing_update, cache_handle=handle
         ).cache()
+        # Materialize the merged slice and its surviving-bucket set BEFORE
+        # the overwrite: the plan reads the very files the write replaces,
+        # so any post-write recompute (cache eviction) would read the new
+        # files. The distinct() scans every partition of new_slice, pinning
+        # the whole frame in the cache in the same job.
+        surviving = {
+            r["_bucket"]
+            for r in new_slice.select(self._bucket(pk_cols, layout).alias("_bucket"))
+            .distinct()
+            .collect()
+        }
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                new_slice.withColumn("_bucket", self._bucket(pk_cols))
+                new_slice.withColumn("_bucket", self._bucket(pk_cols, layout))
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self._path(table))
             )
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        # Dynamic overwrite only replaces partitions present in the output:
-        # a touched bucket whose rows were ALL deleted never appears, so its
-        # stale directory must be dropped explicitly.
-        surviving = {
-            r["_bucket"]
-            for r in new_slice.select(self._bucket(pk_cols).alias("_bucket")).distinct().collect()
-        }
         new_slice.unpersist()
         for df in handle:
             df.unpersist()
-        import shutil
-
+        # Dynamic overwrite only replaces partitions present in the output:
+        # a touched bucket whose rows were ALL deleted never appears, so its
+        # stale directory must be dropped explicitly.
         for b in set(touched) - surviving:
             shutil.rmtree(f"{self._path(table)}/_bucket={b}", ignore_errors=True)
         return len(touched)

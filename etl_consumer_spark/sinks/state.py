@@ -27,6 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_consumer_spark.operators.apply import apply_cdc
 
 
+def evolve_frame(df: DataFrame, statement: str) -> DataFrame:
+    """Apply one translated DDL statement (operators.ddl output shapes) to a
+    state DataFrame — the parquet backend's equivalent of the reference's
+    db.Exec(ddl) (main.go:88). Shared by the versioned and partitioned
+    stores.
+
+    Supported: ADD COLUMNS (new column null for existing rows),
+    DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE."""
+    import re
+
+    from pyspark.sql import functions as SF
+
+    m = re.match(r"(?i)ALTER TABLE (\w+) ADD COLUMNS \((\w+) (.+)\)", statement)
+    if m:
+        _, col, typ = m.groups()
+        return df.withColumn(col, SF.lit(None).cast(typ))
+    m = re.match(r"(?i)ALTER TABLE (\w+) DROP COLUMN (\w+)", statement)
+    if m:
+        return df.drop(m.group(2))
+    m = re.match(r"(?i)ALTER TABLE (\w+) RENAME COLUMN (\w+) TO (\w+)", statement)
+    if m:
+        return df.withColumnRenamed(m.group(2), m.group(3))
+    m = re.match(r"(?i)ALTER TABLE (\w+) ALTER COLUMN (\w+) TYPE (.+)", statement)
+    if m:
+        _, col, typ = m.groups()
+        return df.withColumn(col, SF.col(col).cast(typ.strip()))
+    raise ValueError(f"unsupported evolved DDL: {statement}")
+
+
 class ParquetStateStore:
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
@@ -72,30 +101,7 @@ class ParquetStateStore:
 
         Supported: ADD COLUMNS (new column null for existing rows),
         DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE."""
-        import re
-
-        from pyspark.sql import functions as SF
-
-        df = self.read(table)
-        m = re.match(r"(?i)ALTER TABLE (\w+) ADD COLUMNS \((\w+) (.+)\)", statement)
-        if m:
-            _, col, typ = m.groups()
-            df = df.withColumn(col, SF.lit(None).cast(typ))
-        else:
-            m = re.match(r"(?i)ALTER TABLE (\w+) DROP COLUMN (\w+)", statement)
-            if m:
-                df = df.drop(m.group(2))
-            else:
-                m = re.match(r"(?i)ALTER TABLE (\w+) RENAME COLUMN (\w+) TO (\w+)", statement)
-                if m:
-                    df = df.withColumnRenamed(m.group(2), m.group(3))
-                else:
-                    m = re.match(r"(?i)ALTER TABLE (\w+) ALTER COLUMN (\w+) TYPE (.+)", statement)
-                    if m:
-                        _, col, typ = m.groups()
-                        df = df.withColumn(col, SF.col(col).cast(typ.strip()))
-                    else:
-                        raise ValueError(f"unsupported evolved DDL: {statement}")
+        df = evolve_frame(self.read(table), statement)
         v = (self.current_version(table) or 0) + 1
         self._write_version(table, df, v)
 

@@ -23,6 +23,7 @@ Real-Time Applications in Apache Spark" (SIGMOD 2018).
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,9 +42,13 @@ from etl_consumer_spark.operators.routing import (
     table_whitelist,
 )
 from etl_consumer_spark.sinks.dead_letter import dead_letter_rows, write_dead_letters
+from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
 from etl_consumer_spark.sinks.republish import republish_frame
 from etl_consumer_spark.sinks.state import ParquetStateStore
 from etl_consumer_spark.sources.envelope import (
+    DATE,
+    DECIMAL,
+    TIMESTAMP,
     WireField,
     decode_envelope,
     parse_ddl_envelope,
@@ -71,7 +76,34 @@ class BatchResult:
     ddl_skipped: list[str] = field(default_factory=list)
     passthrough: list[str] = field(default_factory=list)       # P7 verbatim SQL
     dead_letters: int = 0
-    republish: DataFrame | None = None
+    # K3 republish candidates, COLLECTED (bounded by republish_limit) — a
+    # live DataFrame here would pin plan/cache references for the stream's
+    # whole lifetime
+    republish: list = field(default_factory=list)
+
+
+def _wire_field_for(col: str, spark_type: str) -> WireField:
+    """Inverse of operators.ddl's MySQL→Spark type map: the Debezium wire
+    decoder binding for a column whose *state* type is ``spark_type``. Used
+    to refresh TableSpec.fields after schema evolution — the reference needs
+    no such step because it re-reads the per-message schema block every row
+    (data/model.go:56-73)."""
+    t = spark_type.strip().upper()
+    m = _re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return WireField(col, "bytes", DECIMAL, scale=int(m.group(2)), precision=int(m.group(1)))
+    if t == "TIMESTAMP":
+        return WireField(col, "int64", TIMESTAMP)
+    if t == "DATE":
+        return WireField(col, "int32", DATE)
+    if t == "BOOLEAN":
+        # wire carries true/false; state stores int (F6, main.go:259-265)
+        return WireField(col, "boolean")
+    if t in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+        return WireField(col, "int64")
+    if t in ("FLOAT", "DOUBLE"):
+        return WireField(col, "float64")
+    return WireField(col, "string")
 
 
 class CDCPipeline:
@@ -80,15 +112,25 @@ class CDCPipeline:
         spark: SparkSession,
         cfg: Config,
         tables: list[TableSpec],
-        store: ParquetStateStore,
+        store=None,
         api: DebeziumAPI | None = None,
         dead_letter_path: str | None = None,
         ddl_executor=None,
         passthrough_executor=None,
+        state_path: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.tables = {t.name: t for t in tables}
+        if store is None:
+            # Default state backend: bucket-partitioned parquet with partial
+            # rewrite — per-batch I/O is O(touched buckets), not O(state).
+            # The versioned ParquetStateStore remains available for tiny
+            # tables (pass it explicitly); at 100 TB the partitioned store
+            # (or a Delta MERGE sink) is the only viable default.
+            if state_path is None:
+                raise ValueError("pass either a state store or state_path")
+            store = PartitionedParquetStateStore(spark, state_path)
         self.store = store
         self.api = api
         self.dead_letter_path = dead_letter_path
@@ -104,13 +146,55 @@ class CDCPipeline:
         self.results: list[BatchResult] = []
 
     def _evolve_state_schema(self, statement: str) -> None:
-        import re
-
-        m = re.match(r"(?i)ALTER TABLE (\w+)", statement)
+        m = _re.match(r"(?i)ALTER TABLE (\w+)", statement)
         if not m or m.group(1) not in self.tables:
             return  # not a managed table -> nothing to evolve
+        # F6 parity: the reference stores MySQL tinyint(1) booleans as ints
+        # (bool_to_int, main.go:259-265); keep the state column INT so the
+        # decoded int image unions cleanly with state.
+        statement = _re.sub(r"(?i)\bBOOLEAN\b", "INT", statement)
         if hasattr(self.store, "evolve"):
             self.store.evolve(m.group(1), statement)
+
+    def _refresh_fields(self, statement: str) -> None:
+        """Keep TableSpec.fields/pk_cols in lockstep with the evolved state
+        schema. Without this, the first DML batch after a DDL selects
+        ``_after.<newcol>`` (from state.columns) against structs decoded from
+        the stale WireField list — FIELD_NOT_FOUND, and the whole table slice
+        dead-letters. The reference never hits this because it re-reads the
+        per-message schema block on every row (data/model.go:56-73); our
+        bind-once design must re-bind here."""
+        m = _re.match(r"(?i)ALTER TABLE (\w+)\s+(.*)$", statement.strip())
+        if not m or m.group(1) not in self.tables:
+            return
+        spec = self.tables[m.group(1)]
+        rest = m.group(2)
+        m2 = _re.match(r"(?i)ADD COLUMNS \((\w+) (.+)\)$", rest)
+        if m2:
+            col, typ = m2.groups()
+            spec.fields = [f for f in spec.fields if f.name != col] + [_wire_field_for(col, typ)]
+            return
+        m2 = _re.match(r"(?i)DROP COLUMN (\w+)$", rest)
+        if m2:
+            spec.fields = [f for f in spec.fields if f.name != m2.group(1)]
+            return
+        m2 = _re.match(r"(?i)RENAME COLUMN (\w+) TO (\w+)$", rest)
+        if m2:
+            old, new = m2.groups()
+            for f in spec.fields:
+                if f.name == old:
+                    f.name = new
+            spec.pk_cols = [new if c == old else c for c in spec.pk_cols]
+            return
+        m2 = _re.match(r"(?i)ALTER COLUMN (\w+) TYPE (.+)$", rest)
+        if m2:
+            col, typ = m2.groups()
+            old_field = next((f for f in spec.fields if f.name == col), None)
+            spec.fields = [
+                _wire_field_for(col, typ) if f.name == col else f for f in spec.fields
+            ]
+            if old_field is None:
+                spec.fields.append(_wire_field_for(col, typ))
 
     # -- DDL path (reference main.go:70-121, 382-424) ----------------------
 
@@ -155,6 +239,9 @@ class CDCPipeline:
                     try:
                         self.ddl_executor(t.statement)
                         result.ddl_applied.append(t.statement)
+                        # re-bind decoders to the evolved schema, or the next
+                        # DML batch for this table dead-letters wholesale
+                        self._refresh_fields(t.statement)
                     except Exception as exc:  # noqa: BLE001 — dead-letter path (E5)
                         result.ddl_skipped.append(f"{t.statement}: {exc}")
         finally:
@@ -182,15 +269,30 @@ class CDCPipeline:
                     with_timezone=self.cfg.with_timezone,
                     tz_hours=self.cfg.timezone_hours,
                 )
+                # P7 — bounded: an adversarial batch full of source.query
+                # events would otherwise run one-at-a-time statements on the
+                # driver without limit (the reference has no bound either,
+                # main.go:357-359). The batch itself is already capped by
+                # max_offsets_per_trigger; execution is capped here and the
+                # overflow statements dead-letter (K2 shape) for replay.
+                limit = self.cfg.passthrough_limit
                 passthrough_rows = [
                     r["passthrough"]
                     for r in decoded.filter(F.col("passthrough").isNotNull())
                     .select("passthrough")
                     .collect()
                 ]
-                for stmt in passthrough_rows:
+                for stmt in passthrough_rows[:limit]:
                     result.passthrough.append(stmt)
                     self.passthrough_executor(stmt)
+                if len(passthrough_rows) > limit:
+                    extra = self.spark.createDataFrame(
+                        [(s,) for s in passthrough_rows[limit:]], "value string"
+                    ).withColumn("err", F.lit(f"passthrough limit {limit} exceeded"))
+                    dead = dead_letter_rows(extra, "err", name, self.cfg.db_name)
+                    if self.dead_letter_path:
+                        write_dead_letters(dead, self.dead_letter_path)
+                    result.dead_letters += len(passthrough_rows) - limit
                 events = decoded.filter(F.col("passthrough").isNull())
                 try:
                     version = self.store.upsert(name, events, spec.pk_cols)
@@ -206,9 +308,11 @@ class CDCPipeline:
                         write_dead_letters(dead, self.dead_letter_path)
                     result.dead_letters += dead.count()
                     if self.cfg.republish:
-                        rf = republish_frame(slice_df, self.cfg.republish_limit)
-                        result.republish = (
-                            rf if result.republish is None else result.republish.unionByName(rf)
+                        # collect, don't retain the DataFrame: republish is
+                        # bounded by republish_limit and a live plan here
+                        # would pin caches for the stream's lifetime
+                        result.republish.extend(
+                            republish_frame(slice_df, self.cfg.republish_limit).collect()
                         )
         finally:
             parsed.unpersist()
@@ -223,6 +327,10 @@ class CDCPipeline:
         self._process_ddl(schema_events, result)
         self._process_dml(dml_events, result)
         self.results.append(result)
+        if len(self.results) > self.cfg.max_results:
+            # ring buffer: a long-running stream must not grow driver memory
+            # with per-batch observability records
+            del self.results[: len(self.results) - self.cfg.max_results]
         return result
 
     def start(self, transport: DataFrame, checkpoint_dir: str | None = None, trigger_available_now: bool = False):
