@@ -132,9 +132,30 @@ def lsh_buckets(
     return res
 
 
-def candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct (a, b) candidate pairs (a < b) sharing any LSH bucket.
-    Self-join on (band, bucket) — high-cardinality key, shuffle-friendly."""
+    Self-join on (band, bucket) — high-cardinality key, shuffle-friendly.
+
+    ``max_bucket_size`` drops (band, bucket) groups larger than the cap
+    before the self-join — the bucket-level twin of ``max_doc_freq``: a
+    skewed bucket (boilerplate-heavy corpora collapse many near-identical
+    docs into one bucket) is the same quadratic failure mode as a hot
+    shingle, and at 100 TB a single million-doc bucket would emit 10^12
+    pairs. Docs in an over-full bucket usually still pair through their
+    other bands; an over-full bucket is also a signal the band is
+    uninformative for those docs."""
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     left = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
     right = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
     return (
@@ -212,14 +233,25 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
+    target_cluster_size: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-bucketed: assign each vector to
     its nearest deterministic centroid (the first ``n_clusters`` vectors by
     id), then compare only within a cluster — the quadratic join becomes
-    per-cluster local. Returns (a, b, cosine >= threshold)."""
+    per-cluster local. Returns (a, b, cosine >= threshold).
+
+    ``n_clusters=None`` derives the cluster count from the data
+    (≈ rows / target_cluster_size): a fixed k makes the per-cluster pair
+    join ~N²/k, which grows quadratically again as N scales past k·target.
+    The count() is one cheap metadata-ish job per call, amortized over the
+    whole pair search. For bucket-count-free scaling see
+    ``embedding_near_dups_lsh``."""
     from etl_consumer_spark.extensions.similarity import cosine_sim
 
+    if n_clusters is None:
+        n_rows = emb.count()
+        n_clusters = max(16, -(-n_rows // target_cluster_size))  # ceil div
     centroids = emb.orderBy(id_col).limit(n_clusters).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
@@ -235,6 +267,56 @@ def embedding_near_dups(
     b = assigned.select(F.col("cid"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH buckets — the
+    fully data-independent scale path: bucket count is 2^n_planes and the
+    candidate join is an equi-join on the bucket key, so expected bucket
+    occupancy is N/2^n_planes regardless of how N grows (raise n_planes as
+    the corpus grows; no centroid table, no count() pre-pass).
+
+    Recall trade-off vs IVF: a near-dup pair is missed iff some hyperplane
+    splits it — P(split) ≈ θ/π per plane (Charikar, STOC 2002); for
+    cosine ≥ 0.95 pairs and 8 planes, recall ≈ (1 − 0.102)^8 ≈ 0.42 per
+    table — production use banding like MinHash-LSH (several independent
+    plane sets, union the candidates).
+
+    ``max_bucket_size`` guards the same hot-bucket quadratic failure as in
+    :func:`candidate_pairs` (dense embedding regions collapse into one
+    bucket)."""
+    from etl_consumer_spark.extensions.similarity import cosine_sim, hyperplane_lsh_bucket
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    bucketed = emb.repartition(par).select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            bucketed.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("bucket")
+        )
+        bucketed = bucketed.join(F.broadcast(hot), "bucket", "left_anti")
+    a = bucketed.select(F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = bucketed.select(F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

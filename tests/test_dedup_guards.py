@@ -1,0 +1,77 @@
+"""Scale-guard tests for the dedup family: hot-LSH-bucket caps and
+data-dependent IVF cluster counts (the quadratic-blowup guards that the
+sf0.01 oracle corpus is too benign to exercise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_consumer_spark.extensions import dedup as D
+
+
+def test_candidate_pairs_hot_bucket_cap(spark):
+    """Adversarial fixture: every doc lands in the same (band, bucket) —
+    uncapped emits the full quadratic N(N-1)/2 pair set, the cap drops the
+    bucket entirely."""
+    n = 40
+    buckets = spark.createDataFrame(
+        [(i, 0, "deadbeef") for i in range(n)], "doc_id long, band int, bucket string"
+    )
+    uncapped = D.candidate_pairs(buckets)
+    assert uncapped.count() == n * (n - 1) // 2
+    capped = D.candidate_pairs(buckets, max_bucket_size=10)
+    assert capped.count() == 0
+
+
+def test_candidate_pairs_cap_keeps_cold_buckets(spark):
+    """The cap only drops over-full buckets; pairs from cold buckets (and
+    from other bands of the same docs) survive."""
+    rows = [(i, 0, "hot") for i in range(20)]          # band 0: one hot bucket
+    rows += [(1, 1, "x"), (2, 1, "x"), (5, 1, "y"), (6, 1, "y")]  # band 1: cold
+    buckets = spark.createDataFrame(rows, "doc_id long, band int, bucket string")
+    capped = D.candidate_pairs(buckets, max_bucket_size=4)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(1, 2), (5, 6)}
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """All-identical vectors collapse into one LSH bucket; the cap bounds
+    the pair join instead of letting it go quadratic."""
+    vec = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    uncapped = D.embedding_near_dups_lsh(emb, threshold=0.5, n_planes=4, dim=64)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = D.embedding_near_dups_lsh(
+        emb, threshold=0.5, n_planes=4, dim=64, max_bucket_size=8
+    )
+    assert capped.count() == 0
+
+
+def test_embedding_near_dups_data_dependent_clusters(spark):
+    """n_clusters=None derives the cluster count from the row count
+    (≈ rows/target_cluster_size, floor 16) instead of a fixed k."""
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    # target 10 per cluster -> 16-cluster floor beats 100/10; with target 4
+    # the derived count is 25 and the plan still returns a valid pair set
+    out = D.embedding_near_dups(
+        emb, threshold=0.99, n_clusters=None, target_cluster_size=4, vec_col="embedding"
+    )
+    pairs = out.collect()
+    for r in pairs:
+        assert r["a"] < r["b"] and r["cos_sim"] >= 0.99
+    # fixed-k and derived-k agree on the invariant: pair lists are subsets of
+    # the full quadratic search at the same threshold
+    full = (
+        emb.alias("x").crossJoin(emb.alias("y"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .count()
+    )
+    assert len(pairs) <= full
