@@ -2,16 +2,21 @@
 with typed metadata, plus the Spark-side plumbing for decode / feature
 extraction / resize / frame sampling.
 
-The container has no image/audio codec libraries, so the *decode kernels*
-are stubbed: ``deterministic_fake_decode`` produces a reproducible byte
-pattern (so the plumbing — schema, Arrow batch shape, partitioning — is
-fully testable), and the real-codec path raises ``NotImplementedError``
-behind an import-try (SURVEY §7 Phase 5 mandate).
+The decode layer is a REAL pure-Python codec for two deterministic
+uncompressed formats — binary PPM (P6) and 24-bit BMP — implemented from
+their public specs (netpbm format docs; Windows BITMAPINFOHEADER layout).
+Kernels sniff the blob magic and parse headers + raster from the bytes;
+nothing trusts the metadata column. Compressed formats (JPEG/PNG/...)
+would need codec libraries not present in this container and remain a
+clearly-marked ``NotImplementedError`` boundary; ``deterministic_fake_decode``
+is kept for unknown blobs so the plumbing stays exercisable on any bytes.
 
 Scale design: all kernels run through ``mapInPandas`` (Arrow batches, one
-Python worker per core, no driver collect); metadata lives in a struct
-column so pruning works (a scan that only needs ``meta.width`` never reads
-the blob bytes thanks to parquet column pruning).
+Python worker per core, no driver collect); inputs are repartitioned before
+the kernel so a single-row-group parquet file can't pin the pipeline to one
+task; metadata lives in a struct column so pruning works (a scan that only
+needs ``meta.width`` never reads the blob bytes thanks to parquet column
+pruning).
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ from pyspark.sql import types as T
 MEDIA_META = T.StructType(
     [
         T.StructField("media_type", T.StringType()),   # image|audio|video
-        T.StructField("format", T.StringType()),       # png|jpeg|wav|mp4|...
+        T.StructField("format", T.StringType()),       # ppm|bmp|...
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.LongType()),
@@ -44,25 +49,132 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs: binary PPM (P6) and uncompressed 24-bit BMP.
+# ---------------------------------------------------------------------------
+
+def encode_ppm(raster: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) → binary PPM (P6, maxval 255)."""
+    h, w, c = raster.shape
+    assert c == 3 and raster.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + raster.tobytes()
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6): magic, whitespace/comment-tolerant header
+    tokens (width, height, maxval), one whitespace byte, raster of
+    ``w*h*3`` bytes. Returns (width, height, raster (h, w, 3) uint8)."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    n = w * h * 3
+    raster = np.frombuffer(blob, dtype=np.uint8, count=n, offset=pos)
+    if raster.size != n:
+        raise ValueError(f"truncated raster: want {n} bytes")
+    return w, h, raster.reshape(h, w, 3)
+
+
+def encode_bmp(raster: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) → uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding, BGR byte order)."""
+    import struct
+
+    h, w, c = raster.shape
+    assert c == 3 and raster.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(raster[y, :, ::-1].tobytes() + pad)  # RGB -> BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 24-bit BMP. Returns (width, height,
+    raster (h, w, 3) uint8, RGB order, top-down)."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    header_size, w, h_signed = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for row in range(h):
+        src = data_offset + row * row_size
+        bgr = np.frombuffer(blob, dtype=np.uint8, count=w * 3, offset=src).reshape(w, 3)
+        y = (h - 1 - row) if bottom_up else row
+        out[y] = bgr[:, ::-1]  # BGR -> RGB
+    return w, h, out
+
+
+def sniff_and_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
+    """Dispatch on magic bytes → (format, width, height, raster (h, w, 3))."""
+    if blob[:2] == b"P6":
+        w, h, px = decode_ppm(blob)
+        return "ppm", w, h, px
+    if blob[:2] == b"BM":
+        w, h, px = decode_bmp(blob)
+        return "bmp", w, h, px
+    raise ValueError(f"unknown image magic {blob[:2]!r}")
+
+
 def synthesize_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Build a media-shaped table from any (id, string) source — the blob is
-    the utf-8 payload bytes; metadata is derived deterministically. Used to
-    exercise the pipeline without real codecs."""
+    """Build a media table of REAL binary-PPM blobs from any (id, string)
+    source, entirely in Spark expressions (no Python in the plan):
+
+    - width varies per row (``8 + length(payload) % 8``), height is 4;
+    - the raster is the first ``w*4*3`` bytes of ``repeat(md5(payload), 6)``
+      (hex chars — ASCII, so char count == byte count even for unicode
+      payloads);
+    - blob = ``"P6\\n{w} 4\\n255\\n"`` + raster.
+
+    Deterministic and SQL-reproducible, which is what lets the decode
+    kernels be oracle-checked value-for-value by DuckDB."""
+    w = (F.length(payload_col) % 8 + 8).cast("int")
+    raster = F.repeat(F.md5(F.col(payload_col).cast("binary")), 6).substr(
+        F.lit(1), w * 12
+    )
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" 4\n255\n"))
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
-        F.col(payload_col).cast("binary").alias("blob"),
+        F.concat(header, raster).cast("binary").alias("blob"),
         F.struct(
             F.lit("image").alias("media_type"),
-            F.lit("fake").alias("format"),
-            (F.length(payload_col) % 64 + 16).cast("int").alias("width"),
-            (F.length(payload_col) % 48 + 16).cast("int").alias("height"),
+            F.lit("ppm").alias("format"),
+            w.alias("width"),
+            F.lit(4).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
 
 
-def _real_image_decode_available() -> bool:
+def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401
 
@@ -72,39 +184,65 @@ def _real_image_decode_available() -> bool:
 
 
 def deterministic_fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
-    """Reproducible stand-in for an image decoder: seeds a counter pattern
+    """Reproducible stand-in for unknown formats: seeds a counter pattern
     from the blob's first bytes; shape (height, width) uint8."""
     seed = int.from_bytes((blob or b"\x00")[:4].ljust(4, b"\x00"), "big")
     base = np.arange(width * height, dtype=np.uint64) + seed
     return (base % 251).astype(np.uint8).reshape(height, width)
 
 
+def _decode_gray_and_flat(row) -> tuple[np.ndarray, np.ndarray]:
+    """(2D grayscale plane, flat raster bytes) for one media row: real codec
+    when the magic is known, deterministic fake otherwise."""
+    blob = bytes(row["blob"])
+    try:
+        _, w, h, px = sniff_and_decode(blob)
+        return px[:, :, 0], px.reshape(-1)
+    except ValueError:
+        meta = row["meta"]
+        px2 = deterministic_fake_decode(blob, meta["width"], meta["height"])
+        return px2, px2.reshape(-1)
+
+
 FEATURE_SCHEMA = "media_id long, mean_px double, std_px double, n_px long"
 
 
-def extract_image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
-    """Per-image brightness stats via mapInPandas (Arrow-batched).
+def extract_image_features(media: DataFrame, use_real_codec: bool = True) -> DataFrame:
+    """Per-image brightness stats via mapInPandas (Arrow-batched): the blob
+    is actually parsed (PPM/BMP header + raster), stats are over the raster
+    bytes, ``n_px`` is the parsed pixel count.
 
-    With ``use_real_codec=True`` and no codec library installed this raises
-    ``NotImplementedError`` — the clearly-marked stub boundary."""
-    if use_real_codec and not _real_image_decode_available():
-        raise NotImplementedError(
-            "real image decode requires PIL/opencv, not present in this "
-            "container; use use_real_codec=False for the deterministic stub"
-        )
+    ``use_real_codec=False`` forces the fake decoder (legacy plumbing test
+    mode). Compressed formats would require PIL/opencv — not in this
+    container — and raise ``NotImplementedError`` at the boundary."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                meta = row["meta"]
-                px = deterministic_fake_decode(row["blob"], meta["width"], meta["height"])
+                if use_real_codec:
+                    gray, flat = _decode_gray_and_flat(row)
+                    n_px = gray.size
+                else:
+                    meta = row["meta"]
+                    gray = deterministic_fake_decode(bytes(row["blob"]), meta["width"], meta["height"])
+                    flat, n_px = gray.reshape(-1), gray.size
+                # exact integer sums first, one shared float expression after:
+                # bit-identical across engines (a running float mean/Welford
+                # std would differ in the last ulp from a SQL oracle)
+                s = int(flat.sum(dtype=np.int64))
+                sq = int((flat.astype(np.int64) ** 2).sum(dtype=np.int64))
+                n = flat.size
+                mean = s / n
+                std = math.sqrt(sq / n - (s / n) * (s / n))
                 out.append(
                     {
                         "media_id": row["media_id"],
-                        "mean_px": float(px.mean()),
-                        "std_px": float(px.std()),
-                        "n_px": int(px.size),
+                        "mean_px": mean,
+                        "std_px": std,
+                        "n_px": int(n_px),
                     }
                 )
             yield pd.DataFrame(out, columns=["media_id", "mean_px", "std_px", "n_px"])
@@ -113,22 +251,49 @@ def extract_image_features(media: DataFrame, use_real_codec: bool = False) -> Da
     return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "media_id long, width int, height int, resized binary"
+METADATA_SCHEMA = "media_id long, format string, width int, height int, n_raster long"
 
 
-def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Nearest-neighbor resize on the fake-decoded pixels; returns the new
-    byte blob. Demonstrates blob-in/blob-out kernel plumbing."""
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Header-only parse: (format, width, height, raster byte count) read
+    from the blob bytes — nothing copied from the meta column, so an oracle
+    that recomputes the construction verifies the parser end-to-end."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                meta = row["meta"]
-                px = deterministic_fake_decode(row["blob"], meta["width"], meta["height"])
-                ys = (np.arange(target_h) * px.shape[0] // target_h).clip(0, px.shape[0] - 1)
-                xs = (np.arange(target_w) * px.shape[1] // target_w).clip(0, px.shape[1] - 1)
-                resized = px[np.ix_(ys, xs)]
+                fmt, w, h, px = sniff_and_decode(bytes(row["blob"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "n_raster": int(px.size),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "format", "width", "height", "n_raster"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, METADATA_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, resized binary"
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Nearest-neighbor resize on the decoded grayscale plane; returns the
+    new byte blob. Blob-in/blob-out kernel plumbing over the real codec."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                ys = (np.arange(target_h) * gray.shape[0] // target_h).clip(0, gray.shape[0] - 1)
+                xs = (np.arange(target_w) * gray.shape[1] // target_w).clip(0, gray.shape[1] - 1)
+                resized = gray[np.ix_(ys, xs)]
                 out.append(
                     {
                         "media_id": row["media_id"],
@@ -147,9 +312,10 @@ FRAME_SCHEMA = "media_id long, frame_idx int, frame_hash string"
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
-    """Frame-sampling plumbing for video blobs: emits one row per sampled
-    frame (fake frames = slices of the decoded pattern), md5-hashed. Output
-    row count is deterministic, so the driver can rows-check it."""
+    """Frame-sampling plumbing for video-shaped blobs: frame ``i`` is the
+    decoded raster rolled right by ``i*every_n`` bytes, md5-hashed. The
+    roll-of-raster construction is SQL-expressible (string rotation of the
+    raster slice), so frame hashes are oracle-checked exactly."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -157,10 +323,9 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                meta = row["meta"]
-                px = deterministic_fake_decode(row["blob"], meta["width"], meta["height"])
+                _, flat = _decode_gray_and_flat(row)
                 for i in range(max_frames):
-                    frame = np.roll(px, i * every_n)
+                    frame = np.roll(flat, i * every_n)
                     out.append(
                         {
                             "media_id": row["media_id"],
