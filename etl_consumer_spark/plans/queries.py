@@ -957,7 +957,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes zb ON zb.doc_id = i.b
     WHERE i.n_common / (za.sz + zb.sz - i.n_common) >= 0.05
     """,
-    doc="n-gram Jaccard similarity pairs (shingle self-join, threshold 0.05)",
+    doc="n-gram Jaccard similarity pairs (shingle self-join, threshold 0.05) — "
+        "CORRECTNESS BASELINE ONLY: the uncapped self-join is quadratic on hot "
+        "shingles; the scale path is dedup_ngram_jaccard_capped (max_doc_freq)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import dedup as D
@@ -1128,10 +1130,36 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthesized media table is a REAL binary-PPM corpus built from Spark
+# expressions (extensions.multimodal.synthesize_media_table): width =
+# 8 + length(text) % 8, height = 4, raster = first w*12 bytes of
+# repeat(md5(text), 6). The kernels parse the actual PPM header + raster, so
+# a DuckDB oracle that re-derives the construction checks the decoder
+# value-for-value.
+_MM_RASTER_CTE = """r AS (
+      SELECT doc_id,
+             (8 + length(text) % 8) AS w,
+             substr(repeat(md5(text), 6), 1, (8 + length(text) % 8) * 12) AS ras
+      FROM documents
+    )"""
+
+
 @register(
     "mm_image_features",
-    None,  # mapInPandas kernel — not SQL-expressible; rows-only check
-    doc="multimodal: Arrow-batched image feature extraction over binary blobs (deterministic stub decode)",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    px AS (
+      SELECT doc_id, w, ascii(substr(ras, u.i, 1)) AS v, length(ras) AS n
+      FROM r, unnest(generate_series(1, length(ras))) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           sum(v) / n AS mean_px,
+           sqrt(sum(v * v) / n - (sum(v) / n) * (sum(v) / n)) AS std_px,
+           (max(w) * 4)::BIGINT AS n_px
+    FROM px GROUP BY doc_id, n
+    """,
+    doc="multimodal: Arrow-batched feature extraction through a REAL pure-Python "
+        "PPM decode (header parse + raster stats), value-checked by the oracle",
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import multimodal as M
@@ -1143,8 +1171,16 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    None,  # mapInPandas kernel — rows-only check
-    doc="multimodal: frame sampling plumbing (5 frames per blob, md5-hashed)",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    f AS (SELECT doc_id, ras, unnest([0, 1, 2, 3, 4]) AS i FROM r)
+    SELECT doc_id AS media_id, i::INT AS frame_idx,
+           md5(substr(ras, length(ras) - i * 10 + 1)
+               || substr(ras, 1, length(ras) - i * 10)) AS frame_hash
+    FROM f
+    """,
+    doc="multimodal: frame sampling (rolled-raster frames, md5-hashed) through the "
+        "real PPM decode — frame hashes oracle-checked exactly",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import multimodal as M
@@ -1154,6 +1190,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media)
 
 
+@register(
+    "mm_metadata",
+    """
+    SELECT doc_id AS media_id,
+           'ppm' AS format,
+           (8 + length(text) % 8)::INT AS width,
+           4::INT AS height,
+           ((8 + length(text) % 8) * 12)::BIGINT AS n_raster
+    FROM documents
+    """,
+    doc="multimodal: header-only metadata parse from blob bytes (format sniff, "
+        "width/height/raster size) — proves the codec reads the header, not the meta column",
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    return M.extract_metadata(media)
+
+
 # ---------------------------------------------------------------------------
 # Full-stack streaming CDC (Phase 4 through the oracle gate): the same event
 # set as cdc_apply_orders, but serialized to Debezium JSON envelopes, ridden
@@ -1161,16 +1218,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # foreachBatch pipeline -> parquet state store, then read back.
 # ---------------------------------------------------------------------------
 
-@register(
-    "stream_cdc_full_stack",
-    _CDC_APPLY_ORACLE.replace("o_totalprice + 1000", "o_totalprice + 1000.0"),
-    doc="end-to-end Structured Streaming CDC apply vs the same SQL oracle as the batch path",
-)
-def stream_cdc_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_cdc_run(spark: SparkSession, sf_dir: str, store=None) -> DataFrame:
+    """Shared harness: serialize CDC events as Debezium envelopes, ride the
+    file transport through the foreachBatch pipeline into ``store`` (None →
+    the pipeline's default, the bucket-partitioned partial-rewrite store),
+    read the final state back."""
     import tempfile
 
     from etl_consumer_spark.config import Config
-    from etl_consumer_spark.sinks.state import ParquetStateStore
     from etl_consumer_spark.sources.envelope import WireField
     from etl_consumer_spark.sources.kafka import file_envelope_stream
     from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
@@ -1217,15 +1272,20 @@ def stream_cdc_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
-    store = ParquetStateStore(spark, f"{base}/state")
-    store.init("orders", orders.filter(k != 3))
     fields = [
         WireField("o_orderkey", "int64"),
         WireField("o_custkey", "int64"),
         WireField("o_orderstatus", "string"),
         WireField("o_totalprice", "float64"),
     ]
-    pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
+    pipe = CDCPipeline(
+        spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])],
+        store, state_path=f"{base}/state",
+    )
+    store = pipe.store
+    store.init("orders", orders.filter(k != 3), ["o_orderkey"]) if hasattr(
+        store, "_pk_cols"
+    ) else store.init("orders", orders.filter(k != 3))
     q = pipe.start(
         file_envelope_stream(spark, f"{base}/transport"),
         checkpoint_dir=f"{base}/ckpt",
@@ -1233,6 +1293,34 @@ def stream_cdc_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return store.read("orders")
+
+
+@register(
+    "stream_cdc_full_stack",
+    _CDC_APPLY_ORACLE.replace("o_totalprice + 1000", "o_totalprice + 1000.0"),
+    doc="end-to-end Structured Streaming CDC apply (pipeline-default bucket-partitioned "
+        "state store, partial-rewrite upserts) vs the same SQL oracle as the batch path",
+)
+def stream_cdc_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_cdc_run(spark, sf_dir, store=None)
+
+
+@register(
+    "stream_cdc_partitioned",
+    _CDC_APPLY_ORACLE.replace("o_totalprice + 1000", "o_totalprice + 1000.0"),
+    doc="same stream through a range-bucketed partial-rewrite store — sharing the "
+        "versioned-path oracle proves partitioned-upsert ≡ versioned-upsert",
+)
+def stream_cdc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+    base = tempfile.mkdtemp(prefix="stream_cdc_range_")
+    store = PartitionedParquetStateStore(
+        spark, f"{base}/state", bucket_mode="range", range_size=4096
+    )
+    return _stream_cdc_run(spark, sf_dir, store=store)
 
 
 # ---------------------------------------------------------------------------
@@ -1786,13 +1874,17 @@ def olap_q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXISTS / NOT EXISTS as left_semi / left_anti joins",
 )
 def olap_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One plan, one job: pre-aggregate orders per customer (map-side partials
+    # into one shuffle), left-join, and fold both EXISTS counts in a single
+    # final aggregate — the round-1 version ran two driver-side .count()
+    # actions plus a createDataFrame (two full jobs for one bounded row).
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
-    n_big = c.join(big, c.c_custkey == big.o_custkey, "left_semi").count()
-    n_none = c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(n_big, n_none)], "n_big_customers long, n_orderless long"
+    per_cust = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("_maxp"))
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    return j.agg(
+        F.count(F.when(F.col("_maxp") > 200000, F.lit(1))).alias("n_big_customers"),
+        F.count(F.when(F.col("o_custkey").isNull(), F.lit(1))).alias("n_orderless"),
     )
 
 
@@ -1844,13 +1936,18 @@ def f8_clean_text_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANE_SQL = "((('0x' || substr(md5({j} || '_' || i), 1, 8))::BIGINT % 1000) - 500)"
 
-_LSH_BITS_SQL = " || ".join(
-    f"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(generate_series(1, 64),
-                          i -> embedding[i]::DOUBLE * {_PLANE_SQL.format(j=j)}::DOUBLE)),
-           (x,y) -> x+y) >= 0 THEN '1' ELSE '0' END)"""
-    for j in range(8)
-)
+
+def _lsh_bits_sql(n_planes: int, vec: str = "embedding") -> str:
+    return " || ".join(
+        f"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, 64),
+                              i -> {vec}[i]::DOUBLE * {_PLANE_SQL.format(j=j)}::DOUBLE)),
+               (x,y) -> x+y) >= 0 THEN '1' ELSE '0' END)"""
+        for j in range(n_planes)
+    )
+
+
+_LSH_BITS_SQL = _lsh_bits_sql(8)
 
 
 @register(
@@ -1866,6 +1963,63 @@ def sim_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hyperplane_lsh_buckets(emb, n_planes=8, dim=64)
+
+
+@register(
+    "dedup_embedding_neardups_lsh",
+    f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {_lsh_bits_sql(4)} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    doc="embedding near-dup pairs via hyperplane-LSH buckets — data-independent bucket "
+        "count (2^planes), candidate search is an equi-join on the bucket key",
+)
+def dedup_embedding_neardups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.dedup import embedding_near_dups_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dups_lsh(emb, threshold=0.4, n_planes=4, dim=64)
+    return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "dedup_lsh_candidates_capped",
+    f"""{SIG_SQL},
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    bsize AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY band, bucket),
+    kept AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM buckets b JOIN bsize s ON b.band = s.band AND b.bucket = s.bucket
+      WHERE s.n <= 3
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+    WHERE l.doc_id < r.doc_id
+    """,
+    doc="LSH candidate pairs with hot-bucket cap (size <= 3) — bounds the self-join "
+        "against skewed buckets, the bucket-level twin of the stop-shingle cap",
+)
+def dedup_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.exploded_shingles(docs), num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    return D.candidate_pairs(buckets, max_bucket_size=3)
 
 
 # ---------------------------------------------------------------------------
