@@ -39,6 +39,12 @@ HEADLINE = [
     "analytic_asof_join",         # union+carry-forward as-of join
     "cdc_apply_sequential",       # sorted-partition linear Python fold
     "stream_cdc_full_stack",      # Debezium JSON -> Structured Streaming -> state
+    # round-2 additions (VERDICT r1 ask #9): join/grouping-set/window OLAP
+    # breadth plus the bounded-join dedup scale path
+    "olap_q3_shipping_priority",  # 3-way join + agg + top-n
+    "olap_cube",                  # CUBE grouping sets
+    "olap_lag_lead",              # offset windows
+    "dedup_ngram_jaccard_capped", # stop-shingle-capped Jaccard (scale path)
 ]
 
 

@@ -67,6 +67,9 @@ class Config:
     reclaim: bool = field(default_factory=lambda: _env_bool("RECLAIM", False))
     republish: bool = field(default_factory=lambda: _env_bool("REPUBLISH", True))
     republish_limit: int = field(default_factory=lambda: _env_int("REPUBLISH_LIMIT", 3))
+    # E3: pre-republish delay (reference hardcodes 100 ms, main.go:180) —
+    # carried as a not_before header and honored by split_due on consume
+    republish_delay_ms: int = field(default_factory=lambda: _env_int("REPUBLISH_DELAY_MS", 100))
     active_scheme: bool = field(default_factory=lambda: _env_bool("ACTIVE_SCHEME", False))
     replace_all_scheme: bool = field(default_factory=lambda: _env_bool("REPLACE_ALL_SCHEME", True))
     with_timezone: bool = field(default_factory=lambda: _env_bool("WITH_TIMEZONE", False))

@@ -204,6 +204,65 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs_grouped(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    max_doc_freq: int = 16,
+) -> DataFrame:
+    """Doc-frequency-capped n-gram Jaccard in ONE pass over the shingles:
+    group by shingle → (distinct) doc-id array, drop arrays longer than
+    ``max_doc_freq``, expand each array's a<b pairs MAP-SIDE, then count
+    common shingles per pair.
+
+    Versus the self-join formulation (:func:`jaccard_pairs` over
+    :func:`exploded_shingles` with a cap), this halves the explode/hash
+    work (the shingle set is materialized once, not once per join side),
+    drops the freq anti-join entirely, and bounds the pair expansion at
+    ``max_doc_freq²`` per shingle inside a single projection — the shape
+    you want at 100 TB: shuffle keys are (shingle) then (a, b), both
+    high-cardinality, and no driver-side or broadcast structure grows with
+    the corpus."""
+    grouped = (
+        shingles.groupBy("shingle")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") <= max_doc_freq)
+    )
+    kept = grouped.select(F.explode("_ids").alias(id_col))
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ids = F.array_sort("_ids")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    inter = (
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def simhash16(
     shingles: DataFrame,
     id_col: str = "doc_id",

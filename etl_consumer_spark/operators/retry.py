@@ -55,14 +55,30 @@ def with_retry_columns(df: DataFrame, limit: int = 3, headers_col: str = "header
     )
 
 
-def republish_headers(attempt: ColumnOrName) -> Column:
-    """E1 write side — the ``headers`` column for the Kafka republish sink:
-    one ``loop`` header carrying the attempt number (reference:
-    main.go:183-187). The 100 ms delay (E3, main.go:180) becomes the
-    micro-batch trigger interval — no per-row sleeps in a vectorized engine."""
-    return F.array(
-        F.struct(
-            F.lit("loop").alias("key"),
-            _col(attempt).cast("string").cast("binary").alias("value"),
-        )
+def republish_headers(attempt: ColumnOrName, delay_ms: int | None = None) -> Column:
+    """E1/E3 write side — the ``headers`` column for the Kafka republish
+    sink: one ``loop`` header carrying the attempt number (reference:
+    main.go:183-187) and, when ``delay_ms`` is set, a ``not_before`` header
+    (epoch millis) implementing the reference's pre-republish delay
+    (main.go:180) without per-row sleeps: the consume side defers
+    not-yet-due messages (see :func:`not_before_from_headers` /
+    ``sinks.republish.split_due``)."""
+    loop_h = F.struct(
+        F.lit("loop").alias("key"),
+        _col(attempt).cast("string").cast("binary").alias("value"),
     )
+    if delay_ms is None:
+        return F.array(loop_h)
+    due = (F.unix_millis(F.current_timestamp()) + F.lit(delay_ms)).cast("string")
+    return F.array(
+        loop_h,
+        F.struct(F.lit("not_before").alias("key"), due.cast("binary").alias("value")),
+    )
+
+
+def not_before_from_headers(headers: ColumnOrName) -> Column:
+    """E3 read side — the ``not_before`` epoch-millis deadline, null when the
+    header is absent/non-numeric (then the message is immediately due)."""
+    h = _col(headers)
+    nb = F.filter(h, lambda x: x["key"] == F.lit("not_before"))
+    return F.try_element_at(nb, F.lit(1))["value"].cast("string").try_cast("long")

@@ -1679,7 +1679,10 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(D.exploded_shingles(docs, max_doc_freq=4), threshold=0.05)
+    # grouped-pair formulation: one explode, pairs expanded map-side from
+    # per-shingle id arrays (bounded by the cap) — vs the self-join + freq
+    # anti-join shape, it halves the shingle hashing and drops one shuffle
+    return D.jaccard_pairs_grouped(D.exploded_shingles(docs), threshold=0.05, max_doc_freq=4)
 
 
 # ---------------------------------------------------------------------------

@@ -312,7 +312,11 @@ class CDCPipeline:
                         # bounded by republish_limit and a live plan here
                         # would pin caches for the stream's lifetime
                         result.republish.extend(
-                            republish_frame(slice_df, self.cfg.republish_limit).collect()
+                            republish_frame(
+                                slice_df,
+                                self.cfg.republish_limit,
+                                delay_ms=self.cfg.republish_delay_ms,
+                            ).collect()
                         )
         finally:
             parsed.unpersist()

@@ -1,0 +1,95 @@
+"""Unit tests for the pure-Python image codecs (PPM P6 / 24-bit BMP) and
+the kernel plumbing over real blobs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_consumer_spark.extensions.multimodal import (
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    extract_image_features,
+    extract_metadata,
+    sniff_and_decode,
+    synthesize_media_table,
+)
+
+
+def _raster(w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+def test_ppm_roundtrip():
+    px = _raster(13, 7)
+    blob = encode_ppm(px)
+    w, h, out = decode_ppm(blob)
+    assert (w, h) == (13, 7)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_ppm_header_variants():
+    px = _raster(2, 2)
+    # comment lines and arbitrary whitespace between header tokens are legal
+    blob = b"P6\n# a comment\n 2\t2 # trailing\n255\n" + px.tobytes()
+    w, h, out = decode_ppm(blob)
+    assert (w, h) == (2, 2)
+    np.testing.assert_array_equal(out, px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + px.tobytes())      # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + px.tobytes())    # unsupported maxval
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5)       # truncated raster
+
+
+def test_bmp_roundtrip_including_padding():
+    # w=3 -> 9-byte rows padded to 12: exercises the 4-byte alignment path
+    px = _raster(3, 5, seed=1)
+    blob = encode_bmp(px)
+    w, h, out = decode_bmp(blob)
+    assert (w, h) == (3, 5)
+    np.testing.assert_array_equal(out, px)
+    fmt, w2, h2, out2 = sniff_and_decode(blob)
+    assert fmt == "bmp" and (w2, h2) == (3, 5)
+    np.testing.assert_array_equal(out2, px)
+
+
+def test_bmp_rejects_compressed_or_other_depth():
+    px = _raster(2, 2)
+    blob = bytearray(encode_bmp(px))
+    blob[28] = 8  # bpp -> 8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(blob))
+
+
+def test_sniff_unknown_magic():
+    with pytest.raises(ValueError):
+        sniff_and_decode(b"GIF89a....")
+
+
+def test_synthesized_blobs_are_real_ppm(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "sphinx of black quartz, judge my vow")],
+        "doc_id long, text string",
+    )
+    media = synthesize_media_table(docs, "doc_id", "text").collect()
+    for r in media:
+        fmt, w, h, px = sniff_and_decode(bytes(r["blob"]))
+        assert fmt == "ppm" and h == 4
+        assert w == r["meta"]["width"]           # header agrees with meta
+        assert px.size == w * 4 * 3
+    feats = {
+        r["media_id"]: r
+        for r in extract_image_features(
+            synthesize_media_table(docs, "doc_id", "text")
+        ).collect()
+    }
+    # doc 1: "hello world" -> len 11 -> w = 8 + 3 = 11, n_px = 44
+    assert feats[1]["n_px"] == 44
+    meta = {r["media_id"]: r for r in extract_metadata(
+        synthesize_media_table(docs, "doc_id", "text")).collect()}
+    assert meta[1]["width"] == 11 and meta[1]["n_raster"] == 132

@@ -68,3 +68,36 @@ def test_state_store_schema_evolution(spark, tmp_path):
     assert dict(store.read("t").dtypes)["val"] == "double"
     store.evolve("t", "ALTER TABLE t DROP COLUMN note")
     assert store.read("t").columns == ["id", "val"]
+
+
+def test_republish_delay_header_and_split_due(spark):
+    """E3: delay_ms stamps a not_before deadline; split_due defers not-yet-due
+    messages verbatim (loop header untouched) and passes due ones."""
+    import time as _time
+
+    from etl_consumer_spark.sinks.republish import republish_frame, split_due
+
+    df = spark.createDataFrame(
+        [("t1", b"m1", None)],
+        "topic string, value binary, headers array<struct<key:string,value:binary>>",
+    )
+    out = republish_frame(df, limit=3, delay_ms=60_000).collect()
+    assert len(out) == 1
+    headers = {bytes(h["key"], "utf8") if isinstance(h["key"], str) else h["key"]: bytes(h["value"]) for h in out[0]["headers"]}
+    assert headers[b"loop"] == b"1"
+    deadline = int(headers[b"not_before"])
+    now_ms = int(_time.time() * 1000)
+    assert now_ms + 30_000 < deadline <= now_ms + 90_000
+
+    batch = spark.createDataFrame(out, schema=spark.createDataFrame(out).schema)
+    due, deferred = split_due(batch, now_ms=deadline - 1)
+    assert due.count() == 0 and deferred.count() == 1
+    # deferral is verbatim: the loop header is NOT incremented
+    d = deferred.collect()[0]
+    dh = {h["key"]: bytes(h["value"]) for h in d["headers"]}
+    assert dh["loop"] == b"1"
+    due2, deferred2 = split_due(batch, now_ms=deadline)
+    assert due2.count() == 1 and deferred2.count() == 0
+    # messages without the header are immediately due
+    due3, deferred3 = split_due(df, now_ms=0)
+    assert due3.count() == 1 and deferred3.count() == 0
