@@ -204,6 +204,68 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup clustering: connected components over a candidate-pair edge
+    list by iterative min-label propagation — each vertex repeatedly takes
+    the minimum label among itself and its neighbors until fixpoint.
+    Returns (id, component) where component = min vertex id in the
+    component; isolated vertices are their own component.
+
+    Scale shape: every iteration is one equi-join (edges ⋈ labels on the
+    neighbor key) plus a groupBy-min — shuffle keys are vertex ids, nothing
+    is collected to the driver, and lineage is truncated per iteration with
+    ``localCheckpoint`` so plans don't grow with the iteration count.
+    Converges in O(max component diameter) rounds (near-dup components are
+    shallow in practice); production graphs with giant components would
+    switch to the large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — identical
+    per-round plan, fewer rounds."""
+    u, v = "_cc_u", "_cc_v"
+    fwd = pairs.select(F.col(a_col).alias(u), F.col(b_col).alias(v))
+    rev = pairs.select(F.col(b_col).alias(u), F.col(a_col).alias(v))
+    edges = fwd.unionByName(rev).distinct().cache()
+    labels = vertices.select(F.col(id_col).alias(u), F.col(id_col).alias("component"))
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.select(F.col(u).alias(v), F.col("component").alias("_nl")), v
+                )
+                .groupBy(u)
+                .agg(F.min("_nl").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, u, "left")
+                .select(
+                    F.col(u),
+                    F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias(
+                        "component"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), u)
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(F.col(u).alias(id_col), "component")
+
+
 def jaccard_pairs_grouped(
     shingles: DataFrame,
     id_col: str = "doc_id",

@@ -91,6 +91,26 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# PII patterns — identical semantics under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround. Applied in a fixed order.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact common PII shapes (emails, IPv4 addresses, phone-like digit
+    runs) — the standard pre-training scrub pass. Pure regexp_replace
+    expressions; order matters (emails first, so their digits never
+    half-match the phone pattern)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def rolling_hash(text: Column, modulus: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling hash over characters (ord * base^i mod p) — the
     classic fingerprint primitive, as a fold expression. Engine-portable

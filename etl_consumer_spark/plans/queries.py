@@ -2025,6 +2025,79 @@ def dedup_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.candidate_pairs(buckets, max_bucket_size=3)
 
 
+@register(
+    "dedup_connected_components",
+    SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    edges AS (SELECT a AS u, b AS v FROM cand UNION SELECT b, a FROM cand),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS root FROM documents
+      UNION
+      SELECT e.v AS node, r.root AS root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+    """,
+    doc="near-dup clustering: connected components over LSH candidate pairs via "
+        "iterative min-label propagation (component = min doc_id); oracle is a "
+        "recursive-CTE reachability closure",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.exploded_shingles(docs), num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    pairs = D.candidate_pairs(buckets)
+    return D.connected_components(pairs, docs, id_col="doc_id")
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' reach me: u' || doc_id || '@mail.example.org, ip 10.1.2.'
+                  || (doc_id % 256) || ', tel +62 812 3456 78' || (doc_id % 10) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS scrubbed
+    FROM injected
+    """,
+    doc="PII scrub (emails, IPv4, phone-like digit runs) over deterministically "
+        "injected contact strings — the standard pre-training redaction pass",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach me: u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org, ip 10.1.2."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(", tel +62 812 3456 78"), (F.col("doc_id") % 10).cast("string"),
+    )
+    return docs.select("doc_id", TA.pii_scrub(injected).alias("scrubbed"))
+
+
 # ---------------------------------------------------------------------------
 # CUBE grouping sets and lag/lead analytics (agg/window family completion)
 # ---------------------------------------------------------------------------

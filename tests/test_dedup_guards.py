@@ -75,3 +75,44 @@ def test_embedding_near_dups_data_dependent_clusters(spark):
         .count()
     )
     assert len(pairs) <= full
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (forces multiple propagation rounds), a 2-node pair,
+    and an isolated vertex: components are labeled by their min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "doc_id long")
+    out = {r["doc_id"]: r["component"] for r in
+           D.connected_components(pairs, vertices).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_merging_clusters(spark):
+    """Two clusters bridged by one edge collapse to one component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 3)], "a long, b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4]], "doc_id long")
+    out = {r["doc_id"]: r["component"] for r in
+           D.connected_components(pairs, vertices).collect()}
+    assert set(out.values()) == {1}
+
+
+def test_pii_scrub_patterns(spark):
+    from etl_consumer_spark.extensions.text_analysis import pii_scrub
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@x-y.co.uk end", "mail <EMAIL> end"),
+            ("ip 192.168.0.1 here", "ip <IP> here"),
+            ("call +62 812-3456-789 now", "call <PHONE> now"),
+            ("clean text stays", "clean text stays"),
+        ],
+        "t string, want string",
+    )
+    got = df.select(pii_scrub(SF.col("t")).alias("s"), "want").collect()
+    for r in got:
+        assert r["s"] == r["want"]
