@@ -2116,6 +2116,128 @@ def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct, decorrelated "
+        "to a left-semi join before the aggregate",
+)
+def olap_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o.o_orderkey") == F.col("l.l_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate")
+    )
+    return (
+        o.alias("o")
+        .join(li.alias("l"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "olap_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left-outer join + two-level aggregate (orders-per-customer "
+        "histogram, zero-order customers included)",
+)
+def olap_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "olap_q17_small_qty_avg",
+    """
+    WITH lim AS (
+      SELECT l_partkey,
+             0.2 * (sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(*)) AS qty_lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT (sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0) AS avg_yearly
+    FROM lineitem l
+    JOIN lim ON lim.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 3 AND l.l_quantity < lim.qty_lim
+    """,
+    doc="TPC-H Q17 shape: correlated scalar avg subquery decorrelated to a pre-agg "
+        "join (exact decimal sums so the threshold is bit-identical cross-engine)",
+)
+def olap_q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lim = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"))
+        ).alias("qty_lim")
+    )
+    small_parts = part.filter(F.col("p_size") <= 3).select("p_partkey")
+    out = (
+        li.join(lim, "l_partkey")
+        .join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+    )
+    return out.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@register(
+    "analytic_time_buckets",
+    """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket_hour,
+           event_type,
+           count(*) AS n,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="hypertable-style continuous aggregate: 1-hour time buckets per event type "
+        "(the timescale rollup pattern; bucket key = truncated epoch so dtypes match "
+        "cross-engine)",
+)
+def analytic_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor("value").cast("long")).alias("sum_floor_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
     "olap_lag_lead",
     """
     SELECT o_custkey, o_orderkey,
