@@ -1532,6 +1532,43 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type,
+           date_trunc('hour', epoch_ms(epoch_ns(ts) // 1000000)) AS ts_hour
+    FROM events
+    """,
+    doc="streaming exactly-once dedup: 3x-duplicated input through "
+        "withWatermark + dropDuplicates (stateful streaming dedup operator), "
+        "one surviving row per event_id",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    tripled = ev.withColumn("_i", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))).drop("_i")
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    tripled.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(tripled.schema).parquet(f"{base}/in")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "event_id", "user_id", "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # F8 unicode char-map parity: inject the reference charMap specials into the
 # ASCII corpus so the translate/replace chain is oracle-verified, not just
@@ -2113,6 +2150,50 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "skew_salted_agg_join",
+    """
+    WITH agg AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+      FROM events GROUP BY event_type
+    ),
+    dim AS (SELECT DISTINCT event_type, md5(event_type) AS tag FROM events),
+    j AS (
+      SELECT e.event_type, d.tag, count(*) AS n_joined
+      FROM events e JOIN dim d ON e.event_type = d.event_type
+      GROUP BY e.event_type, d.tag
+    )
+    SELECT a.event_type, a.n, a.sum_floor_value, j.tag, j.n_joined
+    FROM agg a JOIN j ON a.event_type = j.event_type
+    """,
+    doc="skew operators preserve semantics: salted two-phase aggregation and "
+        "salt-replicated join produce exactly the plain groupBy/join results "
+        "(hot event_type keys spread across n_salts reducers)",
+)
+def skew_salted_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.skew import salted_agg, salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    agg = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("n", F.count("*"), F.sum("n")),
+            ("sum_floor_value", F.sum(F.floor("value").cast("long")), F.sum("sum_floor_value")),
+        ],
+    )
+    dim = ev.select("event_type").distinct().withColumn("tag", F.md5("event_type"))
+    joined = (
+        salted_join(ev, dim, ["event_type"])
+        .groupBy("event_type", "tag")
+        .agg(F.count("*").alias("n_joined"))
+    )
+    return agg.join(joined, "event_type").select(
+        "event_type", "n", "sum_floor_value", "tag", "n_joined"
+    )
 
 
 @register(
