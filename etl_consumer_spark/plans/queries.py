@@ -2292,7 +2292,7 @@ def olap_q17_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS bucket_hour,
            event_type,
            count(*) AS n,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value,
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
