@@ -32,13 +32,14 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     ``right_ts <= left_ts`` for the same key (direction='backward'; the
-    standard trades-vs-quotes semantics).
+    standard trades-vs-quotes semantics), or of the earliest right row with
+    ``right_ts >= left_ts`` (direction='forward'; next-event attribution).
 
     Right rows must be unique per (key, right_ts) for deterministic output
     — pre-aggregate the right side if not.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r_tagged = (
         right.select(
@@ -61,13 +62,23 @@ def asof_join(
           for c in l_cols if c != key],
     )
     unioned = l_u.unionByName(r_u)
-    # right rows (side=0) sort before left rows at the same timestamp -> "<="
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows (side=0) sort before left rows at the same timestamp -> "<="
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    else:
+        # forward: first right payload at-or-after; right rows sort AFTER the
+        # left rows they tie with (side desc) so "=" stays in the frame
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("_ats").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.withColumn("_asof", F.first("_payload", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1).select(
         F.col(key),
         *[F.col(f"_l_{c}").alias(c) for c in l_cols if c != key],

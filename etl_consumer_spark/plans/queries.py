@@ -1395,6 +1395,47 @@ def analytic_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytic_asof_join_forward",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           r.o_orderkey AS next_orderkey, r.o_totalprice AS next_totalprice
+    FROM (SELECT event_id, user_id, epoch_ms(epoch_ns(ts) // 1000000) AS ts FROM events) e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    """,
+    doc="as-of (forward) join: earliest order at-or-after each event — the "
+        "carry-backward mirror of the backward plan (first-over-following window)",
+)
+def analytic_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.analytic import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", F.col("user_id").alias("k"), "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .select(F.col("o_custkey").alias("k"), "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    out = asof_join(
+        ev, r, key="k", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+
+
+@register(
     "analytic_sessionize",
     """
     WITH e AS (
@@ -2193,6 +2234,71 @@ def skew_salted_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.join(joined, "event_type").select(
         "event_type", "n", "sum_floor_value", "tag", "n_joined"
+    )
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="incremental rollup maintenance: aggregate an 80% 'history' slice and a "
+        "20% 'new batch' slice separately, merge the mergeable partials — equals "
+        "the full rescan (the continuous-aggregate pattern, O(batch) per refresh)",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.rollup import merge_partial_rollups
+
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.floor("value").cast("long")).alias("sum_floor_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+    history = ev.filter(F.col("event_id") % 5 < 4).groupBy("event_type").agg(*aggs)
+    batch = ev.filter(F.col("event_id") % 5 == 4).groupBy("event_type").agg(*aggs)
+    return merge_partial_rollups(
+        [history, batch],
+        ["event_type"],
+        {"n": "count", "sum_floor_value": "sum", "min_value": "min", "max_value": "max"},
+    )
+
+
+@register(
+    "sim_embedding_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS mx
+      FROM embeddings
+    )
+    SELECT vec_id, u.i AS dim,
+           CAST(floor(embedding[u.i]::DOUBLE * 127 / mx + 0.5) AS INT) AS q
+    FROM m, unnest(generate_series(1, len(embedding))) AS u(i)
+    WHERE mx > 0
+    """,
+    doc="int8 scalar quantization of embeddings (per-vector max-abs scale, "
+        "explicit floor(x+0.5) rounding so both engines agree) — the memory-4x "
+        "compression step before large-scale ANN",
+)
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    exploded = (
+        emb.withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .select("vec_id", "_mx", F.posexplode("embedding").alias("pos", "x"))
+    )
+    return exploded.select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 127 / F.col("_mx") + 0.5).cast("int").alias("q"),
     )
 
 

@@ -44,3 +44,43 @@ def test_sessionize_gaps(spark):
     by = {(r["user"], r["ts"].minute): r["session_id"] for r in out}
     assert by[(1, 0)] == 1 and by[(1, 10)] == 1 and by[(1, 50)] == 2
     assert by[(2, 0)] == 1
+
+
+def test_asof_join_forward_with_ties(spark):
+    """Forward direction: earliest right payload at-or-after the left ts;
+    an exact-timestamp right row counts (>=), later left rows get null."""
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.operators.analytic import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 11), (1, 25), (2, 3)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 1, "z")], "k long, rts long, tag string"
+    )
+    out = {
+        (r["k"], r["ts"]): r["tag"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            payload_cols=["tag"], direction="forward",
+        ).collect()
+    }
+    assert out == {
+        (1, 5): "a",    # next right at 10
+        (1, 10): "a",   # tie: right at the same ts counts
+        (1, 11): "b",
+        (1, 25): None,  # nothing after
+        (2, 3): None,   # right at 1 is before, not after
+    }
+
+
+def test_asof_join_bad_direction(spark):
+    import pytest as _pytest
+
+    from etl_consumer_spark.operators.analytic import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
+                  payload_cols=[], direction="sideways")
