@@ -86,3 +86,60 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_M) -> float:
 def hll_count_distinct(df: DataFrame, value: Column) -> float:
     regs = [(r["bucket"], r["r"]) for r in hll_registers(df, value).collect()]
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: m bits as m/64 longs, k md5-derived hash positions.
+# Like the HLL above, the bitmap is register-exact across engines, and
+# bit_or is associative so per-partition partials combine map-side — the
+# operator scales as an ordinary groupBy. Spark's own BloomFilter
+# (DataFrameStatFunctions) is engine-opaque; this one any system can verify.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1024  # bits
+BLOOM_K = 4     # hash functions (8 hex digits of md5 each)
+
+
+def bloom_positions(key: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """Array of k bit positions in [0, m) for one key: position j comes from
+    hex digits [8j, 8j+8) of md5(key) — independent 32-bit slices."""
+    h = F.md5(key.cast("string"))
+    return F.array(
+        *[
+            F.pmod(F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"), F.lit(m))
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_bits(df: DataFrame, key_col: str = "key", k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """Build the filter: (word_idx, bits) rows, one per occupied 32-bit
+    word (32-bit words keep every shifted value positive and inside BIGINT
+    range in every engine — DuckDB overflow-checks ``1 << 63``). Merge two
+    filters by unioning and re-aggregating with bit_or."""
+    pos = (
+        df.select(F.explode(bloom_positions(F.col(key_col), k, m)).alias("p"))
+        .distinct()
+    )
+    return (
+        pos.select(
+            F.expr("cast(p div 32 as int)").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_might_contain(bits_by_word: dict[int, int], key: str, k: int = BLOOM_K, m: int = BLOOM_M) -> bool:
+    """Driver-side membership probe against a collected filter (no false
+    negatives; false-positive rate ~(1 - e^(-kn/m))^k)."""
+    import hashlib
+
+    h = hashlib.md5(key.encode()).hexdigest()
+    for j in range(k):
+        p = int(h[8 * j : 8 * j + 8], 16) % m
+        word, bit = p // 32, p % 32
+        if not (bits_by_word.get(word, 0) >> bit) & 1:
+            return False
+    return True

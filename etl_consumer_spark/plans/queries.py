@@ -2238,6 +2238,112 @@ def skew_salted_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_window_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER w AS first_k,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+           nth_value(o_orderkey, 2) OVER w AS second_k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+    """,
+    doc="ranking/distribution window family: ntile, percent_rank, cume_dist, "
+        "first/last/nth_value with explicit frames",
+)
+def olap_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").asc())
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_k"),
+        F.last("o_orderkey").over(w_full).alias("last_k"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_k"),
+    )
+
+
+@register(
+    "sketch_bloom_filter",
+    """
+    WITH pos AS (
+      SELECT DISTINCT
+             (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 8*j.j, 8))::BIGINT
+              % 1024) AS p
+      FROM orders, unnest([0, 1, 2, 3]) AS j(j)
+    )
+    SELECT CAST(p // 32 AS INT) AS word_idx,
+           CAST(bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS BIGINT) AS bits
+    FROM pos GROUP BY 1
+    """,
+    doc="portable Bloom filter (1024 bits as 32-bit words, k=4 md5-derived hashes) — "
+        "register-exact across engines like the HLL sketch; bitmaps merge with "
+        "bit_or so per-partition partials combine map-side",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import bloom_bits
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_bits(orders.select(F.col("o_custkey").cast("string").alias("key")))
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (n.n_docs::DOUBLE / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="TF-IDF-style top-3 terms per document (rational idf N/df instead of "
+        "log so the score is bit-identical cross-engine; ties broken by term)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+@register(
     "rollup_incremental_merge",
     """
     SELECT event_type,

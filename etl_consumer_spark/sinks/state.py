@@ -78,10 +78,25 @@ class ParquetStateStore:
         """Seed version 0 of a state table."""
         self._write_version(table, df, 0)
 
-    def read(self, table: str) -> DataFrame:
-        v = self.current_version(table)
+    def versions(self, table: str) -> list[int]:
+        """All retained version numbers, ascending — every upsert/evolve
+        leaves its predecessor intact, so the versioned store doubles as a
+        time-travel log (the poor man's Delta history)."""
+        import re
+
+        try:
+            names = os.listdir(self._table_dir(table))
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for n in names if (m := re.fullmatch(r"v(\d+)", n)))
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current state, or a historical version (time travel)."""
+        v = self.current_version(table) if version is None else version
         if v is None:
             raise FileNotFoundError(f"state table {table} not initialized under {self.base}")
+        if version is not None and version not in self.versions(table):
+            raise FileNotFoundError(f"version {version} of {table} does not exist")
         return self.spark.read.parquet(f"{self._table_dir(table)}/v{v}")
 
     def _write_version(self, table: str, df: DataFrame, version: int) -> None:

@@ -101,3 +101,25 @@ def test_republish_delay_header_and_split_due(spark):
     # messages without the header are immediately due
     due3, deferred3 = split_due(df, now_ms=0)
     assert due3.count() == 1 and deferred3.count() == 0
+
+
+def test_versioned_store_time_travel(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    store = ParquetStateStore(spark, str(tmp_path / "tt"))
+    store.init("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    img = "struct<id:long,v:string>"
+    ev = spark.range(1).select(
+        F.expr(f"cast(null as {img})").alias("before"),
+        F.expr("named_struct('id', 2L, 'v', 'b')").alias("after"),
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(1).cast("long").alias("ts_ms"),
+    )
+    store.upsert("t", ev, ["id"])
+    assert store.versions("t") == [0, 1]
+    assert store.read("t").count() == 2
+    assert store.read("t", version=0).count() == 1          # time travel
+    assert [r["id"] for r in store.read("t", version=0).collect()] == [1]
+    with _pytest.raises(FileNotFoundError):
+        store.read("t", version=7)

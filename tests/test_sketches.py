@@ -28,3 +28,30 @@ def test_hll_merge_is_max_per_bucket():
     for bk, r in a + b:
         merged[bk] = max(merged.get(bk, 0), r)
     assert hll_estimate(list(merged.items())) >= max(hll_estimate(a), hll_estimate(b))
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.extensions.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    keys_a = [f"k{i}" for i in range(0, 50)]
+    keys_b = [f"k{i}" for i in range(50, 100)]
+    df_a = spark.createDataFrame([(k,) for k in keys_a], "key string")
+    df_b = spark.createDataFrame([(k,) for k in keys_b], "key string")
+    bits_a = {r["word_idx"]: r["bits"] for r in bloom_bits(df_a).collect()}
+    # no false negatives
+    assert all(bloom_might_contain(bits_a, k) for k in keys_a)
+    # most absent keys are rejected (fp rate at n=50, m=1024, k=4 is ~2%)
+    rejected = sum(not bloom_might_contain(bits_a, f"absent{i}") for i in range(200))
+    assert rejected >= 180
+    # merging filters = union + bit_or, equals the filter over the union
+    merged_df = bloom_bits(df_a).unionByName(bloom_bits(df_b)) \
+        .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    merged = {r["word_idx"]: r["bits"] for r in merged_df.collect()}
+    direct = {r["word_idx"]: r["bits"]
+              for r in bloom_bits(df_a.unionByName(df_b)).collect()}
+    assert merged == direct
