@@ -1436,6 +1436,89 @@ def analytic_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytic_range_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(epoch_ms(epoch_ns(ts) // 1000000) AS DATE) AS d
+      FROM events
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+    FROM e JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate BETWEEN e.d - 3 AND e.d + 3
+    """,
+    doc="banded range join: orders within ±3 days of each event per user — left "
+        "rows replicate into overlapped coarse buckets, equi-join on (key, bucket), "
+        "exact range filter after (no per-key cross product)",
+)
+def analytic_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.analytic import range_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.unix_date(F.col("ts").cast("date")).alias("ed"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            "o_orderdate",
+            F.unix_date("o_orderdate").alias("od"),
+        )
+    )
+    out = range_join(
+        ev, orders, key="user_id", left_point="ed", right_point="od",
+        lower=-3, upper=3,
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "stream_stateful_running_counts",
+    """
+    SELECT user_id,
+           count(*) AS running_count,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS DOUBLE) AS running_sum
+    FROM events GROUP BY user_id
+    """,
+    doc="custom stateful streaming (applyInPandasWithState): per-key running "
+        "(count, sum) across micro-batches; final state equals the batch aggregate "
+        "(integer-valued sums keep accumulation order-independent)",
+)
+def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from etl_consumer_spark.streaming.stateful import streaming_running_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor("value").cast("double").alias("fv")
+    )
+    base = tempfile.mkdtemp(prefix="stream_state_")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    counts = streaming_running_counts(stream, key_col="user_id", value_col="fv")
+    sink = f"rc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # running counters are monotone; the final value per key is the max
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("running_count").alias("running_count"), F.max("running_sum").alias("running_sum"))
+    )
+
+
+@register(
     "analytic_sessionize",
     """
     WITH e AS (

@@ -84,3 +84,24 @@ def test_asof_join_bad_direction(spark):
     with _pytest.raises(ValueError):
         asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
                   payload_cols=[], direction="sideways")
+
+
+def test_range_join_bounds_and_negative_buckets(spark):
+    """Exact interval semantics at the bucket boundary, including negative
+    points (floor-division bucketing, not truncate-toward-zero)."""
+    from etl_consumer_spark.operators.analytic import range_join
+
+    left = spark.createDataFrame(
+        [(1, -5), (1, 0), (1, 7), (2, 0)], "k long, lp long"
+    )
+    right = spark.createDataFrame(
+        [(1, -8), (1, -3), (1, 0), (1, 2), (1, 9), (2, 3)], "k long, rp long"
+    )
+    out = {
+        (r["k"], r["lp"], r["rp"])
+        for r in range_join(
+            left, right, key="k", left_point="lp", right_point="rp",
+            lower=-2, upper=2, bucket_width=3,
+        ).collect()
+    }
+    assert out == {(1, -5, -3), (1, 0, 0), (1, 0, 2), (1, 7, 9)}
