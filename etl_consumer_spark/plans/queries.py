@@ -1439,40 +1439,41 @@ def analytic_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytic_range_join",
     """
     WITH e AS (
-      SELECT event_id, user_id,
-             CAST(epoch_ms(epoch_ns(ts) // 1000000) AS DATE) AS d
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000000000 AS es
       FROM events
     )
-    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
-    FROM e JOIN orders o
-      ON o.o_custkey = e.user_id
-     AND o.o_orderdate BETWEEN e.d - 3 AND e.d + 3
+    SELECT err.event_id AS error_id, err.user_id,
+           clk.event_id AS click_id,
+           CAST(clk.es - err.es AS BIGINT) AS gap_s
+    FROM e err JOIN e clk
+      ON err.user_id = clk.user_id
+     AND err.event_type = 'error' AND clk.event_type = 'click'
+     AND clk.es BETWEEN err.es - 3600 AND err.es + 3600
     """,
-    doc="banded range join: orders within ±3 days of each event per user — left "
-        "rows replicate into overlapped coarse buckets, equi-join on (key, bucket), "
-        "exact range filter after (no per-key cross product)",
+    doc="banded range join: clicks within 1 hour of each error per user (funnel "
+        "attribution) — left rows replicate into overlapped coarse buckets, "
+        "equi-join on (key, bucket), exact range filter after; no per-key cross product",
 )
 def analytic_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.operators.analytic import range_join
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", F.unix_date(F.col("ts").cast("date")).alias("ed"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("es")
     )
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            "o_orderkey",
-            "o_orderdate",
-            F.unix_date("o_orderdate").alias("od"),
-        )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"), F.col("es")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("es").alias("ces")
     )
     out = range_join(
-        ev, orders, key="user_id", left_point="ed", right_point="od",
-        lower=-3, upper=3,
+        errors, clicks, key="user_id", left_point="es", right_point="ces",
+        lower=-3600, upper=3600,
     )
-    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    return out.select(
+        "error_id", "user_id", "click_id", (F.col("ces") - F.col("es")).alias("gap_s")
+    )
 
 
 @register(
@@ -2224,6 +2225,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
     pairs = D.candidate_pairs(buckets)
     return D.connected_components(pairs, docs, id_col="doc_id")
+
+
+@register(
+    "dedup_keep_list",
+    SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_common
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    ),
+    jac AS (
+      SELECT c.a, c.b
+      FROM cand c
+      JOIN inter i ON i.a = c.a AND i.b = c.b
+      JOIN sizes za ON za.doc_id = c.a
+      JOIN sizes zb ON zb.doc_id = c.b
+      WHERE i.n_common / (za.sz + zb.sz - i.n_common) >= 0.5
+    ),
+    edges AS (SELECT a AS u, b AS v FROM jac UNION SELECT b, a FROM jac),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS root FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(root) AS component,
+           node = min(root) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    doc="END-TO-END near-dup dedup pipeline: MinHash -> LSH candidates -> exact "
+        "Jaccard >= 0.5 verify -> connected components -> keep-list (keeper = min "
+        "doc_id per component) — the full corpus-curation composition in one query",
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    cand = D.candidate_pairs(buckets)
+    verified = D.jaccard_pairs(sh, cand, threshold=0.5).select("a", "b")
+    cc = D.connected_components(verified, docs, id_col="doc_id")
+    return cc.select(
+        "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("is_keeper")
+    )
 
 
 @register(

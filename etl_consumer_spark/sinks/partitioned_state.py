@@ -217,6 +217,11 @@ class PartitionedParquetStateStore:
         try:
             (
                 new_slice.withColumn("_bucket", self._bucket(pk_cols, layout))
+                # hash-cluster on the bucket before the write: each touched
+                # bucket lands in exactly one task -> ONE file per bucket
+                # per rewrite (vs tasks x buckets small files — CDC batches
+                # are small, so compact files beat intra-bucket parallelism)
+                .repartition(max(len(touched), 1), "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self._path(table))

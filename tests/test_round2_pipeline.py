@@ -187,6 +187,9 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
             continue
         assert after[k] == v, f"untouched bucket file changed: {k}"
     assert store.read("t").filter("id = 15").collect()[0]["amount"] == 5.0
+    # compact rewrite: the touched bucket holds exactly one parquet file
+    b1 = [f for f in os.listdir(str(tmp_path / "t" / "_bucket=1")) if f.endswith(".parquet")]
+    assert len(b1) == 1
 
 
 def test_partitioned_store_survives_full_emptying(spark, tmp_path):
