@@ -177,8 +177,12 @@ class PartitionedParquetStateStore:
         events: DataFrame,
         pk_cols: list[str],
         missing_update: str = "upsert",
+        broadcast_threshold: int | None = 2_000_000,
     ) -> int:
-        """Apply one micro-batch; returns the number of rewritten buckets."""
+        """Apply one micro-batch; returns the number of rewritten buckets.
+
+        Batches above ``broadcast_threshold`` rows use the sort-merge apply
+        (a backfill flood must not be broadcast); None skips the count."""
         layout = self._layout(table)
         key_cols = [
             F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in pk_cols
@@ -197,9 +201,13 @@ class PartitionedParquetStateStore:
         else:
             # fully-emptied (or never-seeded) table: only the sidecar is left
             state_slice = self._empty(table)
+        broadcast = True
+        if broadcast_threshold is not None:
+            broadcast = events.count() <= broadcast_threshold
         handle: list = []
         new_slice = apply_cdc(
-            state_slice, events, pk_cols, missing_update=missing_update, cache_handle=handle
+            state_slice, events, pk_cols, missing_update=missing_update,
+            broadcast_batch=broadcast, cache_handle=handle,
         ).cache()
         # Materialize the merged slice and its surviving-bucket set BEFORE
         # the overwrite: the plan reads the very files the write replaces,

@@ -121,18 +121,33 @@ class ParquetStateStore:
         self._write_version(table, df, v)
 
     def upsert(
-        self, table: str, events: DataFrame, pk_cols: list[str], missing_update: str = "upsert"
+        self,
+        table: str,
+        events: DataFrame,
+        pk_cols: list[str],
+        missing_update: str = "upsert",
+        broadcast_threshold: int | None = 2_000_000,
     ) -> int:
         """Apply one micro-batch of CDC events; returns the new version.
 
         Default mode is ``upsert`` compaction — exact for consistent ordered
         CDC streams including within-batch insert→update chains (see
         apply_cdc docstring); pass ``noop`` for strict per-statement
-        reference semantics."""
+        reference semantics.
+
+        Batches larger than ``broadcast_threshold`` rows take the sort-merge
+        (full-outer) apply instead of broadcasting the compacted batch — a
+        snapshot/backfill flood must not be broadcast to every executor.
+        The one count() job is the price of not OOMing; pass None to skip
+        the check for latency-critical small-batch paths."""
         state = self.read(table)
+        broadcast = True
+        if broadcast_threshold is not None:
+            broadcast = events.count() <= broadcast_threshold
         handle: list = []
         new_state = apply_cdc(
-            state, events, pk_cols, missing_update=missing_update, cache_handle=handle
+            state, events, pk_cols, missing_update=missing_update,
+            broadcast_batch=broadcast, cache_handle=handle,
         )
         v = (self.current_version(table) or 0) + 1
         self._write_version(table, new_state, v)

@@ -283,3 +283,37 @@ def test_range_bucket_exact_above_2_53(spark, tmp_path):
     expected = big // 10
     assert os.path.isdir(str(tmp_path / "t" / f"_bucket={expected}"))
     assert store.read("t").collect()[0]["id"] == big
+
+
+def test_upsert_backfill_takes_sort_merge_path(spark, tmp_path):
+    """A batch above broadcast_threshold must still apply correctly through
+    the full-outer sort-merge path (both store backends)."""
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.sinks.state import ParquetStateStore
+
+    img = "struct<id:long,province_id:long,seq:long,amount:double,created_day:date>"
+    seed = spark.createDataFrame([(i, 0, 0, 1.0, None) for i in range(1, 21)], STATE_DDL)
+    events = spark.range(10, 40).select(
+        F.expr(f"cast(null as {img})").alias("before"),
+        F.expr(
+            "named_struct('id', id + 1, 'province_id', 9L, 'seq', 1L,"
+            " 'amount', 2.0D, 'created_day', cast(null as date))"
+        ).cast(img).alias("after"),
+        F.col("id").alias("pos"),
+        F.lit(1).cast("long").alias("ts_ms"),
+    )
+    for Store, path in [
+        (ParquetStateStore, tmp_path / "v"),
+        (PartitionedParquetStateStore, tmp_path / "p"),
+    ]:
+        store = Store(spark, str(path))
+        if Store is ParquetStateStore:
+            store.init("t", seed)
+        else:
+            store.init("t", seed, ["id"])
+        # threshold 5 < 30 events -> sort-merge branch
+        store.upsert("t", events, ["id"], broadcast_threshold=5)
+        out = {r["id"]: r["amount"] for r in store.read("t").collect()}
+        assert len(out) == 40  # 20 seed + 20 new (ids 21..40); 11..20 upserted
+        assert out[15] == 2.0 and out[5] == 1.0 and out[40] == 2.0
