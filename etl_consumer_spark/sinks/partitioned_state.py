@@ -100,16 +100,17 @@ class PartitionedParquetStateStore:
     def _bucket(self, pk_cols: list[str], layout: dict):
         return self._bucket_of([F.col(c) for c in pk_cols], layout)
 
-    def init(self, table: str, df: DataFrame, pk_cols: list[str]) -> None:
-        k = self.n_buckets
-        if k is None and self.bucket_mode == "hash":
-            # data-dependent bucket count: one count() per table lifetime
-            k = max(8, min(4096, -(-df.count() // self.target_bucket_rows)))
-        layout = {
-            "bucket_mode": self.bucket_mode,
-            "n_buckets": k or 64,
-            "range_size": self.range_size,
-        }
+    def init(self, table: str, df: DataFrame, pk_cols: list[str], layout: dict | None = None) -> None:
+        if layout is None:
+            k = self.n_buckets
+            if k is None and self.bucket_mode == "hash":
+                # data-dependent bucket count: one count() per table lifetime
+                k = max(8, min(4096, -(-df.count() // self.target_bucket_rows)))
+            layout = {
+                "bucket_mode": self.bucket_mode,
+                "n_buckets": k or 64,
+                "range_size": self.range_size,
+            }
         (
             df.withColumn("_bucket", self._bucket(pk_cols, layout))
             .write.mode("overwrite")
@@ -160,6 +161,10 @@ class PartitionedParquetStateStore:
         m = re.match(r"(?i)ALTER TABLE \w+ RENAME COLUMN (\w+) TO (\w+)", statement)
         if m and m.group(1) in pk:
             pk = [m.group(2) if c == m.group(1) else c for c in pk]
+        # the table's PERSISTED layout survives evolution — a store instance
+        # constructed with different bucket settings must not silently
+        # re-bucket someone else's table
+        layout = self._layout(table)
         # stage to a sibling dir first: init() overwrites the path the
         # evolved plan still reads from
         tmp = f"{self._path(table)}__evolving"
@@ -168,7 +173,7 @@ class PartitionedParquetStateStore:
             staged = self.spark.read.parquet(tmp)
         except Exception:  # noqa: BLE001 — zero-row stage leaves no files to infer from
             staged = self.spark.createDataFrame([], df.schema)
-        self.init(table, staged, pk)
+        self.init(table, staged, pk, layout=layout)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(

@@ -64,3 +64,27 @@ def test_partitioned_delete_empties_bucket(spark, tmp_path):
     events = ev_rows(spark, [(Row(id=1, v=10), None, 1, 0)])
     store.upsert("t", events, ["id"])
     assert store.read("t").count() == 0
+
+
+def test_evolve_preserves_persisted_layout(spark, tmp_path):
+    """evolve() must keep the table's persisted bucket layout even when the
+    acting store instance was constructed with different settings."""
+    import json
+
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+    writer = PartitionedParquetStateStore(
+        spark, str(tmp_path), bucket_mode="range", range_size=10
+    )
+    writer.init("t", spark.createDataFrame([(15, "a")], "id long, v string"), ["id"])
+    # a differently-configured instance evolves the same table
+    other = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    other.evolve("t", "ALTER TABLE t ADD COLUMNS (extra INT)")
+    with open(f"{tmp_path}/t/_layout.json") as fh:
+        layout = json.loads(fh.read())
+    assert layout["bucket_mode"] == "range" and layout["range_size"] == 10
+    assert "extra" in other.read("t").columns
+    # rows still live in their range bucket (15 div 10 = 1)
+    import os
+
+    assert os.path.isdir(str(tmp_path / "t" / "_bucket=1"))
