@@ -1,5 +1,7 @@
-"""Relational/CDC operator surface (SURVEY §2.3-§2.5)."""
+"""Relational/CDC operator surface (SURVEY §2.3-§2.5) plus the analytic
+family (as-of/range joins, sessionization, skew ops, rollup maintenance)."""
 
+from etl_consumer_spark.operators.analytic import asof_join, range_join, sessionize
 from etl_consumer_spark.operators.apply import (
     OP_DELETE,
     OP_INSERT,
@@ -22,10 +24,13 @@ from etl_consumer_spark.operators.ddl import (
 from etl_consumer_spark.operators.retry import (
     loop_count_from_headers,
     next_attempt,
+    not_before_from_headers,
     republish_gate,
     republish_headers,
     with_retry_columns,
 )
+from etl_consumer_spark.operators.rollup import merge_partial_rollups
+from etl_consumer_spark.operators.skew import salted_agg, salted_join
 from etl_consumer_spark.operators.routing import (
     BLOCKLIST,
     RECLAIM_LIST,
@@ -52,6 +57,7 @@ __all__ = [
     "apply_cdc_full_row",
     "apply_cdc_sequential",
     "apply_ddl_batch",
+    "asof_join",
     "classify_op",
     "compact_events",
     "ddl_pipeline",
@@ -64,12 +70,18 @@ __all__ = [
     "is_schema_topic",
     "last_writer_wins",
     "loop_count_from_headers",
+    "merge_partial_rollups",
     "next_attempt",
+    "not_before_from_headers",
     "passthrough_query",
+    "range_join",
     "republish_gate",
     "republish_headers",
     "route_dml",
     "route_schema",
+    "salted_agg",
+    "salted_join",
+    "sessionize",
     "table_whitelist",
     "translate_mysql_ddl",
     "translate_mysql_type",
