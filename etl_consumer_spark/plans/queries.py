@@ -2289,6 +2289,56 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source, text,
+             {_RATIO_SQL.format(words="['the','and','of','to','a','in','is','it']")} AS r_en,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             length(replace(text, ' ', '')) AS n_char_nospace
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text,
+             (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN n_char_nospace / n_tok BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN r_en > 0.05 THEN 0.3 ELSE 0.0 END) AS quality
+      FROM r
+    ),
+    f AS (SELECT * FROM q WHERE quality >= 0.7),
+    k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM f GROUP BY 1),
+    kept AS (
+      SELECT f.doc_id, f.source, f.quality
+      FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keeper
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rnk
+      FROM kept
+    )
+    SELECT doc_id, source, quality FROM ranked WHERE rnk <= 50
+    """,
+    doc="END-TO-END corpus curation: quality gate (>= 0.7) -> exact-dedup keeper "
+        "-> per-source quota (50) — the selection pass a pretraining pipeline runs "
+        "before tokenization, composed from the engine's text/dedup/sampling ops",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import per_group_quota
+    from etl_consumer_spark.extensions.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    scored = docs.select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
+    )
+    good = scored.filter(F.col("quality") >= 0.7)
+    keepers = good.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = good.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    out = per_group_quota(kept, "source", quota=50, order_col="doc_id")
+    return out.select("doc_id", "source", "quality")
+
+
+@register(
     "text_pii_scrub",
     r"""
     WITH injected AS (
