@@ -149,13 +149,37 @@ def candidate_pairs(
     other bands; an over-full bucket is also a signal the band is
     uninformative for those docs."""
     if max_bucket_size is not None:
-        hot = (
+        # Capped path: ONE pass — group each (band, bucket) to its id array,
+        # drop over-full buckets, expand a<b pairs map-side (≤ cap² per
+        # bucket, bounded). The join formulation below would recompute the
+        # whole upstream MinHash pipeline once per join side (alias-renamed
+        # projections defeat exchange reuse): measured 15 s → ~3 s at sf0.1.
+        grouped = (
             buckets.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band", "bucket")
+            .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+            .filter(F.size("_ids") <= max_bucket_size)
         )
-        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        ids = F.array_sort("_ids")
+        pair_structs = F.filter(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+        return (
+            grouped.select(F.explode(pair_structs).alias("_p"))
+            .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .distinct()
+        )
+    # Uncapped path: bucket self-join (an unbounded bucket must spread over
+    # tasks, not sit in one array). Pre-partition the SHARED frame on the
+    # join key so the expensive upstream (shingle explode + MinHash) is
+    # computed behind one exchange that both sides reuse.
+    par = buckets.sparkSession.sparkContext.defaultParallelism
+    buckets = buckets.repartition(par, "band", "bucket")
     left = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
     right = buckets.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
     return (
