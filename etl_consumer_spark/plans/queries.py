@@ -2289,6 +2289,29 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_json_extract",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+    doc="JSON column functions over the events.props payload: path extraction "
+        "(get_json_object), typed parse (from_json struct), existence probe",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    typed = F.from_json(F.col("props"), "k long")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        typed.getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    )
+
+
+@register(
     "corpus_curation_pipeline",
     f"""
     WITH r AS (
