@@ -265,24 +265,21 @@ def connected_components(
                 .groupBy(u)
                 .agg(F.min("_nl").alias("_nmin"))
             )
+            nmin = F.coalesce("_nmin", F.col("component"))
+            # carry the convergence flag through the checkpoint: the probe
+            # is then a scan of already-materialized blocks, not a re-join
+            # of the old label frame
             new_labels = (
                 labels.join(neighbor_min, u, "left")
                 .select(
                     F.col(u),
-                    F.least(F.col("component"), F.coalesce("_nmin", F.col("component"))).alias(
-                        "component"
-                    ),
+                    F.least(F.col("component"), nmin).alias("component"),
+                    (nmin < F.col("component")).alias("_changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), u)
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter("_changed").limit(1).count()
+            labels = new_labels.drop("_changed")
             if changed == 0:
                 break
     finally:
