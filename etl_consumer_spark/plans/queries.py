@@ -1548,6 +1548,85 @@ def analytic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "analytic_session_stats",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ms(epoch_ns(ts) // 1000000) AS ts FROM events
+    ),
+    g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    s AS (
+      SELECT event_id, user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="session-level rollup on top of sessionization: events per session and "
+        "session duration (two stacked windows + one aggregate, single shuffle key)",
+)
+def analytic_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.analytic import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+
+
+@register(
+    "olap_not_in_null_semantics",
+    """
+    WITH sub AS (
+      SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)) AS n_not_exists
+    """,
+    doc="three-valued NOT IN vs NOT EXISTS: one NULL in the subquery makes NOT IN "
+        "empty while NOT EXISTS keeps matching — the classic SQL-semantics trap, "
+        "expressed as a null-aware anti join vs a plain anti join",
+)
+def olap_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    sub = o.select(
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    # NOT IN is null-aware (three-valued): one NULL in the subquery makes
+    # the predicate UNKNOWN for every non-member, so no row ever qualifies
+    has_null = sub.agg(F.max(F.col("k").isNull()).alias("hn"))
+    not_in = (
+        c.join(sub.filter(F.col("k").isNotNull()).distinct(),
+               c.c_custkey == F.col("k"), "left_anti")
+        .crossJoin(F.broadcast(has_null))
+        .filter(~F.col("hn"))  # a NULL in sub -> zero rows qualify
+    )
+    not_exists = c.join(
+        sub.filter(F.col("k").isNotNull()).distinct(), c.c_custkey == F.col("k"), "left_anti"
+    )
+    return not_in.agg(F.count("*").alias("n_not_in")).crossJoin(
+        not_exists.agg(F.count("*").alias("n_not_exists"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / pivot / percentiles (agg-family coverage)
 # ---------------------------------------------------------------------------
