@@ -1306,6 +1306,135 @@ def stream_cdc_full_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdc_multi_table",
+    """
+    WITH state AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    ord AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      FROM state WHERE o_orderkey % 4 <> 1
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 3
+    ),
+    cst AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 <> 1)
+    SELECT 'orders' AS table_name, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+    FROM ord
+    UNION ALL
+    SELECT 'custs', count(*), CAST(sum(c_custkey) AS BIGINT), 0.0 FROM cst
+    """,
+    doc="two tables through ONE availableNow stream: per-topic routing (P1), "
+        "independent decode specs and per-table state applies in a single "
+        "micro-batch pipeline, verified via per-table aggregate checksums",
+)
+def stream_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey") % 4
+    row_img = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    img_t = "struct<o_orderkey:long,o_custkey:long,o_orderstatus:string,o_totalprice:double>"
+
+    def env(topic, table, before, after, pos):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.struct(
+                        F.lit("srv").alias("name"), F.lit("db0").alias("db"),
+                        F.lit(table).alias("table"), pos.alias("pos"),
+                        F.lit(0).alias("row"),
+                    ).alias("source"),
+                    F.lit("c").alias("op"), F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).cast("binary")
+
+    ord_env = orders.filter(k != 2).select(
+        F.lit("srv.db0.orders").alias("topic"),
+        env(
+            "srv.db0.orders", "orders",
+            F.when(k == 3, F.lit(None).cast(img_t)).otherwise(row_img),
+            F.when(k == 1, F.lit(None).cast(img_t)).when(k == 0, upd_img).otherwise(row_img),
+            F.col("o_orderkey"),
+        ).alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    c_img = "struct<c_custkey:long,c_name:string>"
+    c_row = F.struct("c_custkey", "c_name")
+    ins = cust.select(
+        F.lit("srv.db0.custs").alias("topic"),
+        env("srv.db0.custs", "custs", F.lit(None).cast(c_img), c_row, F.col("c_custkey")).alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 4 == 1).select(
+        F.lit("srv.db0.custs").alias("topic"),
+        env("srv.db0.custs", "custs", c_row, F.lit(None).cast(c_img),
+            F.col("c_custkey") + 10_000_000).alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_multi_")
+    ord_env.unionByName(ins).unionByName(dels).write.mode("overwrite").parquet(f"{base}/transport")
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders", "custs"]
+    specs = [
+        TableSpec("orders", [
+            WireField("o_orderkey", "int64"), WireField("o_custkey", "int64"),
+            WireField("o_orderstatus", "string"), WireField("o_totalprice", "float64"),
+        ], ["o_orderkey"]),
+        TableSpec("custs", [
+            WireField("c_custkey", "int64"), WireField("c_name", "string"),
+        ], ["c_custkey"]),
+    ]
+    pipe = CDCPipeline(spark, cfg, specs, state_path=f"{base}/state")
+    pipe.store.init("orders", orders.filter(k != 3), ["o_orderkey"])
+    pipe.store.init(
+        "custs", spark.createDataFrame([], "c_custkey long, c_name string"), ["c_custkey"]
+    )
+    q = pipe.start(
+        file_envelope_stream(spark, f"{base}/transport"),
+        checkpoint_dir=f"{base}/ckpt", trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    ord_state = pipe.store.read("orders")
+    cst_state = pipe.store.read("custs")
+    ord_agg = ord_state.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+    )
+    cst_agg = cst_state.agg(
+        F.lit("custs").alias("table_name"),
+        F.count("*").alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.lit(0.0).alias("val_sum"),
+    )
+    return ord_agg.unionByName(cst_agg)
+
+
+@register(
     "stream_cdc_partitioned",
     _CDC_APPLY_ORACLE.replace("o_totalprice + 1000", "o_totalprice + 1000.0"),
     doc="same stream through a range-bucketed partial-rewrite store — sharing the "
