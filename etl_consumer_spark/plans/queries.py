@@ -2106,6 +2106,88 @@ _HASH_FRac_SQL = "(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8
 
 
 @register(
+    "cdc_backfill_full_outer",
+    _CDC_APPLY_ORACLE,
+    doc="the SAME CDC apply through the backfill path (full-outer sort-merge, no "
+        "broadcast) — the branch the stores auto-select for snapshot-sized batches; "
+        "sharing cdc_apply_orders' oracle proves branch equivalence",
+)
+def cdc_backfill_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.apply import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey") % 4
+    state = orders.filter(k != 3)
+    row_img = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    img_t = "struct<o_orderkey:long,o_custkey:long,o_orderstatus:string,o_totalprice:double>"
+    events = orders.filter(k != 2).select(
+        F.when(k == 3, F.lit(None).cast(img_t)).otherwise(row_img).alias("before"),
+        F.when(k == 1, F.lit(None).cast(img_t)).when(k == 0, upd_img)
+        .otherwise(row_img).alias("after"),
+        F.col("o_orderkey").alias("pos"),
+        F.lit(0).cast("long").alias("ts_ms"),
+    )
+    return apply_cdc(state, events, ["o_orderkey"], broadcast_batch=False)
+
+
+@register(
+    "olap_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (beyond rollup/cube): independent subtotal "
+        "dimensions plus the grand total in one pass",
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "sample_weighted_by_source",
+    f"""
+    WITH sz AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN sz ON d.source = sz.source
+    WHERE {_HASH_FRac_SQL.format(salt='downsample', key='d.doc_id')}
+          < least(1.0, 20.0 / sz.cnt)
+    """,
+    doc="hot-source downsampling: keep ~quota docs per source by hashed-key "
+        "fraction (stable under repartitioning and corpus growth — rand() is not)",
+)
+def sample_weighted_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    return (
+        docs.join(F.broadcast(sz), "source")
+        .filter(
+            hash_fraction(F.col("doc_id"), "downsample")
+            < F.least(F.lit(1.0), F.lit(20.0) / F.col("cnt"))
+        )
+        .select("doc_id", "source")
+    )
+
+
+@register(
     "sample_deterministic_split",
     f"""
     SELECT doc_id,
