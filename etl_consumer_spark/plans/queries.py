@@ -1698,7 +1698,9 @@ def analytic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id,
            count(*) AS n_events,
-           CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS duration_s
+           -- floor each endpoint separately: Spark's unix_timestamp floors
+           -- to seconds per value (and DuckDB CAST(double AS BIGINT) rounds)
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
     FROM s GROUP BY user_id, session_id
     """,
     doc="session-level rollup on top of sessionization: events per session and "
