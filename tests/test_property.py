@@ -67,3 +67,41 @@ def test_zoned_roundtrip_property(spark, ms_list):
     for s, got in zip(iso, out):
         parsed = dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
         assert got == parsed + dt.timedelta(hours=7)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_ppm_bmp_roundtrip_property(w, h, seed):
+    """Any (w, h) raster survives encode→decode byte-exactly in BOTH
+    codecs, including BMP's 4-byte row-padding edge cases (w % 4 != 0)."""
+    import numpy as np
+
+    from etl_consumer_spark.extensions.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    for enc, dec in [(encode_ppm, decode_ppm), (encode_bmp, decode_bmp)]:
+        w2, h2, out = dec(enc(px))
+        assert (w2, h2) == (w, h)
+        np.testing.assert_array_equal(out, px)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=60, unique=True))
+def test_bloom_no_false_negatives_property(spark, keys):
+    """Bloom membership: every inserted key tests positive regardless of
+    key content or count (the no-false-negative invariant)."""
+    from etl_consumer_spark.extensions.sketches import bloom_bits, bloom_might_contain
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    bits = {r["word_idx"]: r["bits"] for r in bloom_bits(df).collect()}
+    assert all(bloom_might_contain(bits, k) for k in keys)
