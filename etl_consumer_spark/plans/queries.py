@@ -2189,6 +2189,33 @@ def sample_weighted_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MORTON_SQL = " + ".join(
+    f"((((o_custkey >> {i}) & 1) << {2 * i}) + (((o_orderkey >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(16)
+)
+
+
+@register(
+    "layout_zorder_key",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({_MORTON_SQL} AS BIGINT) AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) key over (custkey, orderkey): bit interleave as pure "
+        "integer expressions — sort files by zkey and range predicates on EITHER "
+        "column prune row groups (the OPTIMIZE ZORDER BY layout primitive)",
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.layout import morton_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        morton_key(F.col("o_custkey"), F.col("o_orderkey"), bits=16).alias("zkey"),
+    )
+
+
 @register(
     "sample_deterministic_split",
     f"""

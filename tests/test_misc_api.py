@@ -139,3 +139,38 @@ def test_wide_decimal_routes_to_arrow_path(spark):
     df = spark.createDataFrame([({"amount": py_encode(wide)},)], "img map<string,string>")
     out = df.select(decode_image(F.col("img"), fields).alias("d")).collect()
     assert abs(out[0]["d"]["amount"] - wide / 100) / (wide / 100) < 1e-12
+
+
+def test_morton_key_clusters_both_dimensions(spark):
+    """Chunks of a z-ordered dataset have a SMALL extent in BOTH dimensions
+    (min/max stats prune predicates on either column); chunks of an
+    a-ordered dataset leave b unconstrained — every chunk spans b fully."""
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)], "a long, b long"
+    )
+    z_rows = (
+        df.withColumn("z", morton_key(F.col("a"), F.col("b"), bits=6))
+        .orderBy("z")
+        .collect()
+    )
+    n_chunks, size = 16, len(z_rows) // 16
+
+    def b_extents(rows):
+        out = []
+        for i in range(n_chunks):
+            chunk = rows[i * size : (i + 1) * size]
+            ys = [r["b"] for r in chunk]
+            out.append(max(ys) - min(ys) + 1)
+        return out
+
+    # z-order: each 256-row chunk is a 16x16 quadrant -> b-extent 16
+    assert all(e == 16 for e in b_extents(z_rows))
+    # a-order: every chunk spans the full b range -> no pruning on b
+    a_rows = sorted(z_rows, key=lambda r: (r["a"], r["b"]))
+    assert all(e == 64 for e in b_extents(a_rows))
+    # key is unique over the grid (invertible interleave, no collisions)
+    assert len({r["z"] for r in z_rows}) == len(z_rows)
