@@ -2,6 +2,7 @@
 family (as-of/range joins, sessionization, skew ops, rollup maintenance)."""
 
 from etl_consumer_spark.operators.analytic import asof_join, range_join, sessionize
+from etl_consumer_spark.operators.layout import morton_key
 from etl_consumer_spark.operators.apply import (
     OP_DELETE,
     OP_INSERT,
@@ -71,6 +72,7 @@ __all__ = [
     "last_writer_wins",
     "loop_count_from_headers",
     "merge_partial_rollups",
+    "morton_key",
     "next_attempt",
     "not_before_from_headers",
     "passthrough_query",

@@ -140,6 +140,35 @@ class PartitionedParquetStateStore:
             return self._empty(table)
         return self.spark.read.parquet(self._path(table)).drop("_bucket")
 
+    def read_keys(self, table: str, keys: list, pk_cols: list[str] | None = None) -> DataFrame:
+        """Point/batch lookup: read ONLY the buckets the requested primary
+        keys hash into (directory-partition pruning — the scan's
+        PartitionFilters carry the bucket list), then filter exactly.
+        O(|keys|/n_buckets · state) I/O instead of a full scan — the
+        equivalent of the reference target's indexed SELECT. Single-column
+        pk only (composite keys: pass the leading column's values)."""
+        pk = pk_cols or self._pk_cols(table)
+        if len(pk) != 1:
+            raise ValueError("read_keys supports single-column primary keys")
+        if not keys:
+            return self._empty(table)
+        layout = self._layout(table)
+        buckets = {
+            r["_b"]
+            for r in self.spark.createDataFrame([(k,) for k in keys], f"{pk[0]} long")
+            .select(self._bucket(pk, layout).alias("_b"))
+            .distinct()
+            .collect()
+        }
+        if not self._has_parts(table):
+            return self._empty(table)
+        return (
+            self.spark.read.parquet(self._path(table))
+            .filter(F.col("_bucket").isin(list(buckets)))
+            .drop("_bucket")
+            .filter(F.col(pk[0]).isin(keys))
+        )
+
     def _pk_cols(self, table: str) -> list[str]:
         try:
             with open(f"{self._path(table)}/_pk.json") as fh:

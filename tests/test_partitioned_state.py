@@ -88,3 +88,21 @@ def test_evolve_preserves_persisted_layout(spark, tmp_path):
     import os
 
     assert os.path.isdir(str(tmp_path / "t" / "_bucket=1"))
+
+
+def test_read_keys_pruned_lookup(spark, tmp_path):
+    """read_keys returns exactly the requested rows and its plan prunes to
+    the keys' bucket partitions."""
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+    store = PartitionedParquetStateStore(
+        spark, str(tmp_path), bucket_mode="range", range_size=10
+    )
+    seed = spark.createDataFrame([(i, f"v{i}") for i in range(1, 101)], "id long, v string")
+    store.init("t", seed, ["id"])
+    out = store.read_keys("t", [15, 16, 55])
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows == {15: "v15", 16: "v16", 55: "v55"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert store.read_keys("t", []).count() == 0
