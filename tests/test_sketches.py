@@ -55,3 +55,25 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     direct = {r["word_idx"]: r["bits"]
               for r in bloom_bits(df_a.unionByName(df_b)).collect()}
     assert merged == direct
+
+
+def test_hll_registers_merge_equals_union(spark):
+    """HLL mergeability: max-per-bucket over two sketches equals the sketch
+    of the unioned input (what makes the sketch partial-agg friendly)."""
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.extensions.sketches import hll_estimate, hll_registers
+
+    a = spark.range(0, 5000).select(F.col("id").alias("v"))
+    b = spark.range(3000, 9000).select(F.col("id").alias("v"))
+    ra = hll_registers(a, F.col("v"))
+    rb = hll_registers(b, F.col("v"))
+    merged = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    direct = hll_registers(a.unionByName(b), F.col("v"))
+    m = {r["bucket"]: r["r"] for r in merged.collect()}
+    d = {r["bucket"]: r["r"] for r in direct.collect()}
+    assert m == d
+    est = hll_estimate(sorted(d.items()))
+    assert abs(est - 9000) / 9000 < 0.15  # ~6.5% expected error at m=256
