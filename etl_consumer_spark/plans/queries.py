@@ -1718,6 +1718,49 @@ def analytic_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supp_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(supp_cost) AS min_cost FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_brand,
+           CAST(c.supp_cost AS DOUBLE) AS supp_cost,
+           min(c.l_suppkey) AS best_suppkey
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.supp_cost = b.min_cost
+    WHERE p.p_size <= 5
+    GROUP BY p.p_partkey, p.p_brand, c.supp_cost
+    """,
+    doc="TPC-H Q2 shape: correlated MIN subquery (cheapest supplier per part) "
+        "decorrelated to a pre-aggregated self-join; exact decimal min so the "
+        "equality predicate is engine-stable",
+)
+def olap_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supp_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("supp_cost").alias("min_cost"))
+    small = part.filter(F.col("p_size") <= 5).select("p_partkey", "p_brand")
+    out = (
+        cost.join(best, "l_partkey")
+        .filter(F.col("supp_cost") == F.col("min_cost"))
+        .join(F.broadcast(small), cost.l_partkey == small.p_partkey)
+    )
+    return out.groupBy("p_partkey", "p_brand", "supp_cost").agg(
+        F.min("l_suppkey").alias("best_suppkey")
+    ).select(
+        "p_partkey", "p_brand", F.col("supp_cost").cast("double").alias("supp_cost"),
+        "best_suppkey",
+    )
+
+
+@register(
     "olap_not_in_null_semantics",
     """
     WITH sub AS (

@@ -106,6 +106,28 @@ def _wire_field_for(col: str, spark_type: str) -> WireField:
     return WireField(col, "string")
 
 
+def metrics_rows(result: BatchResult) -> list[tuple]:
+    """Flatten a BatchResult into (epoch, table, version, ddl_applied,
+    ddl_skipped, passthrough, dead_letters, republish) metric rows — one per
+    applied table (or a single table-less row for apply-free batches)."""
+    base = (
+        len(result.ddl_applied),
+        len(result.ddl_skipped),
+        len(result.passthrough),
+        result.dead_letters,
+        len(result.republish),
+    )
+    if not result.applied:
+        return [(result.epoch_id, None, None, *base)]
+    return [(result.epoch_id, t, v, *base) for t, v in sorted(result.applied.items())]
+
+
+METRICS_SCHEMA = (
+    "epoch_id long, table string, version long, ddl_applied int, "
+    "ddl_skipped int, passthrough int, dead_letters int, republish int"
+)
+
+
 class CDCPipeline:
     def __init__(
         self,
@@ -118,6 +140,7 @@ class CDCPipeline:
         ddl_executor=None,
         passthrough_executor=None,
         state_path: str | None = None,
+        metrics_path: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -143,6 +166,10 @@ class CDCPipeline:
         # against the target, main.go:357-359); default records only —
         # verbatim MySQL SQL is only executable on a JDBC-backed target
         self.passthrough_executor = passthrough_executor or (lambda stmt: None)
+        # optional append-only observability table (one parquet row per
+        # applied table per micro-batch) — the queryable counterpart of the
+        # in-memory ring buffer
+        self.metrics_path = metrics_path
         self.results: list[BatchResult] = []
 
     def _evolve_state_schema(self, statement: str) -> None:
@@ -335,6 +362,10 @@ class CDCPipeline:
             # ring buffer: a long-running stream must not grow driver memory
             # with per-batch observability records
             del self.results[: len(self.results) - self.cfg.max_results]
+        if self.metrics_path:
+            self.spark.createDataFrame(metrics_rows(result), METRICS_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(self.metrics_path)
         return result
 
     def start(self, transport: DataFrame, checkpoint_dir: str | None = None, trigger_available_now: bool = False):

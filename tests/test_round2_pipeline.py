@@ -317,3 +317,21 @@ def test_upsert_backfill_takes_sort_merge_path(spark, tmp_path):
         out = {r["id"]: r["amount"] for r in store.read("t").collect()}
         assert len(out) == 40  # 20 seed + 20 new (ids 21..40); 11..20 upserted
         assert out[15] == 2.0 and out[5] == 1.0 and out[40] == 2.0
+
+
+def test_metrics_sink_rows(spark, tmp_path):
+    """metrics_path appends one queryable row per applied table per batch."""
+    cfg = _cfg()
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "s"), n_buckets=2)
+    store.init("batch_seq", spark.createDataFrame([], STATE_DDL), PK)
+    pipe = CDCPipeline(
+        spark, cfg, [TableSpec("batch_seq", FIELDS, PK)], store,
+        metrics_path=str(tmp_path / "metrics"),
+    )
+    msgs = [(TOPIC, envelope(None, row(1, 1, 0, 100, 18000), pos=1))]
+    make_transport(spark, msgs, str(tmp_path / "t"))
+    run_stream(spark, pipe, str(tmp_path / "t"), str(tmp_path / "ck"))
+    m = spark.read.parquet(str(tmp_path / "metrics")).collect()
+    applied = [r for r in m if r["table"] == "batch_seq"]
+    assert len(applied) >= 1
+    assert applied[0]["dead_letters"] == 0 and applied[0]["version"] >= 1
