@@ -145,20 +145,28 @@ class PartitionedParquetStateStore:
         keys hash into (directory-partition pruning — the scan's
         PartitionFilters carry the bucket list), then filter exactly.
         O(|keys|/n_buckets · state) I/O instead of a full scan — the
-        equivalent of the reference target's indexed SELECT. Single-column
-        pk only (composite keys: pass the leading column's values)."""
+        equivalent of the reference target's indexed SELECT.
+
+        ``keys``: list of values for a single-column pk, or list of tuples
+        for a composite pk (hash-mode layout only; range mode buckets on
+        the leading column)."""
         pk = pk_cols or self._pk_cols(table)
-        if len(pk) != 1:
-            raise ValueError("read_keys supports single-column primary keys")
+        if not pk:
+            raise ValueError("unknown primary key; pass pk_cols")
         if not keys:
             return self._empty(table)
+        key_rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        if len(key_rows[0]) != len(pk):
+            raise ValueError(f"key width {len(key_rows[0])} != pk width {len(pk)}")
         layout = self._layout(table)
+        state = self._empty(table)
+        key_df = self.spark.createDataFrame(
+            key_rows,
+            T.StructType([state.schema[c] for c in pk]),
+        )
         buckets = {
             r["_b"]
-            for r in self.spark.createDataFrame([(k,) for k in keys], f"{pk[0]} long")
-            .select(self._bucket(pk, layout).alias("_b"))
-            .distinct()
-            .collect()
+            for r in key_df.select(self._bucket(pk, layout).alias("_b")).distinct().collect()
         }
         if not self._has_parts(table):
             return self._empty(table)
@@ -166,7 +174,7 @@ class PartitionedParquetStateStore:
             self.spark.read.parquet(self._path(table))
             .filter(F.col("_bucket").isin(list(buckets)))
             .drop("_bucket")
-            .filter(F.col(pk[0]).isin(keys))
+            .join(F.broadcast(key_df), pk, "left_semi")
         )
 
     def _pk_cols(self, table: str) -> list[str]:

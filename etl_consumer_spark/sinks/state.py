@@ -78,6 +78,26 @@ class ParquetStateStore:
         """Seed version 0 of a state table."""
         self._write_version(table, df, 0)
 
+    def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
+        """Retention: delete all but the newest ``keep_last`` versions
+        (never the current pointer's target). Returns the dropped version
+        numbers. The versioned store doubles as a time-travel log, so
+        unbounded history is a disk leak on long streams — call this from a
+        maintenance cadence, exactly like Delta VACUUM."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        current = self.current_version(table)
+        vs = self.versions(table)
+        keep = set(vs[-keep_last:])
+        if current is not None:
+            keep.add(current)
+        dropped = [v for v in vs if v not in keep]
+        for v in dropped:
+            shutil.rmtree(f"{self._table_dir(table)}/v{v}", ignore_errors=True)
+        return dropped
+
     def versions(self, table: str) -> list[int]:
         """All retained version numbers, ascending — every upsert/evolve
         leaves its predecessor intact, so the versioned store doubles as a

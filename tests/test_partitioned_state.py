@@ -106,3 +106,16 @@ def test_read_keys_pruned_lookup(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert store.read_keys("t", []).count() == 0
+
+
+def test_read_keys_composite_pk(spark, tmp_path):
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+    store = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=8)
+    seed = spark.createDataFrame(
+        [(i, j, i * 100 + j) for i in range(10) for j in range(5)],
+        "a long, b long, v long",
+    )
+    store.init("t", seed, ["a", "b"])
+    out = store.read_keys("t", [(3, 1), (7, 4)])
+    assert {(r["a"], r["b"], r["v"]) for r in out.collect()} == {(3, 1, 301), (7, 4, 704)}

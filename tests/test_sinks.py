@@ -123,3 +123,24 @@ def test_versioned_store_time_travel(spark, tmp_path):
     assert [r["id"] for r in store.read("t", version=0).collect()] == [1]
     with _pytest.raises(FileNotFoundError):
         store.read("t", version=7)
+
+
+def test_versioned_store_vacuum(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = ParquetStateStore(spark, str(tmp_path / "vac"))
+    store.init("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    img = "struct<id:long,v:string>"
+    for i in range(2, 6):
+        ev = spark.range(1).select(
+            F.expr(f"cast(null as {img})").alias("before"),
+            F.expr(f"named_struct('id', {i}L, 'v', 'x')").alias("after"),
+            F.lit(i).cast("long").alias("pos"), F.lit(0).cast("long").alias("ts_ms"),
+        )
+        store.upsert("t", ev, ["id"])
+    assert store.versions("t") == [0, 1, 2, 3, 4]
+    dropped = store.vacuum("t", keep_last=2)
+    assert dropped == [0, 1, 2]
+    assert store.versions("t") == [3, 4]
+    assert store.read("t").count() == 5          # current unaffected
+    assert store.read("t", version=3).count() == 4
