@@ -282,9 +282,100 @@ def connected_components(
             labels = new_labels.drop("_changed")
             if changed == 0:
                 break
+        else:
+            # falling out of the loop without converging would silently
+            # return truncated (incorrect) labels — refuse instead; callers
+            # with deep components should use connected_components_star
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter); use "
+                "connected_components_star for high-diameter graphs"
+            )
     finally:
         edges.unpersist()
     return labels.select(F.col(u).alias(id_col), "component")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): converges in O(log^2 n) rounds regardless of
+    component diameter — the scale path for giant components (boilerplate-
+    heavy corpora produce exactly those), where min-label propagation's
+    O(diameter) rounds would be unbounded. Returns (id, component) with
+    component = min vertex id, identical to :func:`connected_components`.
+
+    Per round, both stars are one groupBy-min over the symmetrized edge
+    list plus an equi-join — shuffle keys are vertex ids, nothing collects
+    to the driver, and ``localCheckpoint`` truncates lineage per round:
+
+    - large-star: every neighbor v > u re-points to m(u) = min(N(u) ∪ {u})
+    - small-star: every neighbor v <= u (and u itself) re-points to the
+      minimum of that closed lower neighborhood
+
+    The edge list converges to a star forest whose centers are the
+    component minima."""
+    u, v, m = "_cc_u", "_cc_v", "_cc_m"
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col(v).alias(u), F.col(u).alias(v)))
+
+    edges = (
+        pairs.select(F.col(a_col).alias(u), F.col(b_col).alias(v))
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = _sym(edges)
+        # large-star: m(u) over the FULL closed neighborhood
+        mins_all = sym.groupBy(u).agg(F.min(F.least(F.col(v), F.col(u))).alias(m))
+        large = (
+            sym.filter(F.col(v) > F.col(u))
+            .join(mins_all, u)
+            .select(F.col(v).alias(u), F.col(m).alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+        # small-star over large-star's output: closed lower neighborhood
+        sym2 = _sym(large)
+        low = sym2.filter(F.col(v) < F.col(u))
+        mins_low = low.groupBy(u).agg(F.min(v).alias(m))
+        small = (
+            low.join(mins_low, u)
+            .select(F.col(v).alias(u), F.col(m).alias(v))
+            .unionByName(mins_low.select(F.col(u), F.col(m).alias(v)))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the star forest reproduces itself (both directions empty
+        # exceptAll — checked with limit(1) so the probe short-circuits)
+        stable = (
+            small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(small).limit(1).count() == 0
+        )
+        edges = small
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # star forest: (node -> component min); roots and isolated vertices label
+    # themselves
+    return (
+        vertices.select(F.col(id_col))
+        .join(edges.select(F.col(u).alias(id_col), F.col(v).alias("component")), id_col, "left")
+        .select(F.col(id_col), F.coalesce("component", F.col(id_col)).alias("component"))
+    )
 
 
 def jaccard_pairs_grouped(

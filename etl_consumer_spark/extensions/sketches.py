@@ -101,15 +101,19 @@ BLOOM_K = 4     # hash functions (8 hex digits of md5 each)
 
 
 def bloom_positions(key: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
-    """Array of k bit positions in [0, m) for one key: position j comes from
-    hex digits [8j, 8j+8) of md5(key) — independent 32-bit slices."""
-    h = F.md5(key.cast("string"))
-    return F.array(
-        *[
-            F.pmod(F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"), F.lit(m))
-            for j in range(k)
-        ]
-    )
+    """Array of k bit positions in [0, m) for one key. One md5 yields four
+    independent 32-bit slices (8 hex digits each); k > 4 chains further
+    digests md5(key || '#' || block) rather than slicing past the end of
+    the hex string (which would silently produce empty substrings)."""
+    base = key.cast("string")
+    positions = []
+    for j in range(k):
+        block, slot = divmod(j, 4)
+        h = F.md5(base if block == 0 else F.concat(base, F.lit(f"#{block}")))
+        positions.append(
+            F.pmod(F.conv(F.substring(h, 1 + 8 * slot, 8), 16, 10).cast("long"), F.lit(m))
+        )
+    return F.array(*positions)
 
 
 def bloom_bits(df: DataFrame, key_col: str = "key", k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
@@ -136,9 +140,11 @@ def bloom_might_contain(bits_by_word: dict[int, int], key: str, k: int = BLOOM_K
     negatives; false-positive rate ~(1 - e^(-kn/m))^k)."""
     import hashlib
 
-    h = hashlib.md5(key.encode()).hexdigest()
     for j in range(k):
-        p = int(h[8 * j : 8 * j + 8], 16) % m
+        block, slot = divmod(j, 4)
+        data = key if block == 0 else f"{key}#{block}"
+        h = hashlib.md5(data.encode()).hexdigest()
+        p = int(h[8 * slot : 8 * slot + 8], 16) % m
         word, bit = p // 32, p % 32
         if not (bits_by_word.get(word, 0) >> bit) & 1:
             return False

@@ -62,6 +62,7 @@ class PartitionedParquetStateStore:
         n_buckets: int | None = None,
         bucket_mode: str = "hash",
         range_size: int = 1_000_000,
+        range_sizes: list[int] | None = None,
         target_bucket_rows: int = 65536,
     ):
         if bucket_mode not in ("hash", "range"):
@@ -71,6 +72,7 @@ class PartitionedParquetStateStore:
         self.n_buckets = n_buckets
         self.bucket_mode = bucket_mode
         self.range_size = range_size
+        self.range_sizes = range_sizes
         self.target_bucket_rows = target_bucket_rows
 
     def _path(self, table: str) -> str:
@@ -89,12 +91,30 @@ class PartitionedParquetStateStore:
                 "range_size": self.range_size,
             }
 
+    @staticmethod
+    def _floor_div(col, divisor: int):
+        # exact FLOOR division on longs at any magnitude: SQL `div`
+        # truncates toward zero, so adjust negatives with a remainder —
+        # floor semantics keep bucket ids stable for negative keys and
+        # match tables persisted by earlier floor-based layouts (a plain
+        # `/` would round-trip through double and drift past 2^53)
+        c = col.cast("long")
+        q = F.call_function("div", c, F.lit(divisor))
+        return F.when((c % divisor != 0) & (c < 0), q - 1).otherwise(q)
+
     def _bucket_of(self, cols: list, layout: dict):
         if layout["bucket_mode"] == "range":
-            # exact integer division — `/` would round-trip through double
-            # and drift bucket boundaries for pks above 2^53 (same
-            # convention as sources/tables.py nanos conversion)
-            return F.call_function("div", cols[0].cast("long"), F.lit(layout["range_size"]))
+            sizes = layout.get("range_sizes") or [layout["range_size"]]
+            if len(sizes) > 1:
+                # composite-pk range layout: one range id per pk column,
+                # concatenated into a single partition value — lookups on
+                # the full composite key still prune to one directory
+                parts = [
+                    self._floor_div(c, s).cast("string")
+                    for c, s in zip(cols, sizes)
+                ]
+                return F.concat_ws("_", *parts)
+            return self._floor_div(cols[0], sizes[0])
         return F.pmod(F.hash(*cols), F.lit(layout["n_buckets"]))
 
     def _bucket(self, pk_cols: list[str], layout: dict):
@@ -111,6 +131,15 @@ class PartitionedParquetStateStore:
                 "n_buckets": k or 64,
                 "range_size": self.range_size,
             }
+            if self.bucket_mode == "range" and (self.range_sizes or len(pk_cols) > 1):
+                # composite-pk range spec: one range size per pk column,
+                # persisted so every later reader agrees on the layout
+                sizes = self.range_sizes or [self.range_size] * len(pk_cols)
+                if len(sizes) != len(pk_cols):
+                    raise ValueError(
+                        f"range_sizes width {len(sizes)} != pk width {len(pk_cols)}"
+                    )
+                layout["range_sizes"] = list(sizes)
         (
             df.withColumn("_bucket", self._bucket(pk_cols, layout))
             .write.mode("overwrite")
@@ -148,11 +177,20 @@ class PartitionedParquetStateStore:
         equivalent of the reference target's indexed SELECT.
 
         ``keys``: list of values for a single-column pk, or list of tuples
-        for a composite pk (hash-mode layout only; range mode buckets on
-        the leading column)."""
-        pk = pk_cols or self._pk_cols(table)
+        for a composite pk. Hash layouts bucket on the full key; range
+        layouts bucket on per-column range ids when the layout carries a
+        ``range_sizes`` spec (composite), else on the leading column."""
+        persisted = self._pk_cols(table)
+        pk = pk_cols or persisted
         if not pk:
             raise ValueError("unknown primary key; pass pk_cols")
+        if pk_cols and persisted and list(pk_cols) != list(persisted):
+            # order matters: composite keys hash/bucket tuples positionally,
+            # so a reordered pk list would silently return empty results
+            raise ValueError(
+                f"pk_cols {list(pk_cols)} do not match persisted pk {persisted} "
+                f"for table {table!r} (names and order must agree)"
+            )
         if not keys:
             return self._empty(table)
         key_rows = [k if isinstance(k, tuple) else (k,) for k in keys]

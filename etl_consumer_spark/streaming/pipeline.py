@@ -75,6 +75,9 @@ class BatchResult:
     ddl_applied: list[str] = field(default_factory=list)
     ddl_skipped: list[str] = field(default_factory=list)
     passthrough: list[str] = field(default_factory=list)       # P7 verbatim SQL
+    # overflow statements retained (bounded) when no dead-letter sink is
+    # configured — otherwise they'd be unexecuted AND unpersisted
+    passthrough_overflow: list[str] = field(default_factory=list)
     dead_letters: int = 0
     # K3 republish candidates, COLLECTED (bounded by republish_limit) — a
     # live DataFrame here would pin plan/cache references for the stream's
@@ -303,23 +306,52 @@ class CDCPipeline:
                 # max_offsets_per_trigger; execution is capped here and the
                 # overflow statements dead-letter (K2 shape) for replay.
                 limit = self.cfg.passthrough_limit
-                passthrough_rows = [
-                    r["passthrough"]
-                    for r in decoded.filter(F.col("passthrough").isNotNull())
+                # The cap binds IN THE PLAN: at most limit+1 rows ever reach
+                # the driver (an adversarial all-passthrough batch must not
+                # ship the whole batch through collect). The id column makes
+                # the executed prefix deterministic and lets the overflow be
+                # carved out distributively.
+                pt = (
+                    decoded.filter(F.col("passthrough").isNotNull())
                     .select("passthrough")
-                    .collect()
-                ]
-                for stmt in passthrough_rows[:limit]:
-                    result.passthrough.append(stmt)
-                    self.passthrough_executor(stmt)
-                if len(passthrough_rows) > limit:
-                    extra = self.spark.createDataFrame(
-                        [(s,) for s in passthrough_rows[limit:]], "value string"
-                    ).withColumn("err", F.lit(f"passthrough limit {limit} exceeded"))
-                    dead = dead_letter_rows(extra, "err", name, self.cfg.db_name)
-                    if self.dead_letter_path:
-                        write_dead_letters(dead, self.dead_letter_path)
-                    result.dead_letters += len(passthrough_rows) - limit
+                    .withColumn("_ptid", F.monotonically_increasing_id())
+                    .cache()
+                )
+                try:
+                    head = pt.orderBy("_ptid").limit(limit + 1).collect()
+                    for r in head[:limit]:
+                        result.passthrough.append(r["passthrough"])
+                        self.passthrough_executor(r["passthrough"])
+                    if len(head) > limit:
+                        overflow_cnt = pt.count() - limit
+                        executed_ids = [r["_ptid"] for r in head[:limit]]
+                        overflow = (
+                            pt.filter(~F.col("_ptid").isin(executed_ids))
+                            .withColumnRenamed("passthrough", "value")
+                            .withColumn(
+                                "err", F.lit(f"passthrough limit {limit} exceeded")
+                            )
+                        )
+                        if self.dead_letter_path:
+                            # distributed write — overflow never visits the
+                            # driver
+                            write_dead_letters(
+                                dead_letter_rows(overflow, "err", name, self.cfg.db_name),
+                                self.dead_letter_path,
+                            )
+                        else:
+                            # no dead-letter sink configured: keep a bounded
+                            # window of the overflow statements replayable in
+                            # the batch result instead of silently dropping
+                            # them (anything past the window is still counted
+                            # in dead_letters)
+                            result.passthrough_overflow.extend(
+                                r["value"]
+                                for r in overflow.select("value").limit(limit).collect()
+                            )
+                        result.dead_letters += overflow_cnt
+                finally:
+                    pt.unpersist()
                 events = decoded.filter(F.col("passthrough").isNull())
                 try:
                     version = self.store.upsert(name, events, spec.pk_cols)
