@@ -25,12 +25,24 @@ either over-partition small tables (small-file storm, constant-dominated
 batches) or under-partition huge ones (per-bucket rewrite approaches
 O(state) again).
 
-Trade-off vs the versioned store: dynamic partition overwrite is
-not atomic across partitions (a crash mid-write can leave a partially
-applied batch; re-running the batch repairs it because the apply is
-idempotent). Delta's transaction log gives both properties at once — this
-store is the dependency-free approximation, and the pipeline protocol
-above it is identical.
+Batches commit atomically via a staged-manifest protocol (the reference
+got per-statement atomicity for free from its SQL target, main.go:135;
+Delta's transaction log is the full-featured equivalent — this is the
+dependency-free version with the same pipeline protocol above it):
+
+1. the merged slice is written to a ``_staging`` directory (never the
+   live table), partitioned by bucket;
+2. a ``_commit.json`` manifest (touched + surviving buckets) is published
+   with an atomic rename — THE commit point;
+3. bucket directories are swapped into the table one rename at a time,
+   then staging and manifest are removed.
+
+A crash before step 2 rolls BACK on the next open (staging discarded,
+table untouched = pre-batch state); a crash after step 2 rolls FORWARD
+(the swap is re-applied idempotently = post-batch state). Readers never
+observe a mix: every public entry point runs recovery first. Staging
+also means the merge plan reads files the write never touches, so no
+cache-pinning dance and one fewer collect() job per batch.
 """
 
 from __future__ import annotations
@@ -156,6 +168,53 @@ class PartitionedParquetStateStore:
         with open(f"{self._path(table)}/_layout.json", "w") as fh:
             fh.write(json.dumps(layout))
 
+    # -- staged-commit protocol (atomic multi-bucket batches) --------------
+
+    def _staging(self, table: str) -> str:
+        # leading underscore: Spark/Hadoop readers ignore it, like _SUCCESS
+        return f"{self._path(table)}/_staging"
+
+    def _manifest(self, table: str) -> str:
+        return f"{self._path(table)}/_commit.json"
+
+    def _swap_bucket(self, table: str, bucket_dir: str) -> None:
+        """Move one staged bucket directory into the live table (atomic per
+        bucket: same-filesystem rename). Separated out so crash-injection
+        tests can fail between two swaps."""
+        dst = f"{self._path(table)}/{bucket_dir}"
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(f"{self._staging(table)}/{bucket_dir}", dst)
+
+    def _apply_commit(self, table: str) -> None:
+        """Roll a published manifest forward. Idempotent: a bucket already
+        swapped is absent from staging and skipped; dead-bucket removal
+        re-runs harmlessly."""
+        with open(self._manifest(table)) as fh:
+            manifest = json.loads(fh.read())
+        staging = self._staging(table)
+        for b in manifest["touched"]:
+            bucket_dir = f"_bucket={b}"
+            if b in manifest["surviving"]:
+                if os.path.isdir(f"{staging}/{bucket_dir}"):
+                    self._swap_bucket(table, bucket_dir)
+            else:
+                # a touched bucket whose rows were ALL deleted: drop the
+                # stale live directory
+                shutil.rmtree(f"{self._path(table)}/{bucket_dir}", ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.remove(self._manifest(table))
+
+    def _recover(self, table: str) -> None:
+        """Crash recovery, run before every read/write: a published manifest
+        rolls forward (post-batch state); orphaned staging with no manifest
+        rolls back (pre-batch state — the commit point was never reached)."""
+        if not os.path.isdir(self._path(table)):
+            return
+        if os.path.exists(self._manifest(table)):
+            self._apply_commit(table)
+        elif os.path.isdir(self._staging(table)):
+            shutil.rmtree(self._staging(table), ignore_errors=True)
+
     def _has_parts(self, table: str) -> bool:
         return any(d.startswith("_bucket=") for d in os.listdir(self._path(table)))
 
@@ -165,6 +224,7 @@ class PartitionedParquetStateStore:
         return self.spark.createDataFrame([], schema)
 
     def read(self, table: str) -> DataFrame:
+        self._recover(table)
         if not self._has_parts(table):
             return self._empty(table)
         return self.spark.read.parquet(self._path(table)).drop("_bucket")
@@ -180,6 +240,7 @@ class PartitionedParquetStateStore:
         for a composite pk. Hash layouts bucket on the full key; range
         layouts bucket on per-column range ids when the layout carries a
         ``range_sizes`` spec (composite), else on the leading column."""
+        self._recover(table)
         persisted = self._pk_cols(table)
         pk = pk_cols or persisted
         if not pk:
@@ -262,17 +323,25 @@ class PartitionedParquetStateStore:
         """Apply one micro-batch; returns the number of rewritten buckets.
 
         Batches above ``broadcast_threshold`` rows use the sort-merge apply
-        (a backfill flood must not be broadcast); None skips the count."""
+        (a backfill flood must not be broadcast); None skips the count.
+
+        Commit is atomic via the staged-manifest protocol (module
+        docstring): merge → write staging → publish manifest (the commit
+        point) → swap bucket dirs → clean up."""
+        self._recover(table)
         layout = self._layout(table)
         key_cols = [
             F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in pk_cols
         ]
-        touched = [
-            r["_bucket"]
-            for r in events.select(self._bucket_of(key_cols, layout).alias("_bucket"))
-            .distinct()
+        # ONE job yields both the touched-bucket list and the batch size
+        # (per-bucket counts sum to the total) — the broadcast-vs-sort-merge
+        # decision used to cost a second count() job per batch per table
+        bucket_counts = (
+            events.groupBy(self._bucket_of(key_cols, layout).alias("_bucket"))
+            .count()
             .collect()
-        ]
+        )
+        touched = [r["_bucket"] for r in bucket_counts]
         if not touched:
             return 0
         if self._has_parts(table):
@@ -283,45 +352,41 @@ class PartitionedParquetStateStore:
             state_slice = self._empty(table)
         broadcast = True
         if broadcast_threshold is not None:
-            broadcast = events.count() <= broadcast_threshold
+            batch_rows = sum(r["count"] for r in bucket_counts)
+            broadcast = batch_rows <= broadcast_threshold
         handle: list = []
         new_slice = apply_cdc(
             state_slice, events, pk_cols, missing_update=missing_update,
             broadcast_batch=broadcast, cache_handle=handle,
-        ).cache()
-        # Materialize the merged slice and its surviving-bucket set BEFORE
-        # the overwrite: the plan reads the very files the write replaces,
-        # so any post-write recompute (cache eviction) would read the new
-        # files. The distinct() scans every partition of new_slice, pinning
-        # the whole frame in the cache in the same job.
-        surviving = {
-            r["_bucket"]
-            for r in new_slice.select(self._bucket(pk_cols, layout).alias("_bucket"))
-            .distinct()
-            .collect()
-        }
-        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                new_slice.withColumn("_bucket", self._bucket(pk_cols, layout))
-                # hash-cluster on the bucket before the write: each touched
-                # bucket lands in exactly one task -> ONE file per bucket
-                # per rewrite (vs tasks x buckets small files — CDC batches
-                # are small, so compact files beat intra-bucket parallelism)
-                .repartition(max(len(touched), 1), "_bucket")
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(self._path(table))
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        new_slice.unpersist()
+        )
+        staging = self._staging(table)
+        (
+            new_slice.withColumn("_bucket", self._bucket(pk_cols, layout))
+            # hash-cluster on the bucket before the write: each touched
+            # bucket lands in exactly one task -> ONE file per bucket
+            # per rewrite (vs tasks x buckets small files — CDC batches
+            # are small, so compact files beat intra-bucket parallelism).
+            # The merge plan reads only LIVE table files, never staging,
+            # so no cache pinning is needed around this write.
+            .repartition(max(len(touched), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(staging)
+        )
         for df in handle:
             df.unpersist()
-        # Dynamic overwrite only replaces partitions present in the output:
-        # a touched bucket whose rows were ALL deleted never appears, so its
-        # stale directory must be dropped explicitly.
-        for b in set(touched) - surviving:
-            shutil.rmtree(f"{self._path(table)}/_bucket={b}", ignore_errors=True)
+        # surviving buckets come from the staging directory listing — no
+        # extra Spark job (a touched bucket whose rows were ALL deleted
+        # writes no partition directory)
+        surviving = sorted(
+            d.split("=", 1)[1] for d in os.listdir(staging) if d.startswith("_bucket=")
+        )
+        # publish the manifest with an atomic rename — THE commit point;
+        # bucket values are stored as their directory-name strings
+        manifest = {"touched": sorted(str(b) for b in touched), "surviving": surviving}
+        tmp = f"{self._manifest(table)}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(manifest))
+        os.replace(tmp, self._manifest(table))
+        self._apply_commit(table)
         return len(touched)

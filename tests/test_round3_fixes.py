@@ -141,6 +141,119 @@ def test_composite_pk_range_mode_upsert(spark, tmp_path):
     assert got == {(15, 25, 2), (33, 7, 9)}
 
 
+# -- atomic staged commit: crash injection (VERDICT next #2) ----------------
+
+
+def _seeded_store(spark, tmp_path, n=200):
+    store = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=16)
+    seed = spark.createDataFrame([(i, i) for i in range(n)], "id long, v long")
+    store.init("t", seed, ["id"])
+    return store, {(i, i) for i in range(n)}
+
+
+def _update_events(spark, ids):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [(Row(id=i, v=i), Row(id=i, v=i + 1000), p + 1, 0) for p, i in enumerate(ids)],
+        "before struct<id:long,v:long>, after struct<id:long,v:long>, pos long, ts_ms long",
+    )
+
+
+def test_crash_between_bucket_swaps_rolls_forward(spark, tmp_path, monkeypatch):
+    """Interrupt the commit BETWEEN two bucket swaps (after the manifest —
+    the commit point): reopening the store must roll the batch forward to
+    exactly the post-batch state, never a mix."""
+    store, _ = _seeded_store(spark, tmp_path)
+    ids = list(range(0, 40))        # touches many of the 16 buckets
+    post = {(i, i + 1000) for i in ids} | {(i, i) for i in range(40, 200)}
+
+    calls = {"n": 0}
+    orig = PartitionedParquetStateStore._swap_bucket
+
+    def crashing_swap(self, table, bucket_dir):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash between bucket swaps")
+        return orig(self, table, bucket_dir)
+
+    monkeypatch.setattr(PartitionedParquetStateStore, "_swap_bucket", crashing_swap)
+    with pytest.raises(OSError, match="injected crash"):
+        store.upsert("t", _update_events(spark, ids), ["id"])
+    monkeypatch.setattr(PartitionedParquetStateStore, "_swap_bucket", orig)
+
+    # disk is mid-swap now; a FRESH store instance must recover on open
+    assert os.path.exists(str(tmp_path / "t" / "_commit.json"))
+    reopened = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=16)
+    got = {(r["id"], r["v"]) for r in reopened.read("t").collect()}
+    assert got == post
+    assert not os.path.exists(str(tmp_path / "t" / "_commit.json"))
+    assert not os.path.isdir(str(tmp_path / "t" / "_staging"))
+
+
+def test_crash_before_manifest_rolls_back(spark, tmp_path, monkeypatch):
+    """Interrupt AFTER the staging write but BEFORE the manifest publish:
+    the batch never committed, so reopening must yield exactly the
+    pre-batch state (staging discarded)."""
+    store, pre = _seeded_store(spark, tmp_path)
+
+    def no_publish(path_tmp, path_final):
+        raise OSError("injected crash before manifest publish")
+
+    monkeypatch.setattr(os, "replace", no_publish)
+    with pytest.raises(OSError, match="injected crash"):
+        store.upsert("t", _update_events(spark, range(40)), ["id"])
+    monkeypatch.undo()
+
+    assert os.path.isdir(str(tmp_path / "t" / "_staging"))
+    assert not os.path.exists(str(tmp_path / "t" / "_commit.json"))
+    reopened = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=16)
+    got = {(r["id"], r["v"]) for r in reopened.read("t").collect()}
+    assert got == pre
+    assert not os.path.isdir(str(tmp_path / "t" / "_staging"))
+
+
+def test_commit_handles_emptied_buckets(spark, tmp_path):
+    """A touched bucket whose rows were all deleted must be removed by the
+    commit (it writes no staging directory)."""
+    from pyspark.sql import Row
+
+    store = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=4)
+    store.init("t", spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"), ["id"])
+    events = spark.createDataFrame(
+        [(Row(id=1, v=10), None, 1, 0)],
+        "before struct<id:long,v:long>, after struct<id:long,v:long>, pos long, ts_ms long",
+    )
+    store.upsert("t", events, ["id"])
+    assert {(r["id"], r["v"]) for r in store.read("t").collect()} == {(2, 20)}
+    assert not os.path.exists(str(tmp_path / "t" / "_commit.json"))
+    assert not os.path.isdir(str(tmp_path / "t" / "_staging"))
+
+
+# -- broadcast decision folded into the bucket job (VERDICT next #6) --------
+
+
+def test_upsert_broadcast_decision_without_count_job(spark, tmp_path, monkeypatch):
+    """The broadcast-vs-sort-merge decision must come from the same job
+    that derives the touched buckets (per-bucket counts sum to the batch
+    size) — no standalone DataFrame.count() action during upsert."""
+    store, _ = _seeded_store(spark, tmp_path, n=50)
+    df_cls = type(spark.range(1))
+    orig_count = df_cls.count
+    count_calls = []
+
+    def spy_count(self):
+        count_calls.append(self.columns)
+        return orig_count(self)
+
+    monkeypatch.setattr(df_cls, "count", spy_count)
+    store.upsert("t", _update_events(spark, range(10)), ["id"])
+    assert count_calls == []
+    monkeypatch.undo()
+    got = {r["v"] for r in store.read("t").filter("id < 10").collect()}
+    assert got == {i + 1000 for i in range(10)}
+
+
 # -- connected components: convergence + large-star/small-star --------------
 
 
