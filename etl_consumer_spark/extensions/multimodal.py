@@ -2,14 +2,17 @@
 with typed metadata, plus the Spark-side plumbing for decode / feature
 extraction / resize / frame sampling.
 
-The decode layer is a REAL pure-Python codec for two deterministic
-uncompressed formats — binary PPM (P6) and 24-bit BMP — implemented from
-their public specs (netpbm format docs; Windows BITMAPINFOHEADER layout).
-Kernels sniff the blob magic and parse headers + raster from the bytes;
-nothing trusts the metadata column. Compressed formats (JPEG/PNG/...)
-would need codec libraries not present in this container and remain a
-clearly-marked ``NotImplementedError`` boundary; ``deterministic_fake_decode``
-is kept for unknown blobs so the plumbing stays exercisable on any bytes.
+The decode layer is a REAL pure-Python codec for three deterministic
+formats implemented from their public specs: binary PPM (P6, netpbm
+docs), uncompressed 24-bit BMP (Windows BITMAPINFOHEADER layout), and —
+since PNG's IDAT is just a zlib stream plus per-scanline filters —
+8-bit truecolor PNG (RFC 2083: chunk framing with CRC verification,
+all five filter types: None/Sub/Up/Average/Paeth). Kernels sniff the
+blob magic and parse headers + raster from the bytes; nothing trusts
+the metadata column. Formats needing real codec libraries (JPEG/WebP/
+video) are not present in this container and remain a clearly-marked
+error boundary; ``deterministic_fake_decode`` is kept for unknown blobs
+so the plumbing stays exercisable on any bytes.
 
 Scale design: all kernels run through ``mapInPandas`` (Arrow batches, one
 Python worker per core, no driver collect); inputs are repartitioned before
@@ -132,6 +135,139 @@ def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, out
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG filter 4): nearest of left/up/
+    upper-left to p = a + b - c, ties resolved left, up, upper-left."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(raster: np.ndarray, filter_type: int = 0) -> bytes:
+    """RGB uint8 array (h, w, 3) → non-interlaced 8-bit truecolor PNG,
+    stdlib zlib only. ``filter_type`` selects the scanline filter applied
+    to every row (0-4) so round-trip tests can exercise each decode path."""
+    import zlib
+    import struct
+
+    h, w, c = raster.shape
+    assert c == 3 and raster.dtype == np.uint8
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter must be 0-4, got {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor
+    bpp = 3
+    lines = []
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        raw = raster[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(bpp, np.int16), raw[:-bpp]])
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:   # Sub
+            filt = raw - left
+        elif filter_type == 2:   # Up
+            filt = raw - prior
+        elif filter_type == 3:   # Average
+            filt = raw - (left + prior) // 2
+        else:                    # Paeth
+            ul = np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]])
+            filt = raw - _paeth_vec(left, prior, ul)
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    idat = zlib.compress(b"".join(lines))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an 8-bit non-interlaced truecolor PNG: verify chunk CRCs,
+    inflate the concatenated IDAT stream with stdlib zlib, then undo the
+    per-scanline filter (all five types). Returns (width, height,
+    raster (h, w, 3) uint8)."""
+    import struct
+    import zlib
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced truecolor PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, w * 3 + 1
+    if len(raw) != stride * h:
+        raise ValueError(f"bad IDAT payload: want {stride * h} bytes, got {len(raw)}")
+    out = np.empty((h, w * 3), dtype=np.uint8)
+    prior = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ft = line[0]
+        cur = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int16)
+        if ft == 0:
+            recon = cur
+        elif ft == 2:    # Up — no intra-row dependency, vectorized
+            recon = (cur + prior) % 256
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth recurse on the reconstructed left pixel —
+            # sequential in x by definition
+            recon = np.empty(w * 3, dtype=np.int16)
+            for x in range(w * 3):
+                left = recon[x - bpp] if x >= bpp else 0
+                up = int(prior[x])
+                ul = int(prior[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                recon[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return w, h, out.reshape(h, w, 3)
+
+
 def sniff_and_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
     """Dispatch on magic bytes → (format, width, height, raster (h, w, 3))."""
     if blob[:2] == b"P6":
@@ -140,6 +276,9 @@ def sniff_and_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
     if blob[:2] == b"BM":
         w, h, px = decode_bmp(blob)
         return "bmp", w, h, px
+    if blob[:8] == PNG_SIG:
+        w, h, px = decode_png(blob)
+        return "png", w, h, px
     raise ValueError(f"unknown image magic {blob[:2]!r}")
 
 
@@ -172,6 +311,49 @@ def synthesize_media_table(df: DataFrame, id_col: str, payload_col: str) -> Data
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def synthesize_png_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """PNG twin of :func:`synthesize_media_table`: the SAME deterministic
+    raster (width ``8 + length(payload) % 8``, height 4, bytes = first
+    ``w*12`` chars of ``repeat(md5(payload), 6)``), so the SAME SQL oracle
+    verifies the decode value-for-value — but the blob is a real
+    zlib-compressed PNG, built in a mapInPandas kernel (a DEFLATE stream
+    can't be produced by SQL expressions). The scanline filter cycles with
+    ``id % 5``, so a corpus exercises every PNG filter type."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["_payload"]
+                w = 8 + len(payload) % 8
+                hexes = (hashlib.md5(payload.encode()).hexdigest() * 6)[: w * 12]
+                raster = np.frombuffer(hexes.encode("ascii"), dtype=np.uint8)
+                blob = encode_png(raster.reshape(4, w, 3), filter_type=int(row["_id"]) % 5)
+                out.append({"media_id": int(row["_id"]), "blob": blob, "w": w})
+            yield pd.DataFrame(out, columns=["media_id", "blob", "w"])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    encoded = (
+        df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+        .repartition(par)
+        .mapInPandas(kernel, "media_id long, blob binary, w int")
+    )
+    return encoded.select(
+        "media_id",
+        "blob",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),
+            F.col("w").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    ).drop("w")
 
 
 def _real_compressed_decode_available() -> bool:

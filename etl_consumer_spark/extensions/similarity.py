@@ -82,10 +82,14 @@ def assign_clusters(
     vec_col: str = "embedding",
     cid_col: str = "cid",
     cvec_col: str = "cvec",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF assignment: nearest centroid per vector (broadcast centroids,
-    argmax cosine with deterministic tie-break). Vector norms are computed
-    once per row, not once per (row, centroid) pair."""
+    """IVF assignment: the ``n_probe`` nearest centroids per vector
+    (broadcast centroids, ranked cosine with deterministic tie-break).
+    ``n_probe=1`` (default) is ordinary single-cluster assignment; higher
+    values produce one row per (vector, probed cluster) — the multi-probe
+    front end of two-stage ANN search. Vector norms are computed once per
+    row, not once per (row, centroid) pair."""
     par = emb.sparkSession.sparkContext.defaultParallelism
     with_norm = emb.repartition(par).select(
         F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vnorm")
@@ -102,7 +106,7 @@ def assign_clusters(
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col(cid_col).asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select(id_col, vec_col, cid_col)
     )
 
@@ -145,6 +149,54 @@ def knn_ivf(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def knn_ivf_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN (the standard IVF answer): probe the query's
+    ``n_probe`` nearest clusters to gather a candidate pool, then EXACT
+    cosine rerank over the pool for the final top-k. Recall approaches
+    brute force as n_probe grows while cost stays
+    |Q|·|C|·(n_probe/n_clusters): the probe is a co-partitioned equi-join
+    on cluster id, and the rerank touches only the candidate pool — at
+    corpus scale, bucket the corpus by cid so probes are partition-pruned
+    scans. Output schema matches :func:`knn_bruteforce` (query_id,
+    neighbor_id, rank), so brute force is the recall oracle."""
+    cents = deterministic_centroids(corpus, n_clusters, id_col, vec_col)
+    c_assigned = assign_clusters(corpus, cents, id_col, vec_col)
+    q_probes = assign_clusters(queries, cents, id_col, vec_col, n_probe=n_probe)
+    # each corpus vector lives in exactly one cluster, so (query, neighbor)
+    # pairs are unique across probed clusters — no dedup needed
+    q = q_probes.select(
+        F.col("cid"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    c = c_assigned.select(
+        F.col("cid"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnorm"),
+    )
+    reranked = (
+        q.join(c, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

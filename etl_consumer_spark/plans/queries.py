@@ -3136,3 +3136,84 @@ def olap_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_since_prev"),
     )
+
+
+@register(
+    "sim_ivf_rerank",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+    q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    qp_scored AS (
+      SELECT q.vec_id, c.cid, {_cos_sql('q.embedding', 'c.cvec')} AS csim FROM q0 q, cents c
+    ),
+    qprobe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        FROM qp_scored) WHERE rn <= 4
+    ),
+    ca_scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS csim
+      FROM embeddings e, cents c
+    ),
+    cassign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        FROM ca_scored) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             {_cos_sql('qe.embedding', 'ca.embedding')} AS cos_sim
+      FROM qprobe qp
+      JOIN cassign ca ON ca.cid = qp.cid AND ca.vec_id <> qp.vec_id
+      JOIN q0 qe ON qe.vec_id = qp.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="two-stage ANN: IVF probe of the 4 nearest clusters (of 16) gathers "
+        "candidates, exact cosine rerank picks top-3. The oracle replays the "
+        "full probe+rerank pipeline in SQL (value-exact). NOTE: the driver's "
+        "synthetic embeddings are isotropic random (measured intra-label cosine "
+        "~0.005), so NO pruned ANN can match brute force here — equality with "
+        "sim_knn_bruteforce at n_probe=n_clusters and monotone recall in n_probe "
+        "are pinned in tests/test_similarity_rerank.py instead",
+)
+def sim_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_ivf_rerank(queries, emb, n_clusters=16, n_probe=4, k=3)
+
+
+@register(
+    "mm_png_features",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    px AS (
+      SELECT doc_id, w, ascii(substr(ras, u.i, 1)) AS v, length(ras) AS n
+      FROM r, unnest(generate_series(1, length(ras))) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           sum(v) / n AS mean_px,
+           sqrt(sum(v * v) / n - (sum(v) / n) * (sum(v) / n)) AS std_px,
+           (max(w) * 4)::BIGINT AS n_px
+    FROM px GROUP BY doc_id, n
+    """,
+    doc="multimodal: feature extraction through the REAL stdlib-zlib PNG decode "
+        "(chunk CRCs verified, all five scanline filters exercised via id % 5) — "
+        "same deterministic raster as mm_image_features, so the same SQL oracle "
+        "value-checks the DEFLATE + unfilter path end-to-end",
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_png_media_table(docs, "doc_id", "text")
+    return M.extract_image_features(media)

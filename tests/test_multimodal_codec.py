@@ -93,3 +93,84 @@ def test_synthesized_blobs_are_real_ppm(spark):
     meta = {r["media_id"]: r for r in extract_metadata(
         synthesize_media_table(docs, "doc_id", "text")).collect()}
     assert meta[1]["width"] == 11 and meta[1]["n_raster"] == 132
+
+
+# -- PNG (stdlib zlib, RFC 2083) --------------------------------------------
+
+
+def test_png_roundtrip_every_filter_type():
+    """Encode/decode round-trip under each of the five scanline filters —
+    the decoder must reconstruct identical pixels from any of them."""
+    from etl_consumer_spark.extensions.multimodal import decode_png, encode_png
+
+    px = _raster(13, 7, seed=3)
+    for ft in range(5):
+        blob = encode_png(px, filter_type=ft)
+        w, h, out = decode_png(blob)
+        assert (w, h) == (13, 7)
+        np.testing.assert_array_equal(out, px)
+    fmt, w2, h2, out2 = sniff_and_decode(encode_png(px, filter_type=4))
+    assert fmt == "png" and (w2, h2) == (13, 7)
+    np.testing.assert_array_equal(out2, px)
+
+
+def test_png_roundtrip_property():
+    """Randomized rasters across shapes and filters (seeded, deterministic)."""
+    from etl_consumer_spark.extensions.multimodal import decode_png, encode_png
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        w, h = int(rng.randint(1, 24)), int(rng.randint(1, 12))
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+        blob = encode_png(px, filter_type=seed % 5)
+        w2, h2, out = decode_png(blob)
+        assert (w2, h2) == (w, h)
+        np.testing.assert_array_equal(out, px)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from etl_consumer_spark.extensions.multimodal import decode_png, encode_png
+
+    px = _raster(4, 3)
+    blob = bytearray(encode_png(px))
+    blob[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX\r\n\x1a\n")
+    # grayscale (color type 0) is out of scope -> explicit error
+    import struct
+    import zlib
+
+    from etl_consumer_spark.extensions.multimodal import PNG_SIG, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    gray = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04")
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(gray)
+
+
+def test_synthesized_png_corpus_matches_ppm_features(spark):
+    """The PNG corpus carries the SAME deterministic raster as the PPM one,
+    so feature extraction over both must agree value-for-value — and the
+    id % 5 filter cycling means all five unfilter paths run for real."""
+    from etl_consumer_spark.extensions.multimodal import synthesize_png_media_table
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text padding") for i in range(10)],
+        "doc_id long, text string",
+    )
+    png_media = synthesize_png_media_table(docs, "doc_id", "text")
+    for r in png_media.collect():
+        fmt, w, h, px = sniff_and_decode(bytes(r["blob"]))
+        assert fmt == "png" and h == 4 and w == r["meta"]["width"]
+    ppm_feats = sorted(
+        extract_image_features(synthesize_media_table(docs, "doc_id", "text")).collect(),
+        key=lambda r: r["media_id"],
+    )
+    png_feats = sorted(
+        extract_image_features(png_media).collect(), key=lambda r: r["media_id"]
+    )
+    assert [tuple(r) for r in ppm_feats] == [tuple(r) for r in png_feats]
