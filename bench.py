@@ -45,6 +45,14 @@ HEADLINE = [
     "olap_cube",                  # CUBE grouping sets
     "olap_lag_lead",              # offset windows
     "dedup_ngram_jaccard_capped", # stop-shingle-capped Jaccard (scale path)
+    # round-3 additions (VERDICT r2 ask #8): cover the round-2 surface in the
+    # regression grade, plus the round-3 operators
+    "stream_cdc_partitioned",     # range-bucketed store, staged-manifest commit
+    "dedup_lsh_candidates_capped",# bounded LSH banding (scale path)
+    "sketch_hll_registers",       # register-exact HLL sketch
+    "mm_metadata",                # header-only multimodal parse
+    "sim_ivf_rerank",             # two-stage ANN probe + exact rerank
+    "mm_png_features",            # zlib PNG decode kernel
 ]
 
 

@@ -32,15 +32,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (distinct, order-free)."""
+    """Word n-gram shingles as an array column (distinct, order-free).
+
+    Guarded for docs shorter than n words: ``sequence(1, count)`` with
+    count <= 0 is a DESCENDING sequence in Spark ([1, 0]), whose
+    element_at(0) traps under ANSI mode — the gram branch only evaluates
+    when count > 0."""
     words = F.split(F.trim(text), r"\s+")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    count = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(1), count)
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]),
     )
-    return F.array_distinct(gram)
+    return F.array_distinct(
+        F.when(count > 0, gram).otherwise(F.array().cast("array<string>"))
+    )
 
 
 def exploded_shingles(

@@ -121,3 +121,104 @@ def rolling_hash(text: Column, modulus: int = 1_000_000_007, base: int = 31) -> 
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % modulus,
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition & document-shape quality signals (the Gopher/C4 rule family:
+# Rae et al. 2021 "Scaling Language Models" App. A; Raffel et al. 2020 C4).
+# All expression-only — each signal is one pass over the text column, no
+# shuffle, no Python — and every rule is reproducible in ANSI-ish SQL so
+# the DuckDB oracle checks the numbers, not just the plumbing.
+# ---------------------------------------------------------------------------
+
+
+def lines(text: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that repeat an earlier line —
+    boilerplate/template detector (headers, nav bars, injected banners)."""
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(n > 0, (n - F.size(F.array_distinct(ls))) / n).otherwise(F.lit(0.0))
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-grams in order (NOT distinct — repetition is the signal).
+
+    Guarded for short docs: ``sequence(1, count)`` with count <= 0 is a
+    DESCENDING sequence in Spark ([1, 0]), whose element_at(0) traps under
+    ANSI mode — the branch below only evaluates when count > 0."""
+    toks = tokens(text)
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats — the Gopher repetition
+    rule (degenerate/looping text scores high)."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0, (total - F.size(F.array_distinct(grams))) / total
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Non-alphanumeric, non-whitespace characters per word."""
+    n_sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_tok = token_count(text)
+    return F.when(n_tok > 0, n_sym / n_tok).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character
+    (C4 rule: drop pages of digits/markup)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Fraction of lines ending in '...' (truncated scrapes)."""
+    ls = lines(text)
+    n = F.size(ls)
+    n_ell = F.size(F.filter(ls, lambda x: x.endswith("...")))
+    return F.when(n > 0, n_ell / n).otherwise(F.lit(0.0))
+
+
+def gopher_repetition_signals(text: Column) -> list[tuple[str, Column]]:
+    """The signal battery as (name, column) pairs, thresholds per the
+    published rules (adapted to this corpus's scale)."""
+    return [
+        ("dup_line_frac", duplicate_line_fraction(text)),
+        ("dup_2gram_frac", duplicate_ngram_fraction(text, 2)),
+        ("dup_3gram_frac", duplicate_ngram_fraction(text, 3)),
+        ("symbol_word_ratio", symbol_word_ratio(text)),
+        ("alpha_word_frac", alpha_word_fraction(text)),
+        ("ellipsis_line_frac", ellipsis_line_fraction(text)),
+    ]
+
+
+def passes_gopher_filters(text: Column) -> Column:
+    """Composite keep/drop decision: duplicate-content and shape rules
+    (thresholds from the Gopher appendix where applicable)."""
+    return (
+        (duplicate_line_fraction(text) < 0.30)
+        & (duplicate_ngram_fraction(text, 2) < 0.20)
+        & (symbol_word_ratio(text) < 0.50)
+        & (alpha_word_fraction(text) > 0.60)
+        & (ellipsis_line_fraction(text) < 0.30)
+    )

@@ -37,14 +37,18 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => non-SQL-expressible, rows-only check
     doc: str = ""
+    # False marks deliberately-retained correctness baselines whose plan is
+    # quadratic under skew (uncapped self-joins) — a user picking queries at
+    # 100 TB should select the capped twin instead (named in the doc)
+    scale_safe: bool = True
 
 
 QUERIES: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", scale_safe: bool = True):
     def deco(fn):
-        QUERIES[name] = QueryDef(fn, oracle, doc)
+        QUERIES[name] = QueryDef(fn, oracle, doc, scale_safe)
         return fn
 
     return deco
@@ -56,6 +60,15 @@ def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql_dict() -> dict[str, str]:
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+def query_info() -> dict[str, dict]:
+    """Metadata surface: per-query doc string and scale-safety flag (the
+    registry's operator inventory, machine-readable)."""
+    return {
+        name: {"doc": q.doc, "scale_safe": q.scale_safe, "has_oracle": q.oracle is not None}
+        for name, q in QUERIES.items()
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -902,7 +915,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes za ON za.doc_id = c.a
     JOIN sizes zb ON zb.doc_id = c.b
     """,
-    doc="MinHash-LSH near-dup candidates (8 bands x 1 row) verified with exact shingle Jaccard",
+    doc="MinHash-LSH near-dup candidates (8 bands x 1 row) verified with exact "
+        "shingle Jaccard — CORRECTNESS BASELINE ONLY: the uncapped bucket "
+        "self-join is quadratic on hot buckets; the scale path is "
+        "dedup_lsh_candidates_capped (max_bucket_size)",
+    scale_safe=False,
 )
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import dedup as D
@@ -960,6 +977,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard similarity pairs (shingle self-join, threshold 0.05) — "
         "CORRECTNESS BASELINE ONLY: the uncapped self-join is quadratic on hot "
         "shingles; the scale path is dedup_ngram_jaccard_capped (max_doc_freq)",
+    scale_safe=False,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions import dedup as D
@@ -3217,3 +3235,81 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthesize_png_media_table(docs, "doc_id", "text")
     return M.extract_image_features(media)
+
+
+@register(
+    "dedup_connected_components_star",
+    QUERIES["dedup_connected_components"].oracle,
+    doc="near-dup clustering via the alternating large-star/small-star algorithm "
+        "(Kiveris et al., SoCC 2014) — identical labels to the min-label-propagation "
+        "query but O(log^2 n) rounds instead of O(diameter), the scale path for "
+        "giant components; verified against the same recursive-CTE oracle",
+)
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.exploded_shingles(docs), num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    pairs = D.candidate_pairs(buckets)
+    return D.connected_components_star(pairs, docs, id_col="doc_id")
+
+
+@register(
+    "text_repetition_gopher",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> length(x) > 0) AS ls,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ls, toks, n_sym,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+             list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+      FROM base
+    ),
+    sig AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) > 0
+                  THEN (len(ls) - len(list_distinct(ls))) / len(ls) ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(g2) > 0
+                  THEN (len(g2) - len(list_distinct(g2))) / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+             CASE WHEN len(g3) > 0
+                  THEN (len(g3) - len(list_distinct(g3))) / len(g3) ELSE 0.0 END AS dup_3gram_frac,
+             CASE WHEN len(toks) > 0 THEN n_sym / len(toks) ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) / len(toks)
+                  ELSE 0.0 END AS alpha_word_frac,
+             CASE WHEN len(ls) > 0
+                  THEN len(list_filter(ls, x -> x LIKE '%...')) / len(ls) ELSE 0.0 END AS ellipsis_line_frac
+      FROM grams
+    )
+    SELECT doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac,
+           symbol_word_ratio, alpha_word_frac, ellipsis_line_frac,
+           (dup_line_frac < 0.30 AND dup_2gram_frac < 0.20 AND symbol_word_ratio < 0.50
+            AND alpha_word_frac > 0.60 AND ellipsis_line_frac < 0.30) AS keep
+    FROM sig
+    """,
+    doc="Gopher/C4-style repetition and shape quality signals (duplicate line/"
+        "2-gram/3-gram fractions, symbol-to-word ratio, alpha-word fraction, "
+        "ellipsis lines) plus the composite keep decision — expression-only, "
+        "one pass, value-checked by the oracle",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sigs = TA.gopher_repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in sigs],
+        TA.passes_gopher_filters(F.col("text")).alias("keep"),
+    )

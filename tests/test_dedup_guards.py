@@ -116,3 +116,20 @@ def test_pii_scrub_patterns(spark):
     got = df.select(pii_scrub(SF.col("t")).alias("s"), "want").collect()
     for r in got:
         assert r["s"] == r["want"]
+
+
+def test_word_shingles_short_docs_ansi_safe(spark):
+    """Docs shorter than n words must yield an empty shingle set, not an
+    ANSI element_at trap (sequence(1, 0) is DESCENDING in Spark)."""
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.extensions.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["one two three"]

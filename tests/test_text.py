@@ -61,3 +61,54 @@ def test_sanitize_basename(spark):
     df = spark.createDataFrame([("Error 1062: Duplicate entry 'x' for key",)], "s string")
     out = [r[0] for r in df.select(EF.sanitize_basename("s")).collect()]
     assert out == ["Error-1062-Duplicate-entry-x-for-key"]
+
+
+def test_repetition_signals_edges(spark):
+    """Gopher repetition battery: empty doc scores 0 everywhere; a looping
+    doc scores high; a clean doc keeps."""
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.extensions.text_analysis import (
+        duplicate_line_fraction,
+        duplicate_ngram_fraction,
+        gopher_repetition_signals,
+        passes_gopher_filters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                                          # empty
+            (2, "spam spam spam spam spam spam"),             # 2-gram loop
+            (3, "nav\nnav\nnav\nbody text here"),             # dup lines
+            (4, "The quick brown fox jumps over the lazy dog today."),
+            (5, "1 2 3 4 5 6 7 8 9 10"),                      # all-digit
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in gopher_repetition_signals(F.col("text"))],
+            passes_gopher_filters(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    assert rows[1]["dup_line_frac"] == 0.0 and rows[1]["dup_2gram_frac"] == 0.0
+    # "spam spam" x5 -> 5 bigrams, 1 distinct -> 4/5
+    assert abs(rows[2]["dup_2gram_frac"] - 0.8) < 1e-9
+    assert not rows[2]["keep"]
+    # 4 lines, 2 distinct -> 2/4 duplicated
+    assert abs(rows[3]["dup_line_frac"] - 0.5) < 1e-9
+    assert not rows[3]["keep"]
+    assert rows[4]["keep"]
+    assert rows[5]["alpha_word_frac"] == 0.0 and not rows[5]["keep"]
+
+
+def test_word_ngrams_not_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from etl_consumer_spark.extensions.text_analysis import word_ngrams
+
+    df = spark.createDataFrame([("a b a b",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()[0]["g"]
+    assert out == ["a b", "b a", "a b"]   # repetition preserved
