@@ -64,3 +64,13 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each queries() entry (omitted for
     non-SQL-expressible operators -> rows-only check)."""
     return oracle_sql_dict()
+
+
+def query_meta() -> dict[str, dict]:
+    """Optional metadata surface (additive; not part of the frozen driver
+    contract): per-query doc and scale_safe flag — False marks retained
+    correctness baselines whose plan is quadratic under skew, each naming
+    its capped scale-path twin in the doc."""
+    from etl_consumer_spark.plans.queries import query_info
+
+    return query_info()

@@ -3549,3 +3549,65 @@ def olap_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH e AS (
+      -- microsecond precision: Spark's rebuilt ts keeps micros, so the
+      -- oracle must not truncate to ms
+      SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="native Structured Streaming session windows (session_window, 30-min gap) "
+        "through readStream/availableNow — the engine's stateful session operator "
+        "verified against the batch gap-islands formulation (start = min ts, "
+        "end = max ts + gap)",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
