@@ -3611,3 +3611,45 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.event_type, c.c_name, n.n_name,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="stream-static enrichment join: a streaming fact (events via readStream/"
+        "availableNow) joined per micro-batch to static broadcast dimensions "
+        "(customer -> nation) — the standard streaming-ETL enrich pattern; no "
+        "state store involved, each batch plans a broadcast hash join",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = tempfile.mkdtemp(prefix="stream_enrich_")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    enriched = (
+        stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("event_id", "event_type", "c_name", "n_name", F.col("value").cast("double"))
+    )
+    sink = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
