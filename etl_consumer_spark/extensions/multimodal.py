@@ -2,17 +2,18 @@
 with typed metadata, plus the Spark-side plumbing for decode / feature
 extraction / resize / frame sampling.
 
-The decode layer is a REAL pure-Python codec for three deterministic
-formats implemented from their public specs: binary PPM (P6, netpbm
-docs), uncompressed 24-bit BMP (Windows BITMAPINFOHEADER layout), and —
-since PNG's IDAT is just a zlib stream plus per-scanline filters —
-8-bit truecolor PNG (RFC 2083: chunk framing with CRC verification,
-all five filter types: None/Sub/Up/Average/Paeth). Kernels sniff the
+The decode layer is a REAL pure-Python codec for four formats implemented
+from their public specs: binary PPM (P6, netpbm docs), uncompressed
+24-bit BMP (Windows BITMAPINFOHEADER layout), 8-bit truecolor PNG
+(RFC 2083: chunk framing with CRC verification, all five filter types:
+None/Sub/Up/Average/Paeth, stdlib-zlib inflate), and baseline-sequential
+grayscale JPEG (ITU-T T.81: marker framing, Annex-K Huffman tables,
+DCT + quantization — see ``extensions/jpeg.py``). Kernels sniff the
 blob magic and parse headers + raster from the bytes; nothing trusts
-the metadata column. Formats needing real codec libraries (JPEG/WebP/
-video) are not present in this container and remain a clearly-marked
-error boundary; ``deterministic_fake_decode`` is kept for unknown blobs
-so the plumbing stays exercisable on any bytes.
+the metadata column. Formats needing real codec libraries (WebP/video)
+are not present in this container and remain a clearly-marked error
+boundary; ``deterministic_fake_decode`` is kept for unknown blobs so
+the plumbing stays exercisable on any bytes.
 
 Scale design: all kernels run through ``mapInPandas`` (Arrow batches, one
 Python worker per core, no driver collect); inputs are repartitioned before
@@ -279,6 +280,12 @@ def sniff_and_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
     if blob[:8] == PNG_SIG:
         w, h, px = decode_png(blob)
         return "png", w, h, px
+    if blob[:3] == b"\xff\xd8\xff":
+        from etl_consumer_spark.extensions.jpeg import decode_jpeg
+
+        w, h, gray = decode_jpeg(blob)
+        # grayscale → replicated RGB so every codec shares one raster shape
+        return "jpeg", w, h, np.repeat(gray[:, :, None], 3, axis=2)
     raise ValueError(f"unknown image magic {blob[:2]!r}")
 
 
@@ -356,6 +363,49 @@ def synthesize_png_media_table(df: DataFrame, id_col: str, payload_col: str) -> 
     ).drop("w")
 
 
+def synthesize_jpeg_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """JPEG sibling of :func:`synthesize_png_media_table`: a real
+    baseline-sequential JFIF blob per row, produced by the full encoder
+    (DCT → quantize → zigzag → Huffman → byte-stuff) in a mapInPandas
+    kernel. The raster is constant-per-8x8-block — 2x4 blocks whose values
+    are the ascii codes of the first 8 md5(payload) hex chars — which the
+    codec's DC-quant-8 design round-trips EXACTLY (see extensions/jpeg.py),
+    so a pure-SQL oracle can value-check the decoded pixel statistics even
+    though JPEG is lossy in general."""
+    from etl_consumer_spark.extensions.jpeg import encode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                hexes = hashlib.md5(row["_payload"].encode()).hexdigest()[:8]
+                blocks = np.frombuffer(hexes.encode("ascii"), dtype=np.uint8)
+                gray = np.kron(blocks.reshape(2, 4), np.ones((8, 8), dtype=np.uint8))
+                out.append({"media_id": int(row["_id"]), "blob": encode_jpeg(gray)})
+            yield pd.DataFrame(out, columns=["media_id", "blob"])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    encoded = (
+        df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+        .repartition(par)
+        .mapInPandas(kernel, "media_id long, blob binary")
+    )
+    return encoded.select(
+        "media_id",
+        "blob",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("jpeg").alias("format"),
+            F.lit(32).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401
@@ -395,8 +445,9 @@ def extract_image_features(media: DataFrame, use_real_codec: bool = True) -> Dat
     bytes, ``n_px`` is the parsed pixel count.
 
     ``use_real_codec=False`` forces the fake decoder (legacy plumbing test
-    mode). Compressed formats would require PIL/opencv — not in this
-    container — and raise ``NotImplementedError`` at the boundary."""
+    mode). Remaining compressed formats (WebP/video) would require real
+    codec libraries — not in this container — and raise
+    ``NotImplementedError`` at the boundary."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math

@@ -18,7 +18,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -73,6 +73,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # lose precision for epoch-nanos > 2^53
         micros = F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000")
         df = df.withColumn(c, F.timestamp_micros(micros))
+    # Spark 4.x with spark.sql.parquet.inferTimestampNTZ.enabled=true reads
+    # plain (non-UTC-adjusted) parquet timestamps as TIMESTAMP_NTZ, which
+    # rejects unix_millis(), cast(long), and withWatermark(). Normalize every
+    # NTZ column to TimestampType: with the session TZ pinned UTC above, the
+    # cast reinterprets the wall-clock as a UTC instant — identical values to
+    # what the UTC-naive DuckDB oracle sees, and robust to either parquet
+    # flavor the driver regenerates.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

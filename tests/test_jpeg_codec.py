@@ -1,0 +1,94 @@
+"""Baseline JPEG codec: roundtrip guarantees and decode honesty.
+
+The codec (extensions/jpeg.py) implements T.81 baseline-sequential
+grayscale. Exactness contract: constant-per-8x8-block rasters round-trip
+bit-exactly (DC quant 8); general rasters round-trip within quantization
+error (AC quant 16 → per-coefficient error ≤ 8, spatially spread by the
+orthonormal IDCT)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_consumer_spark.extensions.jpeg import decode_jpeg, encode_jpeg
+from etl_consumer_spark.extensions.multimodal import sniff_and_decode
+
+
+def test_constant_block_exact_roundtrip():
+    rng = np.random.RandomState(42)
+    for _ in range(5):
+        blocks = rng.randint(0, 256, (3, 5), dtype=np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        w, h, out = decode_jpeg(encode_jpeg(img))
+        assert (w, h) == (40, 24)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_extreme_values_exact():
+    img = np.kron(
+        np.array([[0, 255], [128, 1]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    _, _, out = decode_jpeg(encode_jpeg(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_general_raster_bounded_error():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(img))
+    err = np.abs(out.astype(int) - img.astype(int))
+    # worst-case q-error per coefficient is 8; energy spreads over the block.
+    # Empirical max for uniform noise is ~15; assert a safe spec-true bound.
+    assert err.max() <= 64
+    assert err.mean() <= 8
+
+
+def test_smooth_gradient_small_error():
+    x = np.linspace(0, 255, 32 * 48).reshape(32, 48).astype(np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(x))
+    assert np.abs(out.astype(int) - x.astype(int)).max() <= 4
+
+
+def test_non_multiple_of_8_cropped():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 21), dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (21, 13)
+    assert out.shape == (13, 21)
+
+
+def test_dc_prediction_across_blocks():
+    """A long row of blocks exercises DC difference coding both directions."""
+    vals = np.array([[10, 250, 10, 250, 128, 0, 255, 77]], dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    _, _, out = decode_jpeg(encode_jpeg(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_sniff_dispatches_jpeg():
+    img = np.kron(np.array([[9, 200]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8))
+    fmt, w, h, px = sniff_and_decode(encode_jpeg(img))
+    assert fmt == "jpeg"
+    assert (w, h) == (16, 8)
+    assert px.shape == (8, 16, 3)
+    # replicated channels, exact values
+    np.testing.assert_array_equal(px[:, :, 0], img)
+    np.testing.assert_array_equal(px[:, :, 1], img)
+
+
+def test_decoder_rejects_progressive_and_truncated():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive) — find the marker
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:-10] )
+
+
+def test_not_a_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG....")
