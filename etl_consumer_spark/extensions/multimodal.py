@@ -406,6 +406,85 @@ def synthesize_jpeg_media_table(df: DataFrame, id_col: str, payload_col: str) ->
     )
 
 
+def synthesize_wav_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Audio leg of the media synthesis family: a real RIFF/WAVE PCM blob
+    per row (see ``extensions/audio.py``). The signal is 32 int16 samples
+    ``ascii(md5_hex_char_i) - 77`` — digits map negative, letters positive,
+    so zero crossings genuinely occur — at 16 kHz mono. PCM is lossless, so
+    the SQL oracle recomputes every decoded-sample statistic exactly."""
+    from etl_consumer_spark.extensions.audio import encode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                hexes = hashlib.md5(row["_payload"].encode()).hexdigest()
+                v = np.frombuffer(hexes.encode("ascii"), dtype=np.uint8).astype(np.int16) - 77
+                out.append({"media_id": int(row["_id"]), "blob": encode_wav(v, 16000)})
+            yield pd.DataFrame(out, columns=["media_id", "blob"])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    encoded = (
+        df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+        .repartition(par)
+        .mapInPandas(kernel, "media_id long, blob binary")
+    )
+    return encoded.select(
+        "media_id",
+        "blob",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(2).cast("long").alias("duration_ms"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "rms double, peak long, zero_crossings long"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio stats via mapInPandas: the WAV container is actually
+    parsed (RIFF chunk walk, fmt validation) and features computed over the
+    decoded PCM samples — duration, RMS, peak, zero-crossing count."""
+    from etl_consumer_spark.extensions.audio import audio_features
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                feats = audio_features(bytes(row["blob"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "sample_rate": feats["sample_rate"],
+                        "n_samples": feats["n_samples"],
+                        "duration_ms": feats["duration_ms"],
+                        "rms": feats["rms"],
+                        "peak": feats["peak"],
+                        "zero_crossings": feats["zero_crossings"],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401

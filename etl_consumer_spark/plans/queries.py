@@ -3690,6 +3690,42 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_image_features(media)
 
 
+@register(
+    "mm_audio_features",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id, u.i AS i, ascii(substr(hx, u.i, 1)) - 77 AS v
+      FROM d, unnest(generate_series(1, 32)) AS u(i)
+    ),
+    x AS (
+      SELECT doc_id, v,
+             CASE WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                  THEN 1 ELSE 0 END AS zc
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           16000::INT AS sample_rate,
+           32::BIGINT AS n_samples,
+           2::BIGINT AS duration_ms,
+           sqrt(sum(v * v) / 32) AS rms,
+           max(abs(v))::BIGINT AS peak,
+           sum(zc)::BIGINT AS zero_crossings
+    FROM x GROUP BY doc_id
+    """,
+    doc="multimodal audio: real RIFF/WAVE PCM encode in a mapInPandas kernel, "
+        "then chunk-walking decode + sample statistics (duration/RMS/peak/"
+        "zero crossings); PCM is lossless so the oracle recomputes every "
+        "feature from the md5-derived signal exactly",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_wav_media_table(docs, "doc_id", "text")
+    return M.extract_audio_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering (round 4).
 #
