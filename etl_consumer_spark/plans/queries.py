@@ -3727,6 +3727,448 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4: the nine TPC-H plan shapes not yet covered (Q8, Q9, Q11, Q12,
+# Q15, Q16, Q20, Q21, Q22) — with them, all 22 TPC-H query shapes exist in
+# the registry. The driver testdata has no partsupp table and no
+# l_shipmode/l_commitdate/l_receiptdate columns, so those inputs are DERIVED
+# from keys with identical arithmetic on both sides (the convention already
+# used by q2/q13/q19): the oracle then validates the plan shape and the
+# engine's join/agg semantics, not the derivation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_q8_market_share",
+    """
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: 8-way snowflake join (nation twice, region prune) with "
+        "a conditional-share aggregate; ratio of two exact decimal sums taken "
+        "in one double division for engine-stable values",
+)
+def olap_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    flat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return flat.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "olap_q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,0))
+                      * CAST(0.1 AS DECIMAL(3,1))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type LIKE 'PROMO%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: profit per nation-year over a 5-way join; the missing "
+        "partsupp.ps_supplycost is derived as 10% of p_retailprice with exact "
+        "decimal arithmetic on both sides",
+)
+def olap_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,0)")
+        * F.lit(0.1).cast("decimal(3,1)")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "olap_q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    v AS (
+      SELECT l_partkey,
+             ((l_partkey * 31 + l_suppkey * 7) % 1000 + 1)
+               * ((l_partkey * 13 + l_suppkey) % 500 + 1) AS value
+      FROM ps
+    ),
+    tot AS (SELECT sum(value) AS total FROM v)
+    SELECT l_partkey AS ps_partkey, sum(value)::BIGINT AS part_value
+    FROM v, tot
+    GROUP BY l_partkey, tot.total
+    HAVING sum(value) > total * 0.001
+    """,
+    doc="TPC-H Q11 shape: group-sum with a HAVING threshold against a global "
+        "scalar subquery; pseudo-partsupp (availqty*supplycost) derived from "
+        "keys in exact integer arithmetic — broadcast 1-row total, no collect",
+)
+def olap_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    value = (
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 7) % 1000 + 1)
+        * ((F.col("l_partkey") * 13 + F.col("l_suppkey")) % 500 + 1)
+    ).alias("value")
+    v = ps.select("l_partkey", value)
+    tot = v.agg(F.sum("value").alias("total"))
+    return (
+        v.groupBy("l_partkey")
+        .agg(F.sum("value").alias("part_value"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("part_value").cast("long").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "olap_q12_shipmode_priority",
+    """
+    WITH l AS (
+      SELECT l_orderkey,
+             CASE (l_orderkey + l_linenumber) % 3
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'AIR' END AS shipmode,
+             (l_orderkey * 7 + l_linenumber) % 5 = 0 AS late
+      FROM lineitem
+    )
+    SELECT shipmode,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.shipmode IN ('MAIL', 'SHIP') AND l.late
+    GROUP BY shipmode
+    """,
+    doc="TPC-H Q12 shape: join + dual conditional counts by priority class; "
+        "shipmode and the late-delivery flag (no such columns in the driver "
+        "tables) derived from keys with identical arithmetic on both sides",
+)
+def olap_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    mode = (
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 0, "MAIL")
+        .when((F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 1, "SHIP")
+        .otherwise("AIR")
+    )
+    late = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5 == 0
+    l = li.select("l_orderkey", mode.alias("shipmode"), late.alias("late"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(F.col("shipmode").isin("MAIL", "SHIP") & F.col("late"))
+        .join(o.select("o_orderkey", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "olap_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: revenue view + scalar-max subquery equality (ties "
+        "kept); exact decimal revenue makes the equality engine-stable",
+)
+def olap_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "olap_q16_parts_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts per part attribute triple "
+        "with a NOT-IN supplier exclusion (negative balance stands in for the "
+        "complaints predicate) — anti join + count distinct",
+)
+def olap_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    keep_part = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(keep_part), ps.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "olap_q20_potential_promotion",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    avail AS (
+      SELECT l_partkey, l_suppkey,
+             (l_partkey * 31 + l_suppkey * 7) % 1000 + 1 AS availqty
+      FROM ps
+    ),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM avail a
+    JOIN shipped sh ON a.l_partkey = sh.l_partkey AND a.l_suppkey = sh.l_suppkey
+    JOIN part p ON a.l_partkey = p.p_partkey
+    JOIN supplier s ON a.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 3 AND a.availqty > 0.5 * sh.qty
+    """,
+    doc="TPC-H Q20 shape: nested semi-join chain (parts of interest -> "
+        "availability vs half of shipped quantity -> qualifying suppliers); "
+        "availqty derived from keys, quantities integer-exact",
+)
+def olap_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    avail = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumn("availqty", (F.col("l_partkey") * 31 + F.col("l_suppkey") * 7) % 1000 + 1)
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("sp"), F.col("l_suppkey").alias("ss"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    small = p.filter(F.col("p_size") <= 3).select("p_partkey")
+    return (
+        avail.join(shipped, (avail.l_partkey == F.col("sp")) & (avail.l_suppkey == F.col("ss")))
+        .filter(F.col("availqty") > 0.5 * F.col("qty"))
+        .join(F.broadcast(small), avail.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), avail.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "olap_q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_orderkey * 7 + l_linenumber) % 5 = 0 AS late
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    ord AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM l GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(DISTINCT l.l_orderkey)::BIGINT AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late) l
+    JOIN ord ON l.l_orderkey = ord.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE ord.n_supp > 1 AND ord.n_late = 1
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair (another supplier on the "
+        "order; no OTHER late supplier) decorrelated into order-level distinct "
+        "counts — one groupBy instead of two correlated subqueries; the late "
+        "flag is key-derived (no l_receiptdate/l_commitdate in the data)",
+)
+def olap_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5 == 0).alias("late"),
+        )
+    )
+    ord_stats = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = l.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late_pairs.join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").cast("long").alias("numwait"))
+    )
+
+
+@register(
+    "olap_q22_global_sales_opportunity",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode
+      FROM customer WHERE c_custkey % 7 IN (0, 1, 2)
+    ),
+    thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      FROM cust WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM cust, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: scalar-average threshold + anti join against orders; "
+        "country code derived from c_custkey (no phone column), and the anti "
+        "join keys on customers without RECENT orders (every customer in the "
+        "driver data has some order, which would make the spec predicate "
+        "vacuous); the average is an exact decimal sum divided once in double, "
+        "so the > comparison is engine-stable",
+)
+def olap_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust = c.filter((F.col("c_custkey") % 7).isin(0, 1, 2)).select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 7).alias("cntrycode")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("cntrycode").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 4).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
