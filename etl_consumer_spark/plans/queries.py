@@ -4324,6 +4324,92 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc="streaming dedup via dropDuplicatesWithinWatermark: unlike plain "
+        "dropDuplicates (state grows forever), state for a key is EVICTED "
+        "once the watermark passes its event time + delay — the operator "
+        "that makes streaming dedup viable on unbounded streams; "
+        "3x-duplicated input collapses to one row per event_id",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    tripled = ev.withColumn("_i", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))).drop("_i")
+    base = tempfile.mkdtemp(prefix="stream_dedup_wm_")
+    tripled.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(tripled.schema).parquet(f"{base}/in")
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "graph_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1000000000000 // n.n AS r FROM nodes, n),
+    c1 AS (SELECT e.dst, sum(r0.r // d.deg) AS s
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  (15 * (1000000000000 // n.n)) // 100 + (85 * coalesce(c1.s, 0)) // 100 AS r
+           FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst),
+    c2 AS (SELECT e.dst, sum(r1.r // d.deg) AS s
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  (15 * (1000000000000 // n.n)) // 100 + (85 * coalesce(c2.s, 0)) // 100 AS r
+           FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst),
+    c3 AS (SELECT e.dst, sum(r2.r // d.deg) AS s
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                  (15 * (1000000000000 // n.n)) // 100 + (85 * coalesce(c3.s, 0)) // 100 AS r
+           FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
+    SELECT node, r::BIGINT AS pagerank FROM r3
+    """,
+    doc="fixed-point integer PageRank (3 iterations, damping 85/100) over a "
+        "key-derived supplier graph — the web-corpus quality-prior algorithm "
+        "in an order-insensitive integer form, so the iterative loop is "
+        "value-oracle-exact via unrolled CTE stages; each iteration is one "
+        "edges-x-ranks join plus one groupBy(dst), the textbook distributed "
+        "shape",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    return pagerank_fixed_point(edges, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering (round 4).
 #
