@@ -245,3 +245,106 @@ def hyperplane_lsh_buckets(
         F.col(id_col),
         hyperplane_lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4): the memory-compression layer of IVF-PQ.
+# A d-dim vector becomes n_sub small integer codes (nearest codebook entry
+# per subspace); search then uses Asymmetric Distance Computation — the
+# query stays full-precision, corpus distances are sums of per-subspace
+# table lookups. Codebooks here are deterministic (first-k vectors, same
+# convention as deterministic_centroids) so every step is SQL-reproducible.
+# ---------------------------------------------------------------------------
+
+def _pq_subspaces(vec_col: str, out: str, n_sub: int, sub_dim: int):
+    """posexplode a vector into (subspace, sub-vector) rows."""
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim) for s in range(n_sub)]
+    )
+    return F.posexplode(slices).alias("subspace", out)
+
+
+def _pq_dist2(a: str, b: str):
+    """In-order left-fold squared L2 between two sub-vectors (mirrored by
+    DuckDB's list_sum over list_transform, so doubles are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame, n_sub: int = 4, sub_dim: int = 16, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, subspace, cv): k codebook entries per subspace from the first-k
+    vectors by id."""
+    cents = emb.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+    )
+    return cents.select("cid", _pq_subspaces("cemb", "cv", n_sub, sub_dim))
+
+
+def pq_encode(
+    emb: DataFrame, n_sub: int = 4, sub_dim: int = 16, k: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, subspace, code): nearest codebook entry per subspace, argmin
+    tie-broken by centroid id. One broadcast join + one window — no
+    pairwise corpus expansion at any scale."""
+    csub = pq_codebook(emb, n_sub, sub_dim, k, id_col, vec_col)
+    sub = emb.select(id_col, _pq_subspaces(vec_col, "v", n_sub, sub_dim))
+    d = sub.join(F.broadcast(csub), "subspace").select(
+        id_col, "subspace", "cid", _pq_dist2("v", "cv").alias("dist2")
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("dist2").asc(), F.col("cid").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "subspace", F.col("cid").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame, corpus: DataFrame, n_sub: int = 4, sub_dim: int = 16,
+    k_codebook: int = 8, topk: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, a (subspace x code) distance
+    table is built against the codebook (tiny, broadcast), then every
+    corpus vector's approximate distance is n_sub table lookups added in
+    FIXED subspace order (0+1+2+3) so the double is engine-stable.
+
+    Scale shape: the only per-corpus work is an equi-join of the code table
+    against the broadcast distance table plus one groupBy — never touches
+    raw corpus vectors after encode."""
+    codes = pq_encode(corpus, n_sub, sub_dim, k_codebook, id_col, vec_col)
+    csub = pq_codebook(corpus, n_sub, sub_dim, k_codebook, id_col, vec_col)
+    qsub = queries.select(
+        F.col(id_col).alias("q_id"), _pq_subspaces(vec_col, "qv", n_sub, sub_dim)
+    )
+    dtable = qsub.join(F.broadcast(csub), "subspace").select(
+        "q_id", "subspace", "cid", _pq_dist2("qv", "cv").alias("qd")
+    )
+    per_sub = codes.join(
+        F.broadcast(dtable),
+        (codes.subspace == dtable.subspace) & (codes.code == dtable.cid),
+    ).select(id_col, "q_id", codes.subspace.alias("s"), "qd")
+    fixed_sum = None
+    for s in range(n_sub):
+        term = F.coalesce(F.max(F.when(F.col("s") == s, F.col("qd"))), F.lit(0.0))
+        fixed_sum = term if fixed_sum is None else fixed_sum + term
+    adc = per_sub.groupBy("q_id", id_col).agg(fixed_sum.alias("adc_dist2"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", id_col, "adc_dist2", "rnk")
+    )

@@ -4362,6 +4362,205 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_stream_interval_join",
+    """
+    SELECT a.event_id AS imp_id, b.event_id AS clk_id, a.user_id,
+           CAST(epoch_ns(b.ts) // 1000000000 - epoch_ns(a.ts) // 1000000000 AS BIGINT)
+             AS delta_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+    doc="stream-stream interval join (impressions x clicks attribution): two "
+        "watermarked streams joined on user_id within a 60-minute event-time "
+        "band — the Structured Streaming operator whose state is bounded by "
+        "the interval condition (rows age out once the watermark passes "
+        "their join window); oracle is the equivalent batch self-join",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    base = tempfile.mkdtemp(prefix="stream_ssj_")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    imp = (
+        spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id").alias("imp_user"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("clk_user"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "2 hours")
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_user = clk_user AND clk_ts >= imp_ts "
+            "AND clk_ts <= imp_ts + INTERVAL 60 MINUTES"
+        ),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "imp_id",
+        "clk_id",
+        F.col("imp_user").alias("user_id"),
+        (F.unix_timestamp("clk_ts") - F.unix_timestamp("imp_ts")).cast("long").alias("delta_s"),
+    )
+
+
+@register(
+    "sim_pq_encode",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
+    sub AS (
+      SELECT vec_id, sp.s AS subspace,
+             embedding[(sp.s * 16 + 1):(sp.s * 16 + 16)] AS v
+      FROM embeddings, sp
+    ),
+    csub AS (
+      SELECT cid, sp.s AS subspace,
+             cemb[(sp.s * 16 + 1):(sp.s * 16 + 16)] AS cv
+      FROM c, sp
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.subspace, csub.cid,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (sub.v[i]::DOUBLE - csub.cv[i]::DOUBLE)
+                    * (sub.v[i]::DOUBLE - csub.cv[i]::DOUBLE))) AS dist2
+      FROM sub JOIN csub ON sub.subspace = csub.subspace
+    ),
+    ranked AS (
+      SELECT vec_id, subspace, cid,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist2 ASC, cid ASC) AS rnk
+      FROM d
+    )
+    SELECT vec_id, subspace, cid AS code FROM ranked WHERE rnk = 1
+    """,
+    doc="product quantization encode (m=4 subspaces x 16 dims, k=8 "
+        "deterministic codebook entries): each vector compresses to 4 codes "
+        "via nearest-centroid per subspace — the IVF-PQ memory-compression "
+        "step for billion-vector ANN; in-order float sums + centroid-id "
+        "tie-break keep the argmin engine-stable, codes are integers so the "
+        "hash compares exactly",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_encode(emb, n_sub=4, sub_dim=16, k=8)
+
+
+@register(
+    "sim_pq_adc_topk",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
+    sub AS (
+      SELECT vec_id, sp.s AS subspace,
+             embedding[(sp.s * 16 + 1):(sp.s * 16 + 16)] AS v
+      FROM embeddings, sp
+    ),
+    csub AS (
+      SELECT cid, sp.s AS subspace,
+             cemb[(sp.s * 16 + 1):(sp.s * 16 + 16)] AS cv
+      FROM c, sp
+    ),
+    enc AS (
+      SELECT sub.vec_id, sub.subspace, csub.cid,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (sub.v[i]::DOUBLE - csub.cv[i]::DOUBLE)
+                    * (sub.v[i]::DOUBLE - csub.cv[i]::DOUBLE))) AS dist2
+      FROM sub JOIN csub ON sub.subspace = csub.subspace
+    ),
+    codes AS (
+      SELECT vec_id, subspace, cid AS code FROM (
+        SELECT vec_id, subspace, cid,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY dist2 ASC, cid ASC) AS rnk
+        FROM enc
+      ) WHERE rnk = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qemb
+      FROM embeddings ORDER BY vec_id LIMIT 3
+    ),
+    qsub AS (
+      SELECT q_id, sp.s AS subspace,
+             qemb[(sp.s * 16 + 1):(sp.s * 16 + 16)] AS qv
+      FROM q, sp
+    ),
+    dtable AS (
+      SELECT qsub.q_id, qsub.subspace, csub.cid,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> (qsub.qv[i]::DOUBLE - csub.cv[i]::DOUBLE)
+                    * (qsub.qv[i]::DOUBLE - csub.cv[i]::DOUBLE))) AS qd
+      FROM qsub JOIN csub ON qsub.subspace = csub.subspace
+    ),
+    per AS (
+      SELECT codes.vec_id, dtable.q_id, codes.subspace AS s, dtable.qd
+      FROM codes JOIN dtable
+        ON codes.subspace = dtable.subspace AND codes.code = dtable.cid
+    ),
+    adc AS (
+      SELECT q_id, vec_id,
+             coalesce(max(CASE WHEN s = 0 THEN qd END), 0.0)
+           + coalesce(max(CASE WHEN s = 1 THEN qd END), 0.0)
+           + coalesce(max(CASE WHEN s = 2 THEN qd END), 0.0)
+           + coalesce(max(CASE WHEN s = 3 THEN qd END), 0.0) AS adc_dist2
+      FROM per GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, adc_dist2, rnk FROM (
+      SELECT q_id, vec_id, adc_dist2,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc_dist2 ASC, vec_id ASC) AS rnk
+      FROM adc
+    ) WHERE rnk <= 10
+    """,
+    doc="PQ asymmetric-distance top-10: per-query distance tables against the "
+        "codebook (96 rows, broadcast), corpus distances are 4 table lookups "
+        "added in fixed subspace order — after encode, search never touches a "
+        "raw corpus vector, which is what makes IVF-PQ viable at billions of "
+        "vectors; doubles engine-stable via in-order folds + fixed-order sums",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    return S.pq_adc_topk(queries, emb, n_sub=4, sub_dim=16, k_codebook=8, topk=10)
+
+
+@register(
     "graph_pagerank",
     """
     WITH e AS (
