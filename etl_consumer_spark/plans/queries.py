@@ -4362,6 +4362,73 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "source_jsonl_roundtrip",
+    """
+    SELECT doc_id, source, lang,
+           length(text)::BIGINT AS text_len,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="JSONL source coverage: the documents table is written as JSON Lines "
+        "(the lingua franca of training-corpus distribution) and read back "
+        "through spark.read.schema(...).json — explicit schema, no sampling "
+        "inference pass, which is the only scan-once-safe pattern at 100 TB; "
+        "the oracle checks content survives the roundtrip byte-for-byte",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="src_jsonl_")
+    docs.write.mode("overwrite").json(f"{base}/docs")
+    back = spark.read.schema(docs.schema).json(f"{base}/docs")
+    return back.select(
+        "doc_id", "source", "lang",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    """
+    SELECT doc_id, source, lang,
+           length(text)::BIGINT AS text_len,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="CSV source coverage: documents written as quoted/escaped CSV with "
+        "header and read back with an explicit schema (quote+escape handle "
+        "embedded delimiters; no inference pass); same roundtrip oracle as "
+        "the JSONL twin",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="src_csv_")
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(f"{base}/docs")
+    )
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(f"{base}/docs")
+    )
+    return back.select(
+        "doc_id", "source", "lang",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@register(
     "stream_stream_interval_join",
     """
     SELECT a.event_id AS imp_id, b.event_id AS clk_id, a.user_id,

@@ -94,3 +94,91 @@ def streaming_running_counts(
             fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_session_agg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Event-time sessionization with TIMEOUT-driven state eviction — the
+    pattern the module docstring promises for unbounded keyspaces.
+
+    Each key accumulates an open session (start, end, count). When the
+    watermark passes ``session_end + gap``, the state TIMES OUT: the
+    finalized session is emitted and the state is REMOVED — memory is
+    bounded by *active* sessions, not by every key ever seen (the
+    difference between NoTimeout and EventTimeTimeout at 100 TB).
+
+    Events inside the gap extend the session; an event after the gap (but
+    before the timeout fired, e.g. within the same batch) closes the old
+    session, emits it immediately, and opens a new one.
+
+    Output: (key, session_start, session_end, n_events), append mode —
+    sessions still open when the stream ends are never emitted, exactly
+    like native ``session_window`` in append mode."""
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, c = state.get
+                closed.append((s, e, c))
+                state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = []
+            for pdf in pdfs:
+                if len(pdf):
+                    rows.append(pdf[[ts_col]])
+            if rows:
+                # pandas datetime64[ns] -> int64 ns -> epoch micros
+                ts_list = [
+                    int(v) // 1000
+                    for v in pd.concat(rows)[ts_col].astype("int64").sort_values()
+                ]
+                for t in ts_list:
+                    if cur is None:
+                        cur = (t, t, 1)
+                    elif t - cur[1] <= gap_us:
+                        cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                    else:
+                        closed.append(cur)
+                        cur = (t, t, 1)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms epoch
+        for s, e, c in closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(s, unit="us")],
+                    "session_end": [pd.Timestamp(e, unit="us")],
+                    "n_events": [c],
+                }
+            )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

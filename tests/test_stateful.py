@@ -64,3 +64,91 @@ def test_streaming_running_counts(spark, tmp_path):
     for k, c, s in second:
         latest[k] = max(latest.get(k, (0, 0.0)), (c, s))
     assert latest == {1: (3, 31.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+
+def test_streaming_session_agg_timeout_eviction(spark, tmp_path):
+    """EventTimeTimeout path: a session is emitted (and its state REMOVED)
+    only after the watermark passes session_end + gap.
+
+    Batch 1: key 1 has two events 10s apart (one session), key 2 one event
+    near the batch max-time so its session cannot time out yet.
+    Batch 2: a far-future event advances the watermark past key 1's and
+    key 2's timeouts -> both earlier sessions emit; the new session stays
+    open and is never emitted."""
+    import datetime as dt
+
+    from etl_consumer_spark.streaming.stateful import streaming_session_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    in_dir = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (2, ts(50))], "k long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .parquet(in_dir)
+        .withWatermark("ts", "5 seconds")
+    )
+    out = streaming_session_agg(stream, "k", "ts", gap_seconds=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {(r["k"], r["session_start"], r["session_end"], r["n_events"])
+             for r in spark.table("sess_sink").collect()}
+    # watermark after batch 1 = 50s - 5s = 45s; processAllAvailable runs a
+    # follow-up batch against the advanced watermark, so key 1 (timeout
+    # 10s + 30s = 40s < 45s) fires already; key 2 (timeout 80s) must not
+    assert first == {(1, ts(0), ts(10), 2)}
+
+    spark.createDataFrame(
+        [(3, ts(1000))], "k long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q.processAllAvailable()
+    second = {(r["k"], r["session_start"], r["session_end"], r["n_events"])
+              for r in spark.table("sess_sink").collect()}
+    q.stop()
+    assert second == {
+        (1, ts(0), ts(10), 2),
+        (2, ts(50), ts(50), 1),
+    }
+
+
+def test_streaming_session_agg_same_batch_gap_split(spark, tmp_path):
+    """Two events further apart than the gap inside ONE batch: the first
+    session closes and emits immediately (no timeout needed)."""
+    import datetime as dt
+
+    from etl_consumer_spark.streaming.stateful import streaming_session_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "sess2_in")
+    spark.createDataFrame(
+        [(7, t0), (7, t0 + dt.timedelta(seconds=100))], "k long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .parquet(in_dir)
+        .withWatermark("ts", "5 seconds")
+    )
+    out = streaming_session_agg(stream, "k", "ts", gap_seconds=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess2_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess2"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {(r["k"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table("sess2_sink").collect()}
+    q.stop()
+    assert rows == {(7, t0, t0, 1)}
