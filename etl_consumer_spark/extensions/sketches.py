@@ -149,3 +149,44 @@ def bloom_might_contain(bits_by_word: dict[int, int], key: str, k: int = BLOOM_K
         if not (bits_by_word.get(word, 0) >> bit) & 1:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 4): mergeable heavy-hitter counters from the same
+# portable-md5 discipline as HLL — depth x width integer counters that any
+# engine reproduces exactly. Merging sketches = elementwise sum
+# (associative -> partial aggregation), point estimate = min over depth of
+# the hashed-bucket counters (driver-side over d*w <= 256 values).
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def cm_registers(df: DataFrame, value: Column) -> DataFrame:
+    """(depth, bucket, cnt) counters: one row per non-empty counter.
+
+    hash_j(x) = int(md5(j || ':' || x)[:4 hex]) mod width — j salts the
+    hash so the depth rows are independent. Single pass: each input row
+    explodes to CM_DEPTH (depth, bucket) pairs, then one groupBy."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{j}:"), value.cast("string"))), 1, 4),
+                        16, 10,
+                    ).cast("long")
+                    % CM_WIDTH
+                ).alias("bucket"),
+            )
+            for j in range(CM_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.depth", "p.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

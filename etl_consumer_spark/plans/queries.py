@@ -4362,6 +4362,166 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "sketch_count_min",
+    """
+    WITH src AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    h AS (
+      SELECT d.j,
+             ('0x' || substr(md5(d.j || ':' || src.v), 1, 4))::BIGINT % 64 AS bucket
+      FROM src, d
+    )
+    SELECT j::INT AS depth, bucket, count(*)::BIGINT AS cnt
+    FROM h GROUP BY j, bucket
+    """,
+    doc="portable count-min sketch (4x64 integer counters, salted-md5 row "
+        "hashes) over orders.o_custkey — the mergeable heavy-hitter "
+        "structure: merge = elementwise sum, estimate = min over depth; "
+        "exact integer registers so any engine agrees bit-for-bit",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import cm_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cm_registers(orders, F.col("o_custkey")).select(
+        F.col("depth").cast("int").alias("depth"), "bucket",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@register(
+    "sketch_bottomk_quantiles",
+    """
+    WITH h AS (
+      SELECT l_extendedprice AS val,
+             md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS hx
+      FROM lineitem
+    ),
+    bk AS (SELECT val FROM h ORDER BY hx LIMIT 100),
+    r AS (SELECT val, row_number() OVER (ORDER BY val ASC, rowid) AS rn
+          FROM (SELECT val, row_number() OVER (ORDER BY val) AS rowid FROM bk))
+    SELECT rn::INT AS rn, val FROM r WHERE rn IN (25, 50, 75, 100)
+    """,
+    doc="bottom-k quantile sketch: the 100 rows with the smallest md5 row "
+        "hashes form a deterministic uniform sample (same sample on every "
+        "engine/run/partitioning, unlike rand()); sorted sample ranks 25/50/"
+        "75/100 estimate the quartiles. TakeOrdered bottom-k is "
+        "per-partition-heap + merge — no global sort of the data",
+)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_extendedprice").alias("val"),
+        F.md5((F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")).alias("hx"),
+    )
+    bk = h.orderBy("hx").limit(100).select("val")
+    w = Window.orderBy(F.col("val").asc())
+    return (
+        bk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(25, 50, 75, 100))
+        .select(F.col("rn").cast("int").alias("rn"), "val")
+    )
+
+
+@register(
+    "analytic_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', epoch_ms(epoch_ns(ts) // 1000000)) AS h,
+             count(*) AS n_events, max(value) AS max_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.h,
+             coalesce(hy.n_events, 0)::BIGINT AS n_events,
+             hy.max_value
+      FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+    )
+    SELECT user_id, h AS bucket, n_events,
+           last_value(max_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM joined
+    """,
+    doc="time-series gap fill (hypertable densification): per-user hourly "
+        "grid from sequence(min,max), zero-filled counts, and carry-forward "
+        "interpolation via last_value IGNORE NULLS; max_value is an "
+        "order-insensitive double so the fill is engine-exact",
+)
+def analytic_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "max_value",
+    )
+    w = Window.partitionBy("user_id").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "user_id", F.col("h").alias("bucket"), "n_events",
+        F.last("max_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "analytic_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s.s_ts AND e.ts <= s.s_ts + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+           (SELECT count(*) FROM p)::BIGINT AS n_converted
+    """,
+    doc="two-step funnel (signup -> purchase within 24h of FIRST signup): "
+        "per-user min-ts anchor, interval-bounded join, distinct conversion "
+        "count — the standard product-analytics sequence query as one "
+        "broadcast-friendly plan",
+)
+def analytic_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(
+            (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_s = s.agg(F.count("*").cast("long").alias("n_signup"))
+    n_p = p.agg(F.count("*").cast("long").alias("n_converted"))
+    return n_s.crossJoin(n_p)
+
+
+@register(
     "source_jsonl_roundtrip",
     """
     SELECT doc_id, source, lang,
