@@ -105,3 +105,62 @@ def test_bloom_no_false_negatives_property(spark, keys):
     df = spark.createDataFrame([(k,) for k in keys], "key string")
     bits = {r["word_idx"]: r["bits"] for r in bloom_bits(df).collect()}
     assert all(bloom_might_contain(bits, k) for k in keys)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 codec properties (pure Python, no Spark job needed): WAV is
+# lossless for arbitrary int16 signals; JPEG is exact for arbitrary
+# constant-per-block rasters and bounded-error for arbitrary rasters.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    import numpy as np
+
+    from etl_consumer_spark.extensions.audio import decode_wav, encode_wav
+
+    v = np.array(samples, dtype=np.int16)
+    sr2, out = decode_wav(encode_wav(v, sr))
+    assert sr2 == sr
+    assert out.tolist() == samples
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.data(),
+)
+def test_jpeg_constant_block_property(bh, bw, data):
+    import numpy as np
+
+    from etl_consumer_spark.extensions.jpeg import decode_jpeg, encode_jpeg
+
+    blocks = np.array(
+        [[data.draw(st.integers(0, 255)) for _ in range(bw)] for _ in range(bh)],
+        dtype=np.uint8,
+    )
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    w, h, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (bw * 8, bh * 8)
+    assert (out == img).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40))
+def test_jpeg_arbitrary_size_bounded_error(h, w):
+    import numpy as np
+
+    from etl_consumer_spark.extensions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(h * 41 + w)
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    w2, h2, out = decode_jpeg(encode_jpeg(img))
+    assert (w2, h2) == (w, h)
+    assert out.shape == (h, w)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 64
