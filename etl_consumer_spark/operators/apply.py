@@ -384,3 +384,47 @@ def apply_cdc_sequential(
             yield pd.DataFrame(out, columns=cols)
 
     return unioned.mapInPandas(fold, schema=schema)
+
+
+def state_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Change-data-feed between two state snapshots: the inverse of
+    ``apply_cdc``. Emits one row per changed key —
+
+    - ``insert``: key only in ``new``
+    - ``delete``: key only in ``old``
+    - ``update``: key in both with any non-key column differing
+      (null-safe comparison); unchanged keys emit nothing.
+
+    Output: op + key columns + old_/new_-prefixed value columns. The join
+    shuffles both snapshots on the key — one exchange each, the minimum
+    possible for a full diff; at scale, range-bucketed stores can diff
+    bucket-by-bucket with partition pruning instead."""
+    val_cols = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != val_cols:
+        raise ValueError("state_diff requires identical schemas")
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    # state keys are primary keys (non-null by construction), so key
+    # nullness after the full-outer join identifies side membership
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = None
+    for c in val_cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = d if changed is None else changed | d
+    op = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = (
+        [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys]
+        + [F.col(f"o.{c}").alias(f"old_{c}") for c in val_cols]
+        + [F.col(f"n.{c}").alias(f"new_{c}") for c in val_cols]
+    )
+    return joined.select(op.alias("op"), *out_cols).filter(F.col("op").isNotNull())

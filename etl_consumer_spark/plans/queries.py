@@ -4362,6 +4362,48 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "cdc_state_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 4
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 500 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           coalesce(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+           v1.o_custkey AS old_o_custkey, v2.o_custkey AS new_o_custkey,
+           v1.o_totalprice AS old_o_totalprice, v2.o_totalprice AS new_o_totalprice
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+       OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+    """,
+    doc="change-data-feed between two state snapshots (the inverse of the "
+        "CDC apply): full-outer key join classifies insert/delete/update "
+        "with null-safe value comparison, unchanged keys emit nothing — "
+        "what downstream consumers need to subscribe to a maintained table",
+)
+def cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 5 != 4)
+    v2 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 2, F.col("o_totalprice") + 500)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return A.state_diff(v1, v2, ["o_orderkey"])
+
+
+@register(
     "sketch_count_min",
     """
     WITH src AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
