@@ -53,6 +53,18 @@ HEADLINE = [
     "mm_metadata",                # header-only multimodal parse
     "sim_ivf_rerank",             # two-stage ANN probe + exact rerank
     "mm_png_features",            # zlib PNG decode kernel
+    # round-4 additions (VERDICT r3 asks #6-#7 + coverage growth): codecs,
+    # TPC-H completion, retrieval/decontamination, PQ, PageRank, sketches
+    "mm_jpeg_features",           # T.81 baseline JPEG decode kernel
+    "mm_audio_features",          # RIFF/WAVE PCM decode kernel
+    "olap_q9_product_type_profit",  # 5-way join profit rollup
+    "olap_q21_waiting_suppliers",   # decorrelated EXISTS/NOT-EXISTS
+    "text_decontaminate",         # benchmark 5-gram leakage guard
+    "text_bm25_topk",             # BM25 sparse retrieval
+    "graph_pagerank",             # fixed-point integer PageRank
+    "sim_pq_adc_topk",            # product-quantization ADC search
+    "sketch_count_min",           # mergeable heavy-hitter counters
+    "analytic_gap_fill",          # time-series densification + fill
 ]
 
 
