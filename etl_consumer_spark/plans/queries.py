@@ -4362,6 +4362,35 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "mm_video_frame_features",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    fr AS (SELECT unnest([0, 1]) AS f),
+    b AS (
+      SELECT doc_id, fr.f,
+             ascii(substr(hx, fr.f * 8 + u.i, 1)) AS v
+      FROM d, fr, unnest(generate_series(1, 8)) AS u(i)
+    )
+    SELECT doc_id AS media_id, f::INT AS frame_idx,
+           32::INT AS width, 16::INT AS height,
+           sum(v) / 8 AS mean_px,
+           512::BIGINT AS n_px
+    FROM b GROUP BY doc_id, f
+    """,
+    doc="multimodal video: REAL MJPEG-in-AVI path — RIFF container walk "
+        "(LIST/hdrl/movi tree), per-frame '00dc' extraction, baseline JPEG "
+        "entropy decode — per-frame stats value-checked by the oracle via "
+        "the codec's exact constant-block roundtrip class",
+)
+def mm_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_avi_media_table(docs, "doc_id", "text")
+    return M.extract_video_frame_features(media)
+
+
+@register(
     "cdc_state_diff",
     """
     WITH v1 AS (

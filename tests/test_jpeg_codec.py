@@ -92,3 +92,38 @@ def test_decoder_rejects_progressive_and_truncated():
 def test_not_a_jpeg():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG....")
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI container (composes the RIFF walk with the JPEG decoder)
+# ---------------------------------------------------------------------------
+
+def test_avi_mjpeg_roundtrip_exact():
+    from etl_consumer_spark.extensions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [
+        np.kron(rng.randint(0, 256, (2, 4), dtype=np.uint8), np.ones((8, 8), np.uint8))
+        for _ in range(4)
+    ]
+    n, w, h, out = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+    assert (n, w, h) == (4, 32, 16)
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_avi_rejects_non_avi_and_truncated():
+    from etl_consumer_spark.extensions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    blob = encode_avi_mjpeg([img])
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(blob[:-6])
