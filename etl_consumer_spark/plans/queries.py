@@ -4362,6 +4362,47 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_unicode_normalize",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' cafe' || chr(769) || ' no' || chr(776) || 'el '
+               || chr(65) || chr(768) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           length(raw)::BIGINT AS raw_len,
+           length(nfc_normalize(raw))::BIGINT AS norm_len,
+           md5(nfc_normalize(raw)) AS norm_md5
+    FROM aug
+    """,
+    doc="unicode NFC normalization (corpus hygiene: decomposed accents must "
+        "fold to composed forms before dedup/tokenization or visually "
+        "identical strings hash apart) — Spark has no normalize builtin, so "
+        "this is a legitimate Arrow-batched Pandas UDF (unicodedata.NFC), "
+        "verified byte-for-byte against DuckDB's nfc_normalize",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import nfc_normalize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" cafe\u0301 no\u0308el A\u0300"),
+        ).alias("raw"),
+    )
+    nfc = nfc_normalize_udf()
+    return aug.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("raw_len"),
+        F.length(nfc(F.col("raw"))).cast("long").alias("norm_len"),
+        F.md5(nfc(F.col("raw")).cast("binary")).alias("norm_md5"),
+    )
+
+
+@register(
     "mm_video_frame_features",
     """
     WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
