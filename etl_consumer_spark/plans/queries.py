@@ -4362,6 +4362,112 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "analytic_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id,
+             date_trunc('week', epoch_ms(epoch_ns(min(ts)) // 1000000))::DATE AS cw
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', epoch_ms(epoch_ns(ts) // 1000000))::DATE AS aw
+      FROM events
+    )
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           ((a.aw - f.cw) // 7)::INT AS offset_w,
+           count(DISTINCT a.user_id)::BIGINT AS n_active
+    FROM f JOIN a ON f.user_id = a.user_id
+    WHERE (a.aw - f.cw) // 7 BETWEEN 0 AND 3
+    GROUP BY f.cw, (a.aw - f.cw) // 7
+    """,
+    doc="cohort retention matrix: users grouped by first-activity week, "
+        "distinct-active counts at week offsets 0-3 — the standard growth "
+        "analytics triangle; week-aligned integer day arithmetic keeps the "
+        "offsets engine-exact",
+)
+def analytic_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("aw")
+    ).distinct()
+    off = F.floor(F.datediff(F.col("aw"), F.col("cw")) / 7)
+    return (
+        a.join(f, "user_id")
+        .filter((off >= 0) & (off <= 3))
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            off.cast("int").alias("offset_w"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@register(
+    "dedup_edit_distance1",
+    """
+    WITH names AS (SELECT c_custkey, c_name FROM customer),
+    variants AS (
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, u.i - 1) || substr(c_name, u.i + 1) AS v
+      FROM names, unnest(generate_series(1, length(c_name))) AS u(i)
+      UNION ALL
+      SELECT c_custkey, c_name, c_name AS v FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS a_key, b.c_custkey AS b_key,
+             a.c_name AS a_name, b.c_name AS b_name
+      FROM variants a JOIN variants b ON a.v = b.v AND a.c_custkey < b.c_custkey
+    )
+    SELECT a_key, b_key, levenshtein(a_name, b_name)::INT AS dist
+    FROM cand WHERE levenshtein(a_name, b_name) <= 1
+    """,
+    doc="edit-distance-1 fuzzy matching via deletion-neighborhood blocking "
+        "(two strings within edit distance 1 always share a single-deletion "
+        "variant): len+1 variants per row bound the expansion linearly, the "
+        "variant equi-join replaces the quadratic all-pairs comparison, and "
+        "an exact levenshtein verifies candidates — the entity-resolution "
+        "primitive at corpus scale",
+)
+def dedup_edit_distance1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n = F.length("c_name")
+    del_variants = cust.select(
+        "c_custkey", "c_name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.col("c_name").substr(F.lit(1), i - 1),
+                    F.col("c_name").substr(i + 1, n),
+                ),
+            )
+        ).alias("v"),
+    )
+    self_variant = cust.select("c_custkey", "c_name", F.col("c_name").alias("v"))
+    variants = del_variants.unionByName(self_variant)
+    a = variants.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"), "v"
+    )
+    b = variants.select(
+        F.col("c_custkey").alias("b_key"), F.col("c_name").alias("b_name"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", "a_name", "b_name")
+        .distinct()
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return cand.filter(dist <= 1).select(
+        "a_key", "b_key", dist.cast("int").alias("dist")
+    )
+
+
+@register(
     "text_unicode_normalize",
     """
     WITH aug AS (
