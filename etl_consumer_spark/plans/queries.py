@@ -4289,8 +4289,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     dfc = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # TakeOrdered limit(3) BEFORE the ranking window: the window then sees a
+    # 3-row frame, not the whole vocabulary in one partition (at corpus
+    # scale the vocab is huge; a global single-partition sort of it is the
+    # exact anti-pattern this engine avoids)
     w_top = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    top3 = dfc.withColumn("rnk", F.row_number().over(w_top)).filter(F.col("rnk") <= 3)
+    top3 = (
+        dfc.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(3)
+        .withColumn("rnk", F.row_number().over(w_top))
+    )
     tf = (
         tok.join(F.broadcast(top3), "term")
         .groupBy("doc_id", "rnk")
@@ -4316,10 +4324,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.max(F.when(F.col("rnk") == 3, F.col("c"))), F.lit(0.0))
         ).alias("score")
     )
+    # TakeOrdered top-20 first; the global ranking window then runs on 20
+    # rows instead of single-partitioning every scored document
     w_rank = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= 20)
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w_rank))
         .select("doc_id", "score", "rnk")
     )
 
