@@ -4373,6 +4373,56 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS total FROM tok),
+    top AS (
+      SELECT term, cnt FROM tc ORDER BY cnt DESC, term ASC LIMIT 50
+    ),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM top
+    )
+    SELECT rnk::INT AS rnk, term, cnt::BIGINT AS cnt,
+           CAST(cum AS DOUBLE) / total AS coverage
+    FROM ranked, tot
+    """,
+    doc="vocabulary coverage curve (tokenizer design aid): top-50 terms by "
+        "frequency with cumulative corpus-coverage fraction — how much of "
+        "the token stream a vocab prefix explains. TakeOrdered bounds the "
+        "ranking window to 50 rows; exact integer cumsum, one final double "
+        "division",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    tc = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("total"))
+    top = tc.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(50)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )
+
+
+@register(
     "analytic_cohort_retention",
     """
     WITH f AS (
