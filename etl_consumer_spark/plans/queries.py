@@ -4373,6 +4373,61 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dedup_incremental_probe",
+    f"""{SIG_SQL},
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    ex AS (SELECT * FROM buckets WHERE doc_id % 10 <> 0),
+    exsize AS (SELECT band, bucket, count(*) AS n FROM ex GROUP BY band, bucket),
+    index_kept AS (
+      SELECT e.doc_id, e.band, e.bucket
+      FROM ex e JOIN exsize s ON e.band = s.band AND e.bucket = s.bucket
+      WHERE s.n <= 5
+    ),
+    newb AS (SELECT * FROM buckets WHERE doc_id % 10 = 0)
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS existing_id
+    FROM newb n JOIN index_kept i ON n.band = i.band AND n.bucket = i.bucket
+    """,
+    doc="incremental dedup probe — the production shape: a NEW batch "
+        "(doc_id % 10 = 0) probes the EXISTING corpus's LSH band index "
+        "instead of re-running the all-corpus self-join; per-batch cost is "
+        "O(batch x bucket hits), independent of corpus size, and the index "
+        "side drops hot buckets (> 5) exactly like the capped self-join",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.exploded_shingles(docs), num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    ex = buckets.filter(F.col("doc_id") % 10 != 0)
+    ex_kept = (
+        ex.join(
+            ex.groupBy("band", "bucket").agg(F.count("*").alias("n")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("n") <= 5)
+        .select("doc_id", "band", "bucket")
+    )
+    new = buckets.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    return (
+        new.join(ex_kept, ["band", "bucket"])
+        .select("new_id", F.col("doc_id").alias("existing_id"))
+        .distinct()
+    )
+
+
+@register(
     "text_vocab_coverage",
     """
     WITH tok AS (
