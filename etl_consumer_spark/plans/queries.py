@@ -4373,6 +4373,73 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "olap_histogram",
+    """
+    WITH ext AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+    ),
+    b AS (
+      SELECT CASE WHEN l_extendedprice >= hi THEN 15
+                  ELSE CAST(floor((l_extendedprice - lo) / ((hi - lo) / 16)) AS INT)
+             END AS bucket
+      FROM lineitem, ext
+    )
+    SELECT bucket, count(*)::BIGINT AS n
+    FROM b GROUP BY bucket
+    """,
+    doc="equi-width 16-bucket histogram with data-derived bounds from a "
+        "broadcast 1-row extent aggregate; the max value clamps into the "
+        "last bucket; identical double bucket arithmetic on both engines, "
+        "integer counts",
+)
+def olap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 16
+    bucket = (
+        F.when(F.col("l_extendedprice") >= F.col("hi"), F.lit(15))
+        .otherwise(F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"))
+    )
+    return (
+        li.crossJoin(F.broadcast(ext))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@register(
+    "sample_stratified_per_group",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, rn::INT AS rn FROM r WHERE rn <= 3
+    """,
+    doc="stratified sample: exactly 3 docs per source by smallest md5 row "
+        "hash — a deterministic per-stratum reservoir that is identical "
+        "across engines, runs, and partitionings; one partitioned window, "
+        "no global sort",
+)
+def sample_stratified_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
     "dedup_incremental_probe",
     f"""{SIG_SQL},
     buckets AS (
