@@ -4373,6 +4373,67 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_url_normalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path' || doc_id
+               || '/?q=1#frag' AS raw
+      FROM documents
+    ),
+    steps AS (
+      SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(raw, '#.*$', ''),
+                     '^([A-Za-z]+)://', lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) || '://'),
+                   '://WWW\\.', '://www.'),
+                 '://www\\.([^/:]+)', '://www.' || lower(regexp_extract(raw, '://WWW\\.([^/:]+)', 1))),
+               ':443/', '/') AS norm0
+      FROM u
+    )
+    SELECT doc_id, raw,
+           regexp_replace(norm0, '/\\?', '?') AS normalized
+    FROM steps
+    """,
+    doc="URL canonicalization (crawl-dedup prerequisite): lowercase scheme "
+        "and host, strip fragment, drop the default :443 port, collapse the "
+        "empty-path '/?' — regex steps chosen to behave identically under "
+        "Java regex and RE2 (no lookaround, no backrefs in patterns)",
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?q=1#frag"),
+    )
+    u = docs.select("doc_id", raw.alias("raw"))
+    no_frag = F.regexp_replace(F.col("raw"), r"#.*$", "")
+    scheme_lc = F.regexp_replace(
+        no_frag,
+        r"^([A-Za-z]+)://",
+        F.concat(F.lower(F.regexp_extract(F.col("raw"), r"^([A-Za-z]+)://", 1)), F.lit("://")),
+    )
+    www_lc = F.regexp_replace(scheme_lc, r"://WWW\.", "://www.")
+    host_lc = F.regexp_replace(
+        www_lc,
+        r"://www\.([^/:]+)",
+        F.concat(
+            F.lit("://www."),
+            F.lower(F.regexp_extract(F.col("raw"), r"://WWW\.([^/:]+)", 1)),
+        ),
+    )
+    no_port = F.regexp_replace(host_lc, r":443/", "/")
+    normalized = F.regexp_replace(no_port, r"/\?", "?")
+    return u.select("doc_id", "raw", normalized.alias("normalized"))
+
+
+@register(
     "olap_histogram",
     """
     WITH ext AS (
