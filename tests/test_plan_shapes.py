@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the scale discipline, CI-enforced.
+
+Correct rows are necessary but not sufficient at 100 TB — the PLAN must
+also be the one that survives scale-up. These tests pin the plan shapes
+the registry's design relies on, so a refactor that silently turns a
+broadcast join into a shuffled one (or re-introduces an unbounded global
+window / cartesian product) fails the suite instead of shipping.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_consumer_spark.plans.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+BROADCAST_JOIN_QUERIES = [
+    # dimension joins that must broadcast, not shuffle
+    "olap_q5_local_suppliers",
+    "olap_q7_volume_shipping",
+    "olap_q8_market_share",
+    "olap_q9_product_type_profit",
+    "olap_revenue_by_nation",
+    # the benchmark-set join of the decontamination guard
+    "text_decontaminate",
+    # PQ: codebook and distance tables must broadcast
+    "sim_pq_encode",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_JOIN_QUERIES)
+def test_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: expected a broadcast join"
+
+
+PUSHDOWN_QUERIES = {
+    # query -> a pushed-filter fragment that must reach the parquet scan
+    "olap_q6_forecast_revenue": "PushedFilters: [",
+    "olap_q8_market_share": "EqualTo(r_name,ASIA)",
+    "olap_q15_top_supplier": "GreaterThanOrEqual(l_shipdate",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_QUERIES))
+def test_filters_reach_the_scan(spark, name):
+    plan = _plan(spark, name)
+    assert PUSHDOWN_QUERIES[name] in plan, f"{name}: filter not pushed to parquet scan"
+
+
+def test_take_ordered_not_global_sort(spark):
+    """Bottom-k sampling and BM25's rankings must plan as per-partition
+    TakeOrdered + merge, never a full global Sort of the data."""
+    for name in ("sketch_bottomk_quantiles", "text_bm25_topk", "text_vocab_coverage"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: expected TakeOrderedAndProject"
+
+
+NO_CARTESIAN_QUERIES = [
+    # cross joins in these plans carry provably-1-row (or tiny broadcast)
+    # sides and must plan as BroadcastNestedLoop, never CartesianProduct
+    "olap_q11_important_stock",
+    "olap_q22_global_sales_opportunity",
+    "text_bm25_topk",
+    "olap_histogram",
+    "graph_pagerank",
+    "sim_knn_bruteforce",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN_QUERIES)
+def test_no_cartesian_products(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not scan every column: lineitem has 11
+    columns; q6's scan must read only the 4 it needs."""
+    plan = _plan(spark, "olap_q6_forecast_revenue")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        assert len(s.split(",")) <= 4, f"scan reads too many columns: {s}"
