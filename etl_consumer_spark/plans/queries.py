@@ -4373,6 +4373,52 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dedup_exact_substring",
+    """
+    WITH w AS (
+      SELECT doc_id, md5(substr(text, u.i, 64)) AS h
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 63, 0), 32)) AS u(i)
+    ),
+    dup AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT h, n_docs::BIGINT AS n_docs, first_doc, last_doc FROM dup
+    """,
+    doc="exact-substring duplication detector (the Lee et al. exact-dedup "
+        "family, strided-window approximation of the suffix-array method): "
+        "64-char windows at stride 32 guarantee any shared run >= 95 chars "
+        "produces a window-aligned collision; one explode + one groupBy on "
+        "the window hash — no pairwise comparison at any scale",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    last_start = F.length("text") - 63
+    hashes = F.transform(
+        F.sequence(F.lit(1), last_start, F.lit(32)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(64))),
+    )
+    # sequence(1, n, 32) traps when n < 1 — short docs contribute no windows
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(last_start >= 1, hashes).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    return (
+        w.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
     "text_url_normalize",
     """
     WITH u AS (
