@@ -4373,6 +4373,46 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "sim_matryoshka_prefix_norms",
+    """
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding[1:16],
+                x -> x::DOUBLE * x::DOUBLE))) AS norm16,
+           sqrt(list_sum(list_transform(embedding[1:32],
+                x -> x::DOUBLE * x::DOUBLE))) AS norm32,
+           sqrt(list_sum(list_transform(embedding[1:64],
+                x -> x::DOUBLE * x::DOUBLE))) AS norm64,
+           CAST(list_sum(list_transform(embedding[1:16], x -> x::DOUBLE * x::DOUBLE))
+                / list_sum(list_transform(embedding[1:64], x -> x::DOUBLE * x::DOUBLE))
+             AS DOUBLE) AS energy16_frac
+    FROM embeddings
+    """,
+    doc="Matryoshka-style prefix-dimension diagnostics: L2 norms of the "
+        "16/32/64-dim prefixes and the energy fraction the 16-dim prefix "
+        "retains — the evaluation that decides how far truncated embeddings "
+        "can serve cheap first-stage retrieval; in-order float folds keep "
+        "the doubles engine-stable",
+)
+def sim_matryoshka_prefix_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ssq(n):
+        return F.aggregate(
+            F.slice("embedding", 1, n),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+
+    return emb.select(
+        "vec_id",
+        F.sqrt(ssq(16)).alias("norm16"),
+        F.sqrt(ssq(32)).alias("norm32"),
+        F.sqrt(ssq(64)).alias("norm64"),
+        (ssq(16) / ssq(64)).cast("double").alias("energy16_frac"),
+    )
+
+
+@register(
     "dedup_exact_substring",
     """
     WITH w AS (
