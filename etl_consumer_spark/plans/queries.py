@@ -4373,6 +4373,88 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "agg_mode_per_group",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events
+      GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rnk
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n::BIGINT AS n
+    FROM r WHERE rnk = 1
+    """,
+    doc="per-group mode (most frequent value) via count + partitioned "
+        "rank with an explicit lexicographic tie-break — engines disagree "
+        "on native mode() tie-breaking, so the deterministic formulation is "
+        "the only oracle-safe one",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "analytic_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.sv / s.n)
+               / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n)) AS zscore
+      FROM events e JOIN s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value, zscore
+    FROM z WHERE zscore > 2.5 OR zscore < -2.5
+    """,
+    doc="per-group z-score anomaly detection: group mean/std from EXACT "
+        "decimal sums (order-insensitive) divided once in double, so the "
+        "z-scores and the |z| > 2.5 cut are bit-stable across engines — "
+        "one agg plus one broadcast-friendly join, no window over the facts",
+)
+def analytic_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sv"),
+        F.sum(dec * dec).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("svv") / F.col("n") - mean * mean
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter((F.col("zscore") > 2.5) | (F.col("zscore") < -2.5))
+    )
+
+
+@register(
     "sim_matryoshka_prefix_norms",
     """
     SELECT vec_id,
