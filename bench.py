@@ -29,7 +29,6 @@ HEADLINE = [
     "olap_topk_orders_per_customer",  # ranking window
     "dedup_exact",                # content-hash dedup
     "dedup_minhash_signatures",   # shingle explode + 8-way min agg
-    "dedup_ngram_jaccard",        # shingle self-join similarity
     "sim_knn_bruteforce",         # cross-join cosine top-k
     "sim_ivf_clusters",           # IVF assignment
     "text_token_stats",           # tokenize + fingerprints

@@ -311,10 +311,22 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # 0xFF fill bytes may pad the space between segments (T.81 B.1.1.2:
+        # any marker may be preceded by any number of fill bytes)
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(blob):
+            break
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers carry no length word (TEM, RSTn, stray SOI)
+            pos += 2
+            continue
         length = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        if length < 2:
+            raise ValueError(f"invalid segment length {length} at {pos}")
         payload = blob[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT
             p = 0
@@ -353,8 +365,22 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     if entropy_start < 0 or not w or not h:
         raise ValueError("JPEG missing SOS/SOF")
 
-    # entropy data runs until the EOI marker (0xFF not followed by 0x00)
-    end = len(blob) - 2
+    # entropy data ends at the next true marker: 0xFF followed by a byte
+    # that is neither 0x00 (byte stuffing) nor RSTn (restart, part of the
+    # entropy stream). Scanning for it — instead of assuming EOI is the
+    # blob's final two bytes — tolerates trailing bytes after EOI, which
+    # are common in the wild.
+    end, search = len(blob), entropy_start
+    while True:
+        i = blob.find(b"\xff", search)
+        if i == -1 or i + 1 >= len(blob):
+            break
+        nxt = blob[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            search = i + 2
+            continue
+        end = i
+        break
     reader = _BitReader(blob[entropy_start:end])
     q = qtables[comp_q].astype(np.float64)
     dct, act = dc_tables[scan_dc], ac_tables[scan_ac]

@@ -293,12 +293,15 @@ class CDCPipeline:
         try:
             for name, spec in self.tables.items():
                 slice_df = parsed.filter(F.col("table") == name)
+                # cached: both the passthrough probe and the state upsert
+                # consume the decoded slice — without the cache the typed
+                # decode chain runs twice per table per batch
                 decoded = decode_envelope(
                     slice_df,
                     spec.fields,
                     with_timezone=self.cfg.with_timezone,
                     tz_hours=self.cfg.timezone_hours,
-                )
+                ).cache()
                 # P7 — bounded: an adversarial batch full of source.query
                 # events would otherwise run one-at-a-time statements on the
                 # driver without limit (the reference has no bound either,
@@ -311,78 +314,90 @@ class CDCPipeline:
                 # ship the whole batch through collect). The id column makes
                 # the executed prefix deterministic and lets the overflow be
                 # carved out distributively.
-                pt = (
-                    decoded.filter(F.col("passthrough").isNotNull())
-                    .select("passthrough")
-                    .withColumn("_ptid", F.monotonically_increasing_id())
-                    .cache()
-                )
                 try:
-                    head = pt.orderBy("_ptid").limit(limit + 1).collect()
-                    for r in head[:limit]:
-                        result.passthrough.append(r["passthrough"])
-                        self.passthrough_executor(r["passthrough"])
-                    if len(head) > limit:
-                        overflow_cnt = pt.count() - limit
-                        executed_ids = [r["_ptid"] for r in head[:limit]]
-                        overflow = (
-                            pt.filter(~F.col("_ptid").isin(executed_ids))
-                            .withColumnRenamed("passthrough", "value")
-                            .withColumn(
-                                "err", F.lit(f"passthrough limit {limit} exceeded")
+                    pt = (
+                        decoded.filter(F.col("passthrough").isNotNull())
+                        .select("passthrough")
+                        .withColumn("_ptid", F.monotonically_increasing_id())
+                        .cache()
+                    )
+                    try:
+                        head = pt.orderBy("_ptid").limit(limit + 1).collect()
+                        for r in head[:limit]:
+                            result.passthrough.append(r["passthrough"])
+                            self.passthrough_executor(r["passthrough"])
+                        if len(head) > limit:
+                            overflow_cnt = pt.count() - limit
+                            executed_ids = [r["_ptid"] for r in head[:limit]]
+                            overflow = (
+                                pt.filter(~F.col("_ptid").isin(executed_ids))
+                                .withColumnRenamed("passthrough", "value")
+                                .withColumn(
+                                    "err", F.lit(f"passthrough limit {limit} exceeded")
+                                )
                             )
+                            if self.dead_letter_path:
+                                # distributed write — overflow never visits
+                                # the driver
+                                write_dead_letters(
+                                    dead_letter_rows(overflow, "err", name, self.cfg.db_name),
+                                    self.dead_letter_path,
+                                )
+                            else:
+                                # no dead-letter sink configured: keep a
+                                # bounded window of the overflow statements
+                                # replayable in the batch result instead of
+                                # silently dropping them (anything past the
+                                # window is still counted in dead_letters)
+                                result.passthrough_overflow.extend(
+                                    r["value"]
+                                    for r in overflow.select("value").limit(limit).collect()
+                                )
+                            result.dead_letters += overflow_cnt
+                    finally:
+                        pt.unpersist()
+                    events = decoded.filter(F.col("passthrough").isNull())
+                    try:
+                        version = self.store.upsert(name, events, spec.pk_cols)
+                        result.applied[name] = version
+                    except Exception as exc:  # noqa: BLE001 — K2 + K3 branch
+                        dead = dead_letter_rows(
+                            slice_df.withColumn("err", F.lit(str(exc)[:200])),
+                            "err",
+                            name,
+                            self.cfg.db_name,
                         )
                         if self.dead_letter_path:
-                            # distributed write — overflow never visits the
-                            # driver
-                            write_dead_letters(
-                                dead_letter_rows(overflow, "err", name, self.cfg.db_name),
-                                self.dead_letter_path,
+                            write_dead_letters(dead, self.dead_letter_path)
+                        result.dead_letters += dead.count()
+                        if self.cfg.republish:
+                            # collect, don't retain the DataFrame: republish
+                            # is bounded by republish_limit and a live plan
+                            # here would pin caches for the stream's lifetime
+                            result.republish.extend(
+                                republish_frame(
+                                    slice_df,
+                                    self.cfg.republish_limit,
+                                    delay_ms=self.cfg.republish_delay_ms,
+                                ).collect()
                             )
-                        else:
-                            # no dead-letter sink configured: keep a bounded
-                            # window of the overflow statements replayable in
-                            # the batch result instead of silently dropping
-                            # them (anything past the window is still counted
-                            # in dead_letters)
-                            result.passthrough_overflow.extend(
-                                r["value"]
-                                for r in overflow.select("value").limit(limit).collect()
-                            )
-                        result.dead_letters += overflow_cnt
                 finally:
-                    pt.unpersist()
-                events = decoded.filter(F.col("passthrough").isNull())
-                try:
-                    version = self.store.upsert(name, events, spec.pk_cols)
-                    result.applied[name] = version
-                except Exception as exc:  # noqa: BLE001 — K2 + K3 branch
-                    dead = dead_letter_rows(
-                        slice_df.withColumn("err", F.lit(str(exc)[:200])),
-                        "err",
-                        name,
-                        self.cfg.db_name,
-                    )
-                    if self.dead_letter_path:
-                        write_dead_letters(dead, self.dead_letter_path)
-                    result.dead_letters += dead.count()
-                    if self.cfg.republish:
-                        # collect, don't retain the DataFrame: republish is
-                        # bounded by republish_limit and a live plan here
-                        # would pin caches for the stream's lifetime
-                        result.republish.extend(
-                            republish_frame(
-                                slice_df,
-                                self.cfg.republish_limit,
-                                delay_ms=self.cfg.republish_delay_ms,
-                            ).collect()
-                        )
+                    decoded.unpersist()
         finally:
             parsed.unpersist()
 
     # -- foreachBatch entry point ------------------------------------------
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> BatchResult:
+        # A file-transport micro-batch inherits the transport's file count as
+        # its partitioning — often far below the cluster's parallelism (a
+        # 2-file batch would run the whole JSON parse+decode chain on 2
+        # cores). Kafka transports inherit topic partitions and usually don't
+        # need this. The repartition shuffle is cheap relative to an
+        # under-parallelized parse; skip it when the batch is already wide.
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if batch.rdd.getNumPartitions() < min(parallelism, 32):
+            batch = batch.repartition(min(parallelism, 32))
         result = BatchResult(epoch_id=epoch_id)
         schema_events = route_schema(batch, self.cfg.server)                   # P1
         dml_events = route_dml(batch, self.cfg.server)

@@ -120,3 +120,93 @@ def test_duckdb_merge_insert_then_delete_replay(spark):
     assert len(tgt.read("t2")) == 0
     tgt.apply_compacted("t2", upserts, deletes, COLS, PK)
     assert len(tgt.read("t2")) == 0
+
+
+# ---------------------------------------------------------------------------
+# MySQL-dialect golden statements (VERDICT r4 #6): no MySQL server exists in
+# the container, so the MySQL branch is pinned at the string level — one
+# column per SURVEY §1.2 wire type, exact expected SQL. The semantics
+# (ordering, idempotency, pk-not-updated) are proven against DuckDB via the
+# ANSI twin above; these goldens guarantee the MySQL strings a real
+# deployment would execute are exactly the intended ones.
+# ---------------------------------------------------------------------------
+
+# one column per §1.2 type row (decimal, date, timestamp, micro-time,
+# zoned-timestamp, boolean, int64, float64, string/default)
+TYPED_COLS = [
+    "order_id",        # int64 (pk)
+    "price_dec",       # connect Decimal -> DecimalType
+    "ship_date",       # debezium Date -> DateType
+    "created_ts",      # debezium Timestamp -> TimestampType
+    "pickup_time",     # debezium MicroTime -> string (unpadded H:M:S)
+    "synced_at",       # debezium ZonedTimestamp -> TimestampType
+    "is_active",       # boolean -> int 0/1
+    "retry_count",     # int64
+    "weight_kg",       # float64
+    "status_note",     # string/default
+]
+TYPED_PK = ["order_id"]
+
+
+def test_mysql_upsert_golden_all_types():
+    got = upsert_sql("orders", "orders_stg", TYPED_COLS, TYPED_PK)
+    want = (
+        "INSERT INTO `orders` "
+        "(`order_id`, `price_dec`, `ship_date`, `created_ts`, `pickup_time`, "
+        "`synced_at`, `is_active`, `retry_count`, `weight_kg`, `status_note`) "
+        "SELECT `order_id`, `price_dec`, `ship_date`, `created_ts`, `pickup_time`, "
+        "`synced_at`, `is_active`, `retry_count`, `weight_kg`, `status_note` "
+        "FROM `orders_stg` "
+        "ON DUPLICATE KEY UPDATE "
+        "`price_dec`=VALUES(`price_dec`), `ship_date`=VALUES(`ship_date`), "
+        "`created_ts`=VALUES(`created_ts`), `pickup_time`=VALUES(`pickup_time`), "
+        "`synced_at`=VALUES(`synced_at`), `is_active`=VALUES(`is_active`), "
+        "`retry_count`=VALUES(`retry_count`), `weight_kg`=VALUES(`weight_kg`), "
+        "`status_note`=VALUES(`status_note`)"
+    )
+    assert got == want
+
+
+def test_mysql_delete_golden():
+    got = delete_sql("orders", "orders_stg_del", TYPED_PK)
+    assert got == (
+        "DELETE t FROM `orders` t JOIN `orders_stg_del` d "
+        "ON t.`order_id` = d.`order_id`"
+    )
+
+
+def test_mysql_composite_pk_golden():
+    cols = ["db_id", "order_id", "payload"]
+    pk = ["db_id", "order_id"]
+    up = upsert_sql("t", "s", cols, pk)
+    # composite pk: neither key appears in the update list; only payload does
+    assert up.endswith("ON DUPLICATE KEY UPDATE `payload`=VALUES(`payload`)")
+    dl = delete_sql("t", "sd", pk)
+    assert "t.`db_id` = d.`db_id` AND t.`order_id` = d.`order_id`" in dl
+
+
+def test_mysql_batch_statement_order_matches_ansi():
+    """Same protocol both dialects: deletes strictly before the merge."""
+    my = batch_statements("t", "su", "sd", TYPED_COLS, TYPED_PK)
+    an = batch_statements("t", "su", "sd", TYPED_COLS, TYPED_PK, dialect="ansi")
+    assert my[0].startswith("DELETE") and an[0].startswith("DELETE")
+    assert my[1].startswith("INSERT") and an[1].startswith("INSERT")
+    assert "ON DUPLICATE KEY UPDATE" in my[1] and "ON CONFLICT" in an[1]
+
+
+def test_mysql_identifiers_always_backticked():
+    """Every identifier in every emitted MySQL statement is backtick-quoted —
+    a column named like a reserved word (`order`, `key`) must not break the
+    statement."""
+    import re
+
+    cols = ["key", "order", "group"]
+    for stmt in batch_statements("select", "from_stg", "del_stg", cols, ["key"]):
+        # strip quoted identifiers; no bare identifier chars may remain
+        # outside SQL keywords and punctuation
+        stripped = re.sub(r"`[^`]+`", "", stmt)
+        for word in re.findall(r"[A-Za-z_]+", stripped):
+            assert word in {
+                "INSERT", "INTO", "SELECT", "FROM", "ON", "DUPLICATE", "KEY",
+                "UPDATE", "VALUES", "DELETE", "t", "d", "JOIN", "AND", "SET",
+            }, f"unquoted identifier {word!r} in: {stmt}"

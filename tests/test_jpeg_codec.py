@@ -127,3 +127,44 @@ def test_avi_rejects_non_avi_and_truncated():
     blob = encode_avi_mjpeg([img])
     with pytest.raises(ValueError):
         decode_avi_mjpeg(blob[:-6])
+
+
+def _mutate_header(blob: bytes, insert: bytes) -> bytes:
+    """Insert raw marker bytes right after SOI."""
+    return blob[:2] + insert + blob[2:]
+
+
+def test_decoder_tolerates_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 hardening: 0xFF fill padding before a marker and
+    length-less standalone markers (TEM) in the header must not derail the
+    segment walk."""
+    img = np.kron(
+        np.array([[10, 200]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    blob = encode_jpeg(img)
+    # fill bytes before the first real segment + a TEM standalone marker
+    hardened = _mutate_header(blob, b"\xff\xff\xff" + b"\xff\x01")
+    w, h, out = decode_jpeg(hardened)
+    assert (w, h) == (16, 8)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decoder_tolerates_trailing_bytes_after_eoi():
+    """Trailing garbage after EOI is common in the wild; the entropy end
+    must be found by scanning for the marker, not len(blob)-2."""
+    img = np.kron(
+        np.array([[7], [250]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8)
+    )
+    blob = encode_jpeg(img) + b"trailing-junk-after-eoi\x00\xff\x12"
+    w, h, out = decode_jpeg(blob)
+    assert (w, h) == (8, 16)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decoder_rejects_zero_length_segment():
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    # an APP0 segment claiming length 0 is framing corruption, not EOF
+    bad = _mutate_header(blob, b"\xff\xe0\x00\x00")
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)

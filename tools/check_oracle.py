@@ -9,11 +9,19 @@ Usage: python tools/check_oracle.py [query_name ...]
 
 from __future__ import annotations
 
+import hashlib
+import json
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+
+def registry_fingerprint(ordered_names: list[str]) -> str:
+    """Fingerprint of the full queries() iteration order (encodes both the
+    driver-window ordering and registry membership)."""
+    return hashlib.sha256(json.dumps(ordered_names).encode()).hexdigest()
 
 sys.path.insert(0, "/root/repo")
 
@@ -55,7 +63,15 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    qs, oracles = e.queries(), e.oracle_sql()
+    if "--baselines" in args:
+        # the unregistered correctness baselines (quadratic twins kept only
+        # to cross-check the capped production paths)
+        from etl_consumer_spark.plans.queries import BASELINES
+
+        qs = {n: d.fn for n, d in BASELINES.items()}
+        oracles = {n: d.oracle for n, d in BASELINES.items() if d.oracle}
+    else:
+        qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -97,6 +113,26 @@ def main():
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    # A green FULL-registry run (no name filter) refreshes REPLICA_STAMP.json.
+    # tests/test_driver_window.py compares the stamp's fingerprint against the
+    # current queries() ordering, so the driver-window order cannot change
+    # without a fresh green full replica — the rotation hedge, mechanized.
+    if not only and not failures and "--baselines" not in args:
+        fingerprint = registry_fingerprint(list(qs))
+        with open("/root/repo/REPLICA_STAMP.json", "w") as f:
+            json.dump(
+                {
+                    "fingerprint": fingerprint,
+                    "n_queries": len(qs),
+                    "failures": 0,
+                    "session": "vanilla" if vanilla else "engine",
+                    "sf_dir": SF_DIR,
+                    "ran_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+                f,
+                indent=1,
+            )
+        print(f"REPLICA_STAMP.json refreshed (fingerprint {fingerprint[:12]})")
     sys.exit(1 if failures else 0)
 
 
