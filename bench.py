@@ -64,6 +64,15 @@ HEADLINE = [
     "sim_pq_adc_topk",            # product-quantization ADC search
     "sketch_count_min",           # mergeable heavy-hitter counters
     "analytic_gap_fill",          # time-series densification + fill
+    # round-5 additions: Hamming-block LSH, containment scoring, RANGE
+    # frames, and the outer stream-stream interval join
+    "dedup_simhash_hamming",      # bit-block LSH + popcount filter
+    "dedup_minhash_containment",  # asymmetric subset-dup scores
+    "olap_range_frame_window",    # RANGE-frame trailing-30d window
+    "stream_outer_interval_join", # watermark-flushed left-outer stream join
+    "mm_gif_features",            # GIF87a LZW decode kernel
+    "text_chunk_split",           # sliding context-window splitter
+    "sample_upsample_mix",        # deterministic domain-reweighting mix
 ]
 
 

@@ -561,3 +561,129 @@ def embedding_near_dups_lsh(
         .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def simhash_hamming_pairs(
+    simhashes: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    n_blocks: int = 4,
+    bits: int = 16,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found via bit-block
+    LSH instead of an all-pairs comparison (Charikar '02 / the Google
+    near-dup crawl paper's approach, Manku et al. '07).
+
+    Pigeonhole: two fingerprints within Hamming distance ``d`` must agree
+    exactly on at least one of ``d+1`` disjoint bit blocks, so candidate
+    generation is an equi-join on ``(block_idx, block_value)`` — linear in
+    corpus size for bounded buckets — followed by an exact popcount filter.
+    ``n_blocks`` must be ``>= max_distance + 1`` for zero false negatives.
+
+    Hot buckets (a block value shared by a boilerplate cluster) are capped
+    at ``max_bucket_size`` before the pair expansion, the same quadratic
+    guard as :func:`candidate_pairs`; fingerprints ride along inside the
+    grouped arrays so the expansion never re-joins the fingerprint table.
+    """
+    if n_blocks < max_distance + 1:
+        raise ValueError("need n_blocks >= max_distance+1 for exact recall")
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = simhashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        F.col(id_col), "simhash", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val")
+    )
+    grouped = (
+        blocks.groupBy("blk", "val")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))
+            ).alias("_ids")
+        )
+        .filter(F.size("_ids") <= max_bucket_size)
+    )
+    ids = F.array_sort("_ids")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    ids,
+                    lambda y: F.struct(
+                        x["id"].alias("a"),
+                        y["id"].alias("b"),
+                        x["fp"].alias("fa"),
+                        y["fp"].alias("fb"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .select(
+            F.col("_p.a").alias("a"),
+            F.col("_p.b").alias("b"),
+            F.col("_p.fa").alias("fa"),
+            F.col("_p.fb").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup scores for candidate pairs: containment
+    ``|A∩B|/|A|`` and ``|A∩B|/|B|`` (Broder '97's second resemblance
+    measure). Jaccard misses subset relations — a document wholly contained
+    in a much larger one scores low Jaccard but containment 1.0; it is the
+    right signal for dropping quoted/aggregated copies from a training
+    corpus. Same bounded join shape as :func:`jaccard_pairs` restricted to
+    candidates."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("shingle"), F.col(id_col).alias("a"))
+    b = shingles.select(F.col("shingle"), F.col(id_col).alias("b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .join(pairs, ["a", "b"], "left_semi")
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("n_common") / F.col("sz_a")).alias("containment_a"),
+            (F.col("n_common") / F.col("sz_b")).alias("containment_b"),
+        )
+    )

@@ -288,6 +288,11 @@ def sniff_and_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
         w, h, gray = decode_jpeg(blob)
         # grayscale → replicated RGB so every codec shares one raster shape
         return "jpeg", w, h, np.repeat(gray[:, :, None], 3, axis=2)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from etl_consumer_spark.extensions.gif import decode_gif
+
+        w, h, rgb = decode_gif(blob)
+        return "gif", w, h, rgb
     raise ValueError(f"unknown image magic {blob[:2]!r}")
 
 
@@ -406,6 +411,51 @@ def synthesize_jpeg_media_table(df: DataFrame, id_col: str, payload_col: str) ->
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def synthesize_gif_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """GIF twin of :func:`synthesize_png_media_table`: the SAME deterministic
+    raster bytes (first ``w*12`` chars of ``repeat(md5(payload), 6)``,
+    ``w = 8 + length(payload) % 8``), laid out as a ``(4, w*3)`` grayscale
+    image (one pixel per raster byte). GIF's LZW over the identity
+    grayscale palette is lossless, so the shared SQL oracle value-checks
+    the LZW decompress + palette-map path exactly; pixel counts differ from
+    the RGB twins (``w*12`` gray pixels vs ``w*4`` RGB pixels), which the
+    oracle accounts for."""
+    from etl_consumer_spark.extensions.gif import encode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["_payload"]
+                w = 8 + len(payload) % 8
+                hexes = (hashlib.md5(payload.encode()).hexdigest() * 6)[: w * 12]
+                raster = np.frombuffer(hexes.encode("ascii"), dtype=np.uint8)
+                blob = encode_gif(raster.reshape(4, w * 3))
+                out.append({"media_id": int(row["_id"]), "blob": blob, "w": w})
+            yield pd.DataFrame(out, columns=["media_id", "blob", "w"])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    encoded = (
+        df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+        .repartition(par)
+        .mapInPandas(kernel, "media_id long, blob binary, w int")
+    )
+    return encoded.select(
+        "media_id",
+        "blob",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("gif").alias("format"),
+            (F.col("w") * 3).alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    ).drop("w")
 
 
 def synthesize_wav_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:

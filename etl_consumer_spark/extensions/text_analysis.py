@@ -245,3 +245,63 @@ def nfc_normalize_udf():
         return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
 
     return nfc
+
+
+def chunk_spans(text: Column, chunk_tokens: int = 64, overlap: int = 16) -> Column:
+    """Array of chunk structs ``(chunk_idx, chunk_text, n_tokens)`` for a
+    sliding token window over whitespace tokens — the standard
+    context-window splitter of an LLM training pipeline (documents longer
+    than the model context become overlapping windows; short documents pass
+    through as one chunk).
+
+    Stride is ``chunk_tokens - overlap``; the number of chunks is
+    ``1 + ceil(max(n - chunk_tokens, 0) / stride)`` so the final partial
+    window is always emitted (no text is dropped). Pure column expressions
+    over one ``sequence`` — no shuffle, no Python; the explode happens at
+    the caller so this composes with any projection."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    # exact integer ceil: (max(n - c, 0) + s - 1) div s
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).cast("int").alias("n_tokens"),
+        ),
+    )
+
+
+def upsample_counts(
+    id_col: Column, source: Column, weights: dict[str, float], hash_mod: int = 10_000
+) -> Column:
+    """Deterministic per-row repetition count for data mixing: a source with
+    weight 2.3 repeats every row twice and a 30% md5-selected subset a
+    third time, so the expected multiplicity is exactly the weight with
+    zero RNG (reproducible across engines, partitionings, and reruns —
+    the property a training-data mixing step must have for run-to-run
+    parity). Unlisted sources default to weight 1.0; weight 0 drops."""
+    frac_expr = None
+    base_expr = None
+    for src, w in weights.items():
+        base, frac_bp = int(w), int(round((w - int(w)) * hash_mod))
+        b = F.when(source == src, F.lit(base))
+        f = F.when(source == src, F.lit(frac_bp))
+        base_expr = b if base_expr is None else base_expr.when(source == src, F.lit(base))
+        frac_expr = f if frac_expr is None else frac_expr.when(source == src, F.lit(frac_bp))
+    base_expr = base_expr.otherwise(F.lit(1))
+    frac_expr = frac_expr.otherwise(F.lit(0))
+    hash_bp = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+        % hash_mod
+    )
+    return (base_expr + F.when(hash_bp < frac_expr, 1).otherwise(0)).cast("int")

@@ -5502,6 +5502,352 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, iterations=3)
 
 
+@register(
+    "mm_gif_features",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    px AS (
+      SELECT doc_id, w, ascii(substr(ras, u.i, 1)) AS v, length(ras) AS n
+      FROM r, unnest(generate_series(1, length(ras))) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           sum(v) / n AS mean_px,
+           sqrt(sum(v * v) / n - (sum(v) / n) * (sum(v) / n)) AS std_px,
+           (max(w) * 12)::BIGINT AS n_px
+    FROM px GROUP BY doc_id, n
+    """,
+    doc="multimodal: feature extraction through the REAL pure-Python GIF87a "
+        "decode (variable-width LZW, identity grayscale palette) — same "
+        "deterministic raster bytes as the PPM/PNG twins laid out as one "
+        "gray pixel per byte, so the shared SQL oracle value-checks the LZW "
+        "decompress + palette-map path end-to-end (n_px = w*12 gray pixels "
+        "here vs w*4 RGB pixels in the RGB twins)",
+)
+def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_gif_media_table(docs, "doc_id", "text")
+    return M.extract_image_features(media)
+
+
+_SIMHASH_FP_CTE = f"""
+    WITH {_SHINGLE_CTE},
+    bits AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 4))::BIGINT AS h
+      FROM sh
+    ),
+    sums AS (
+      SELECT doc_id,
+             {', '.join(f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16))}
+      FROM bits GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             ({' + '.join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))})::BIGINT AS simhash
+      FROM sums
+    )
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    _SIMHASH_FP_CTE + """,
+    blocks AS (
+      SELECT doc_id, simhash, t.i AS blk,
+             (simhash // power(2, t.i * 4)::BIGINT) % 16 AS val
+      FROM fp, UNNEST([0, 1, 2, 3]) AS t(i)
+    ),
+    bsize AS (SELECT blk, val, count(*) AS n FROM blocks GROUP BY blk, val),
+    kept AS (
+      SELECT b.doc_id, b.simhash, b.blk, b.val
+      FROM blocks b JOIN bsize s ON b.blk = s.blk AND b.val = s.val
+      WHERE s.n <= 256
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS fa, r.simhash AS fb
+      FROM kept l JOIN kept r ON l.blk = r.blk AND l.val = r.val
+      WHERE l.doc_id < r.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="SimHash near-dup pairs within Hamming distance 3 via bit-block LSH "
+        "(Manku et al. '07): 4 disjoint 4-bit blocks — pigeonhole guarantees "
+        "any pair within distance 3 shares a block, so candidates come from "
+        "an equi-join on (block, value) with a hot-bucket cap, never an "
+        "all-pairs scan; exact popcount filter on the candidates",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash16(D.exploded_shingles(docs))
+    return D.simhash_hamming_pairs(sigs, max_distance=3, n_blocks=4)
+
+
+@register(
+    "dedup_minhash_containment",
+    SIG_SQL + """,
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    bsize AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY band, bucket),
+    kept AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM buckets b JOIN bsize s ON b.band = s.band AND b.bucket = s.bucket
+      WHERE s.n <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_common
+      FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT c.a, c.b,
+           i.n_common / za.sz AS containment_a,
+           i.n_common / zb.sz AS containment_b
+    FROM cand c
+    JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes za ON za.doc_id = c.a
+    JOIN sizes zb ON zb.doc_id = c.b
+    """,
+    doc="asymmetric containment scores |A∩B|/|A| and |A∩B|/|B| (Broder '97) "
+        "on capped-LSH candidate pairs — catches subset/quoted duplicates "
+        "that Jaccard under-scores; same bounded candidate join as the "
+        "capped LSH path, one extra shingle-intersection aggregation",
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    cand = D.candidate_pairs(buckets, max_bucket_size=3)
+    return D.containment_pairs(sh, cand)
+
+
+@register(
+    "olap_range_frame_window",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+                            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0
+             AS rev_30d,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d
+                               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_30d
+    FROM o
+    """,
+    doc="RANGE-frame window: trailing 30-day revenue per customer, ordered "
+        "by epoch-day so the frame is a true value range (all peer rows of "
+        "equal date included — deterministic under ties, unlike ROWS "
+        "frames); integer-cents accumulation for exactness. Completes the "
+        "window-frame surface: ROWS (olap_running_revenue), "
+        "RANGE (here), ranking/distribution (olap_window_family)",
+)
+def olap_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum("cents").over(w) / F.lit(100.0)).alias("rev_30d"),
+        F.count("*").over(w).cast("long").alias("n_30d"),
+    )
+
+
+@register(
+    "stream_outer_interval_join",
+    """
+    SELECT a.event_id AS imp_id, b.event_id AS clk_id, a.user_id,
+           CAST(epoch_ns(b.ts) // 1000000000 - epoch_ns(a.ts) // 1000000000 AS BIGINT)
+             AS delta_s
+    FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+    LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+    doc="stream-stream LEFT OUTER interval join (impressions with or without "
+        "a click inside 60 min): unmatched left rows are held in state and "
+        "emitted only once the watermark passes their join window, so the "
+        "harness appends a far-future sentinel event to both streams to "
+        "drive the final watermark past all real data (then filters it out) "
+        "— the availableNow analog of production's continuously-advancing "
+        "watermark; oracle is the equivalent batch left join",
+)
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = ev.sparkSession.createDataFrame(
+        [(-2, -1), (-1, -1)], "event_id long, user_id long"
+    ).select(
+        "event_id",
+        "user_id",
+        F.lit(max_ts).cast("timestamp").alias("ts"),
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+    base = tempfile.mkdtemp(prefix="stream_loj_")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{base}/in")
+    src = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    imp = (
+        src.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id").alias("imp_user"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        src.filter((F.col("event_id") % 2 == 1) | (F.col("event_id") == -1))
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("clk_user"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "2 hours")
+    )
+    joined = imp.join(
+        clk,
+        (F.col("imp_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "leftOuter",
+    )
+    sink = f"out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .filter(F.col("imp_user") >= 0)  # drop the watermark-driver sentinel
+        .select(
+            "imp_id",
+            "clk_id",
+            F.col("imp_user").alias("user_id"),
+            (
+                F.unix_timestamp("clk_ts") - F.unix_timestamp("imp_ts")
+            ).cast("long").alias("delta_s"),
+        )
+    )
+
+
+@register(
+    "text_chunk_split",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source, toks, len(toks) AS nt,
+             1 + (greatest(len(toks) - 64, 0) + 47) // 48 AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(i.i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i.i * 48 + 1 : i.i * 48 + 64], ' ') AS chunk_text,
+           CAST(least(64, nt - i.i * 48) AS INTEGER) AS n_tokens
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS i(i)
+    """,
+    doc="document chunking for context-window training: 64-token sliding "
+        "windows with 16-token overlap (stride 48), final partial window "
+        "kept — the splitter that turns a long-document corpus into "
+        "training examples. One explode, no shuffle, no Python; at 100 TB "
+        "this is a map-only pass whose output partitioning follows the "
+        "input",
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import chunk_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(chunk_spans(F.col("text"), chunk_tokens=64, overlap=16)).alias("c"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+@register(
+    "sample_upsample_mix",
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'web' THEN 2 WHEN 'books' THEN 1
+                         WHEN 'code' THEN 0 ELSE 1 END
+             + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                         < CASE source WHEN 'web' THEN 5000 WHEN 'books' THEN 2500
+                                       WHEN 'code' THEN 3000 ELSE 0 END
+                    THEN 1 ELSE 0 END AS n_rep
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(r.r AS INTEGER) AS rep_idx
+    FROM c, unnest(generate_series(1, n_rep)) AS r(r)
+    """,
+    doc="deterministic data-mixing upsampler (domain reweighting): per-source "
+        "target weights (web 2.5x, books 1.25x, code 0.3x, default 1x) become "
+        "exact integer repeat counts — floor(w) copies plus one more for an "
+        "md5-selected frac(w) subset — so expected multiplicity equals the "
+        "weight with ZERO RNG: reproducible across engines, partitionings, "
+        "and reruns, the run-to-run-parity property a training-mix step "
+        "needs. Map-only explode; no shuffle",
+)
+def sample_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import upsample_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = upsample_counts(
+        F.col("doc_id"), F.col("source"), {"web": 2.5, "books": 1.25, "code": 0.3}
+    )
+    reps = F.when(cnt > 0, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return docs.select("doc_id", "source", F.explode(reps).alias("rep_idx"))
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #

@@ -90,3 +90,30 @@ def test_column_pruning_reaches_scan(spark):
     assert schemas, "no parquet scan found"
     for s in schemas:
         assert len(s.split(",")) <= 4, f"scan reads too many columns: {s}"
+
+
+ROUND5_NO_CARTESIAN = [
+    # block-LSH and containment candidate joins are equi-joins on
+    # (block,value)/(band,bucket)/shingle — a refactor that loses the
+    # equi-key would go cartesian and explode at scale
+    "dedup_simhash_hamming",
+    "dedup_minhash_containment",
+]
+
+
+@pytest.mark.parametrize("name", ROUND5_NO_CARTESIAN)
+def test_round5_dedup_joins_stay_equi(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_range_frame_window_is_partitioned(spark):
+    """The RANGE-frame window must partition by customer — an unpartitioned
+    global window here would single-thread the whole orders table."""
+    plan = _plan(spark, "olap_range_frame_window")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window spec in plan"
+    for s in specs:
+        assert "o_custkey" in s, f"window not partitioned by o_custkey: {s}"
