@@ -19,6 +19,7 @@ Hash-stability rules used throughout:
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -5306,15 +5307,16 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sink = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark, 8):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(sink).select(
         "imp_id",
         "clk_id",
@@ -5531,6 +5533,141 @@ def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_image_features(media)
 
 
+@register(
+    "mm_resize_features",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    sel AS (
+      SELECT doc_id, w,
+             flatten(list_transform(generate_series(0, 1), ty ->
+               list_transform(generate_series(0, 7), tx ->
+                 substr(ras,
+                        (least(ty * 2, 3) * w + least((tx * w) // 8, w - 1)) * 3 + 1,
+                        1)))) AS px
+      FROM r
+    )
+    SELECT doc_id AS media_id,
+           8 AS width, 2 AS height,
+           md5(array_to_string(px, '')) AS resized_md5
+    FROM sel
+    """,
+    doc="multimodal resize plumbing verified byte-for-byte: nearest-neighbor "
+        "downsample of the decoded grayscale plane to 8x2 through the real "
+        "PPM decode + mapInPandas resize kernel; the oracle recomputes the "
+        "EXACT resized byte string from the synthesis rule (index "
+        "arithmetic (ty*h//th, tx*w//tw) in SQL) and compares md5 — a "
+        "value-exact check of decode, channel extraction, index clipping, "
+        "and byte layout, not just statistics",
+)
+def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    resized = M.resize_images(media, target_w=8, target_h=2)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
+_KMV_M = 1_000_000_000_000_000  # hash range for KMV estimates (~2^50)
+
+
+@register(
+    "sketch_kmv_setops",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+                      % {_KMV_M} AS h
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+                      % {_KMV_M} AS h
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 64)
+    SELECT
+      63 * {_KMV_M}.0 / (SELECT max(h) FROM ka) AS est_a,
+      63 * {_KMV_M}.0 / (SELECT max(h) FROM kb) AS est_b,
+      63 * {_KMV_M}.0 / (SELECT max(h) FROM ku) AS est_union,
+      63 * {_KMV_M}.0 / (SELECT max(h) FROM ka)
+        + 63 * {_KMV_M}.0 / (SELECT max(h) FROM kb)
+        - 63 * {_KMV_M}.0 / (SELECT max(h) FROM ku) AS est_intersect,
+      (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 2 = 0) AS exact_a,
+      (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 2 = 1) AS exact_b
+    """,
+    doc="KMV (bottom-k minimum values) distinct sketches with SET OPERATIONS "
+        "(Beyer et al., SIGMOD '07): per-set bottom-64 md5 hashes estimate "
+        "cardinality as (k-1)*M/h_k; the union sketch is the bottom-k of "
+        "the merged sketches (mergeability = map-side combinable at 100 TB), "
+        "intersection by inclusion-exclusion. Exact counts alongside show "
+        "the estimation error. Bottom-k plans as TakeOrdered — "
+        "per-partition heap + merge, no global sort",
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.lit(float(_KMV_M))
+
+    def kmv(side: DataFrame) -> DataFrame:
+        h = (
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10)
+            .cast("long") % _KMV_M
+        )
+        return side.select(h.alias("h")).distinct().orderBy("h").limit(64)
+
+    ka = kmv(orders.filter(F.col("o_orderkey") % 2 == 0))
+    kb = kmv(orders.filter(F.col("o_orderkey") % 2 == 1))
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(64)
+    est_a = ka.agg((F.lit(63) * m / F.max("h")).alias("est_a"))
+    est_b = kb.agg((F.lit(63) * m / F.max("h")).alias("est_b"))
+    est_u = ku.agg((F.lit(63) * m / F.max("h")).alias("est_union"))
+    ex_a = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .agg(F.count_distinct("o_custkey").alias("exact_a"))
+    )
+    ex_b = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .agg(F.count_distinct("o_custkey").alias("exact_b"))
+    )
+    return (
+        est_a.crossJoin(est_b).crossJoin(est_u).crossJoin(ex_a).crossJoin(ex_b)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+        )
+    )
+
+
+@_contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Scope the shuffle-partition count around a STATEFUL streaming query.
+
+    Stream-stream joins create several state stores PER shuffle partition
+    and pay snapshot/commit I/O for each one every micro-batch, so the
+    partition count must be sized to the STATE volume, not the core count:
+    at 100k rows, 32 partitions is pure per-store overhead (measured 6.8 s
+    → 2.9 s by dropping to 8 at sf0.1), while at 100 TB you would raise it
+    (and switch spark.sql.streaming.stateStore.providerClass to RocksDB).
+    The override is restored even on failure; it binds at stream start, so
+    scoping the start/awaitTermination pair is sufficient."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 _SIMHASH_FP_CTE = f"""
     WITH {_SHINGLE_CTE},
     bits AS (
@@ -5744,15 +5881,16 @@ def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     )
     sink = f"out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark, 8):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(sink)
         .filter(F.col("imp_user") >= 0)  # drop the watermark-driver sentinel

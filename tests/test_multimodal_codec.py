@@ -174,3 +174,29 @@ def test_synthesized_png_corpus_matches_ppm_features(spark):
         extract_image_features(png_media).collect(), key=lambda r: r["media_id"]
     )
     assert [tuple(r) for r in ppm_feats] == [tuple(r) for r in png_feats]
+
+
+def test_resize_matches_numpy_reference(spark):
+    """The registered resize query's md5 must equal a local numpy
+    nearest-neighbor resize of the decoded plane."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_consumer_spark.plans.queries import QUERIES
+    from etl_consumer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["media_id"]: r["resized_md5"]
+        for r in QUERIES["mm_resize_features"].fn(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    for r in docs[:50]:
+        w = 8 + len(r["text"]) % 8
+        hexes = (hashlib.md5(r["text"].encode()).hexdigest() * 6)[: w * 12]
+        gray = np.frombuffer(hexes.encode(), dtype=np.uint8).reshape(4, w, 3)[:, :, 0]
+        ys = (np.arange(2) * 4 // 2).clip(0, 3)
+        xs = (np.arange(8) * w // 8).clip(0, w - 1)
+        want = hashlib.md5(gray[np.ix_(ys, xs)].tobytes()).hexdigest()
+        assert got[r["doc_id"]] == want

@@ -77,3 +77,22 @@ def test_hll_registers_merge_equals_union(spark):
     assert m == d
     est = hll_estimate(sorted(d.items()))
     assert abs(est - 9000) / 9000 < 0.15  # ~6.5% expected error at m=256
+
+
+# -- round-5: KMV set-operation sketches ------------------------------------
+
+
+def test_kmv_estimates_close_to_exact(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    row = QUERIES["sketch_kmv_setops"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    # k=64 KMV has relative error ~1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    for est, exact in ((row["est_a"], row["exact_a"]), (row["est_b"], row["exact_b"])):
+        assert abs(est - exact) / exact < 0.4, (est, exact)
+    # union of two subsets of the same customer pool: bounded by sum,
+    # at least each side
+    assert row["est_union"] >= max(row["est_a"], row["est_b"]) * 0.8
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
+    # both halves draw from the same customer pool -> heavy overlap: the
+    # intersection estimate must be decisively positive
+    assert row["est_intersect"] > 0.3 * min(row["est_a"], row["est_b"])
