@@ -73,6 +73,11 @@ HEADLINE = [
     "mm_gif_features",            # GIF87a LZW decode kernel
     "text_chunk_split",           # sliding context-window splitter
     "sample_upsample_mix",        # deterministic domain-reweighting mix
+    # round-5 session-2 additions: web-corpus filter stack + storage layers
+    "text_line_dedup",            # corpus-level boilerplate-line removal
+    "text_bigram_lm",             # broadcast bigram-LM quality scoring
+    "text_subword_tokenize",      # memoized greedy subword inference (Arrow)
+    "layout_bucketed_join",       # bucketed write + exchange-free join
 ]
 
 

@@ -305,3 +305,91 @@ def upsample_counts(
         % hash_mod
     )
     return (base_expr + F.when(hash_bp < frac_expr, 1).otherwise(0)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Greedy longest-prefix subword tokenizer (WordPiece-style inference,
+# Wu et al. '16 §4.1 / Devlin et al. '18): given a FIXED vocabulary of
+# subword fragments, each word is segmented left-to-right by always taking
+# the longest vocabulary fragment that prefixes the remaining suffix,
+# falling back to a single character. This is the deterministic inference
+# half of a learned tokenizer (the training half — merge learning — is a
+# one-off driver-side job over a sample, not a per-row operator).
+# ---------------------------------------------------------------------------
+
+# Static demo vocabulary, grouped by fragment length (longest-match order).
+# Any vocabulary works — determinism, not linguistics, is the contract.
+SUBWORD_VOCAB: tuple[str, ...] = (
+    "wind", "tabl", "valu", "quer", "filt", "cust", "omer", "colu",
+    "scan", "fast", "slow", "sort", "merg", "stre", "park", "hash",
+    "join", "line", "data",
+    "agg", "row", "key", "the", "big", "dup", "eam", "umn", "der",
+    "oup", "mal", "tch",
+    "ba", "gr", "or", "sm", "sp", "er", "le", "ue", "ry", "ow",
+)
+
+_VOCAB_BY_LEN = {
+    n: frozenset(v for v in SUBWORD_VOCAB if len(v) == n)
+    for n in sorted({len(v) for v in SUBWORD_VOCAB}, reverse=True)
+}
+_MAX_FRAG = max(_VOCAB_BY_LEN)
+
+
+def greedy_subwords(word: str) -> list[str]:
+    """Segment one word: longest vocabulary prefix first, 1-char fallback."""
+    out, p, n = [], 0, len(word)
+    while p < n:
+        for length in range(min(_MAX_FRAG, n - p), 1, -1):
+            frag = word[p : p + length]
+            if frag in _VOCAB_BY_LEN.get(length, ()):
+                out.append(frag)
+                p += length
+                break
+        else:
+            out.append(word[p])
+            p += 1
+    return out
+
+
+def subword_tokenize(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document subword stream: ``(id, n_subwords, subword_md5)`` where
+    the md5 covers every token of every word in order, joined by ``|``.
+
+    Spark side runs the greedy loop in ``mapInPandas`` (Arrow-batched; the
+    per-word results are memoized per batch, so cost is O(distinct words),
+    not O(tokens)) — this is the pattern for any learned tokenizer whose
+    inference is a Python library call. Map-only: partition-local, no
+    shuffle, linear at 100 TB."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("n_subwords", LongType()),
+            StructField("subword_md5", StringType()),
+        ]
+    )
+
+    def run(batches):
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            ids, counts, digests = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").strip().lower().split():
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = "|".join(greedy_subwords(w))
+                        memo[w] = seg
+                    toks.append(seg)
+                stream = "|".join(toks)
+                ids.append(i)
+                counts.append(0 if not stream else stream.count("|") + 1)
+                digests.append(hashlib.md5(stream.encode()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "n_subwords": counts, "subword_md5": digests}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -5573,7 +5573,11 @@ def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMV_M = 1_000_000_000_000_000  # hash range for KMV estimates (~2^50)
+# Hash range for KMV estimates: EXACTLY the range of the hash function in
+# use (12 hex digits of md5 = 48 bits). The estimator (k-1)*M/h_k assumes
+# h uniform on [0, M); an M larger than the true hash range inflates every
+# estimate by M/range — caught by tests/test_sketches.py's closeness bound.
+_KMV_M = 1 << 48
 
 
 @register(
@@ -5984,6 +5988,520 @@ def sample_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast("array<int>")
     )
     return docs.select("doc_id", "source", F.explode(reps).alias("rep_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Storage-layer surface (round 5): columnar-format fidelity, partition
+# pruning, and bucketed (pre-shuffled) joins — the three storage levers a
+# 100 TB deployment actually pulls. Each is verified by VALUE (the oracle
+# reads the original table directly, so any write/read corruption or
+# mispruning shows up as a hash mismatch), and the plan-level claims
+# (PartitionFilters reach the scan; no Exchange on a bucketed join) are
+# pinned in tests/test_plan_shapes.py.
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_orc_roundtrip",
+    """
+    SELECT doc_id, source, lang,
+           length(text)::BIGINT AS text_len,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="ORC write→read round trip of the documents table (Spark's built-in "
+        "ORC source, zlib): the oracle reads the ORIGINAL parquet, so the "
+        "md5-per-row comparison proves byte-for-byte fidelity through the "
+        "second columnar format; complements the CSV and JSONL round trips",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="src_orc_")
+    docs.write.mode("overwrite").orc(f"{base}/docs")
+    back = spark.read.schema(docs.schema).orc(f"{base}/docs")
+    return back.select(
+        "doc_id", "source", "lang",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@register(
+    "source_partitioned_pruning",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    doc="Hive-style partitioned layout with partition pruning: orders is "
+        "written partitionBy(o_orderpriority) and read back with a filter on "
+        "the partition column, so the scan touches only 2 of 5 directories — "
+        "at 100 TB this is the difference between reading 40% and 100% of "
+        "the table. The oracle aggregates the ORIGINAL table, catching both "
+        "over-pruning (missing rows) and under-pruning-with-misassignment; "
+        "tests/test_plan_shapes.py asserts the PartitionFilters actually "
+        "reach the FileSourceScan",
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="src_part_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        f"{base}/orders"
+    )
+    back = spark.read.parquet(f"{base}/orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+def write_bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 8):
+    """Save orders and customer as bucketed tables (bucketBy o_custkey /
+    c_custkey, matching bucket counts) under a temp path, returning the two
+    catalog names. Bucketing pre-shuffles the data at WRITE time so every
+    subsequent join/agg on the bucket key is exchange-free — the classic
+    amortization for a fact table joined daily at 100 TB. The catalog entry
+    is in-memory (session-scoped); the files live under /tmp via the path
+    option, so nothing touches the repo tree."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(buckets, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/{ot}")
+        .saveAsTable(ot)
+    )
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(buckets, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/{ct}")
+        .saveAsTable(ct)
+    )
+    return ot, ct
+
+
+@register(
+    "layout_bucketed_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="bucketed-table join: orders and customer are saved bucketBy(8, "
+        "custkey) with matching bucket counts, then joined on the bucket key "
+        "— the join plans as SortMergeJoin with ZERO Exchange (asserted in "
+        "tests/test_plan_shapes.py), because co-location was paid once at "
+        "write time. The per-segment aggregate then shuffles only the tiny "
+        "post-join groups. Oracle joins the original un-bucketed tables",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, ct = write_bucketed_pair(spark, sf_dir, buckets=8)
+    o = spark.table(ot)
+    c = spark.table(ct)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus text preparation (round 5): HTML boilerplate stripping,
+# readability scoring, and n-gram LM scoring — the filter stack a web-scrape
+# training pipeline runs before dedup. Documents.text is synthetic word soup,
+# so the HTML query first INJECTS deterministic markup (same rule in the
+# oracle), exactly like the media queries synthesize rasters: the operator
+# under test is the strip/score chain, which is verified by value.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_html_strip",
+    """
+    WITH html AS (
+      SELECT doc_id,
+             '<html><body><h1>doc ' || doc_id || '</h1><p>' ||
+             replace(replace(text, 'table', '<b>table</b>'),
+                     'row', '<i>row</i>') ||
+             '</p><br/>&amp; &lt;tail&gt;&nbsp;end</body></html>' AS markup
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(markup, '<[^>]*>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&nbsp;', ' '), '&#39;', ''''),
+               '\\s+', ' ', 'g')) AS clean
+      FROM html
+    )
+    SELECT doc_id,
+           length(clean)::BIGINT AS clean_len,
+           md5(clean) AS clean_md5
+    FROM stripped
+    """,
+    doc="HTML boilerplate strip: tag removal + entity decode + whitespace "
+        "collapse as one JVM-side regexp_replace chain (no Python in the hot "
+        "path; map-only, no shuffle at any scale). Markup is injected "
+        "deterministically so the oracle can verify the stripped text "
+        "byte-for-byte via md5, not just statistically",
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    markup = F.concat(
+        F.lit("<html><body><h1>doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(
+            F.regexp_replace("text", "table", "<b>table</b>"),
+            "row", "<i>row</i>",
+        ),
+        F.lit("</p><br/>&amp; &lt;tail&gt;&nbsp;end</body></html>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.regexp_replace(markup, "<[^>]*>", " "),
+                                "&amp;", "&"),
+                            "&lt;", "<"),
+                        "&gt;", ">"),
+                    "&nbsp;", " "),
+                "&#39;", "'"),
+            r"\s+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+@register(
+    "text_readability",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_words,
+             sum(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))::BIGINT
+               AS n_syllables,
+             CAST(ceil(count(*) / 8.0) AS BIGINT) AS n_sentences
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           round(0.39 * (n_words::DOUBLE / n_sentences)
+                 + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) AS fk_grade
+    FROM m
+    """,
+    doc="Flesch-Kincaid readability grade with a deterministic vowel-group "
+        "syllable heuristic (runs of [aeiouy] per word, min 1) — a standard "
+        "quality-filter feature. Sentence boundaries are synthesized as "
+        "8-word units (the corpus has no punctuation). Pure array "
+        "expressions inside codegen: transform + aggregate over the token "
+        "array, zero shuffles, map-only at 100 TB",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size(words).cast("long")
+    n_sent = F.ceil(n_words / F.lit(8.0)).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    )
+    return m.select(
+        "doc_id", "n_words", "n_syllables", "n_sentences",
+        F.round(
+            F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            + F.lit(11.8) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            - F.lit(15.59),
+            6,
+        ).alias("fk_grade"),
+    )
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM tok
+    ),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+           FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(w) AS u FROM tok)),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS lp
+      FROM bg
+      JOIN c2 USING (bigram)
+      JOIN c1 ON c1.w1 = split_part(bg.bigram, ' ', 1)
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    doc="bigram language-model scoring (add-one smoothed): train corpus "
+        "bigram/unigram-start counts, then score every document's mean "
+        "log-probability — the classic KenLM-style quality signal for "
+        "training-data filtering. The count tables are vocabulary-bounded "
+        "(independent of corpus size), so at 100 TB they broadcast and the "
+        "scoring pass is one map-side join + one groupBy(doc_id); ln of a "
+        "single integer ratio is bit-identical cross-engine",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = tok.select(F.explode("w").alias("u")).agg(
+        F.count_distinct("u").alias("v")
+    )
+    scored = (
+        bg.join(broadcast(c2), "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(broadcast(c1), "w1")
+        .crossJoin(broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet / RefinedWeb style): a line that recurs
+# across >= 3 distinct documents is boilerplate (headers, nav bars, license
+# blurbs) and is dropped from every document. The corpus has no newlines, so
+# lines are synthesized as fixed 10-word units — same rule in the oracle;
+# the operator under test is the explode → line-frequency → filter →
+# order-preserving rebuild chain, verified byte-for-byte via md5.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_line_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id, s.pos AS pos, s.line AS line
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1),
+                 i -> {'pos': i, 'line': array_to_string(w[i*10+1 : i*10+10], ' ')}))
+               AS s
+        FROM tok
+      )
+    ),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY line)
+    SELECT ln.doc_id,
+           count(*)::BIGINT AS n_lines,
+           coalesce(sum(CASE WHEN freq.df < 3 THEN 1 END), 0)::BIGINT AS n_kept,
+           md5(coalesce(
+             string_agg(ln.line, chr(10) ORDER BY ln.pos)
+               FILTER (WHERE freq.df < 3),
+             '')) AS kept_md5
+    FROM ln JOIN freq USING (line)
+    GROUP BY ln.doc_id
+    """,
+    doc="corpus-level duplicated-line removal (CCNet-style boilerplate "
+        "filter): explode documents into lines, count distinct-document "
+        "frequency per line, drop lines seen in >= 3 docs, rebuild each "
+        "document in original line order. One explode + one groupBy(line) + "
+        "one join + one groupBy(doc): all equi-key shuffles, no window over "
+        "the corpus; the line-frequency table is boilerplate-bounded. "
+        "Rebuild md5 proves order-preserving reconstruction exactly",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim("text")), r"\s+")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(10.0)).cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.array_join(F.slice(w, i * 10 + 1, 10), " ").alias("line"),
+        ),
+    )
+    ln = docs.select("doc_id", F.explode(lines).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.line").alias("line")
+    )
+    freq = ln.groupBy("line").agg(F.count_distinct("doc_id").alias("df"))
+    tagged = ln.join(freq, "line")
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("df") < 3, F.struct(F.col("pos"), F.col("line")))
+            )
+        ),
+        lambda x: x["line"],
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.coalesce(F.sum(F.when(F.col("df") < 3, 1)), F.lit(0)).alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, "\n").cast("binary")).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subword tokenization (WordPiece-style greedy inference) — the oracle
+# replays the identical greedy longest-prefix segmentation in pure SQL: an
+# unrolled 8-step CASE chain (corpus words are <= 8 chars, so 8 single-char
+# fallback steps always terminate), applied to DISTINCT words then joined
+# back positionally. Both engines therefore derive the same token stream
+# from the same static vocabulary, and the md5 comparison is value-exact.
+# ---------------------------------------------------------------------------
+
+def _subword_oracle_sql() -> str:
+    from etl_consumer_spark.extensions.text_analysis import SUBWORD_VOCAB
+
+    by_len: dict[int, list[str]] = {}
+    for v in SUBWORD_VOCAB:
+        by_len.setdefault(len(v), []).append(v)
+
+    def case(rest: str) -> str:
+        whens = "".join(
+            f" WHEN substr({rest}, 1, {n}) IN ({', '.join(repr(v) for v in sorted(vs))})"
+            f" THEN substr({rest}, 1, {n})"
+            for n, vs in sorted(by_len.items(), reverse=True)
+        )
+        return f"CASE{whens} ELSE substr({rest}, 1, 1) END"
+
+    # MATERIALIZED: each step references its predecessor twice; DuckDB
+    # inlines plain CTEs, which would re-evaluate the whole chain 2^8 times.
+    steps = ["t0 AS MATERIALIZED (SELECT word, word AS rest, ''::VARCHAR AS toks FROM ws)"]
+    for i in range(8):
+        steps.append(f"""
+    t{i + 1} AS MATERIALIZED (
+      SELECT word, substr(rest, length(tk) + 1) AS rest,
+             CASE WHEN toks = '' THEN tk ELSE toks || '|' || tk END AS toks
+      FROM (SELECT word, rest, toks, {case('rest')} AS tk
+            FROM t{i} WHERE rest <> '')
+      UNION ALL
+      SELECT word, rest, toks FROM t{i} WHERE rest = ''
+    )""")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    ws AS (SELECT DISTINCT unnest(w) AS word FROM tok),
+    {', '.join(steps)},
+    seg AS (SELECT word, toks FROM t8 WHERE rest = ''),
+    docw AS (
+      SELECT doc_id, s.pos AS pos, s.word AS word
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w)),
+                                     i -> {{'pos': i, 'word': w[i]}})) AS s
+        FROM tok
+      )
+    )
+    SELECT docw.doc_id,
+           sum(length(seg.toks) - length(replace(seg.toks, '|', '')) + 1)::BIGINT
+             AS n_subwords,
+           md5(string_agg(seg.toks, '|' ORDER BY docw.pos)) AS subword_md5
+    FROM docw JOIN seg USING (word)
+    GROUP BY docw.doc_id
+    """
+
+
+@register(
+    "text_subword_tokenize",
+    _subword_oracle_sql(),
+    doc="greedy longest-prefix subword tokenization (WordPiece inference, "
+        "Wu et al. '16) against a fixed fragment vocabulary, with 1-char "
+        "fallback — the per-row half of a learned tokenizer. Spark side is "
+        "an Arrow-batched mapInPandas with per-batch word memoization "
+        "(cost ~ distinct words, not tokens); map-only, no shuffle, linear "
+        "at 100 TB. Verified token-stream-exact (md5 over every subword in "
+        "order) against an unrolled pure-SQL replay of the same greedy walk",
+)
+def text_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import subword_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return subword_tokenize(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

@@ -117,3 +117,47 @@ def test_range_frame_window_is_partitioned(spark):
     assert specs, "no window spec in plan"
     for s in specs:
         assert "o_custkey" in s, f"window not partitioned by o_custkey: {s}"
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """source_partitioned_pruning must prune at the DIRECTORY level: the
+    partition filter appears as PartitionFilters on the scan, and the scan
+    reads 2 of the 5 o_orderpriority partitions."""
+    plan = _plan(spark, "source_partitioned_pruning")
+    assert "PartitionFilters: [" in plan, "no partition filters on scan"
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), (
+        f"partition filter missing the partition column: {m and m.group(1)}"
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """layout_bucketed_join joins two tables bucketed on the join key with
+    matching bucket counts: the SortMergeJoin must consume the bucketed
+    layout directly — any Exchange feeding the join means bucketing was
+    silently lost and the 100 TB co-location win with it. (The aggregate
+    above the join may still exchange; we assert on the join subtree.)"""
+    from etl_consumer_spark.plans.queries import write_bucketed_pair
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    ot, ct = write_bucketed_pair(spark, SF_DIR, buckets=8)
+    # At sf0.01 the planner (rightly) broadcasts the small side, which makes
+    # bucketing moot; disable auto-broadcast to surface the shape the join
+    # takes at 100 TB, where neither side fits in an executor.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(ot)
+            .join(spark.table(ct), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_mktsegment")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert "Bucketed: true" in plan, "scan does not report bucketed read"
