@@ -81,6 +81,27 @@ HEADLINE = [
 ]
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-thread CPU workload (integer loop + md5
+    chain). The box this bench runs on is a shared VM whose effective CPU
+    can vary >10x minute-to-minute (measured 2026-08-14: an identical
+    single-thread matmul took 0.6 s and 30 s twenty seconds apart). The
+    calibration number makes a contended run distinguishable from a code
+    regression when comparing BENCH_r{N}.json across rounds: on a healthy
+    box this workload takes ~0.5 s; ratios of calib values, not absolute
+    query times, are the first thing to check when a round looks slow."""
+    import hashlib
+
+    t0 = time.time()
+    x = 0
+    for i in range(1_000_000):
+        x ^= i * i
+    h = b"calibration" * 64
+    for _ in range(50_000):
+        h = hashlib.md5(h[:512]).digest() + h[:512]
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -97,6 +118,7 @@ def main() -> None:
     # one-off codegen/JIT compilation and box contention aren't attributed to
     # the operator. Load average is recorded before/after so a contended run
     # is distinguishable from a code regression when grading round-over-round.
+    calib_before = _cpu_calibration()
     load_before = os.getloadavg()
     per_query: dict[str, float] = {}
     total = 0.0
@@ -121,6 +143,7 @@ def main() -> None:
         else:
             total_baseline += dt
     load_after = os.getloadavg()
+    calib_after = _cpu_calibration()
 
     # derived throughput: CDC events applied per second in the batch apply
     # (3/4 of orders become events, replayed 2x in the query)
@@ -142,6 +165,8 @@ def main() -> None:
                 "baseline_only_total": round(total_baseline, 3),
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
+                "cpu_calib_before_sec": calib_before,
+                "cpu_calib_after_sec": calib_after,
             }
         )
     )
