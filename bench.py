@@ -78,6 +78,7 @@ HEADLINE = [
     "text_bigram_lm",             # broadcast bigram-LM quality scoring
     "text_subword_tokenize",      # memoized greedy subword inference (Arrow)
     "layout_bucketed_join",       # bucketed write + exchange-free join
+    "analytic_concurrency_sweep", # sweep-line interval overlap maximum
 ]
 
 

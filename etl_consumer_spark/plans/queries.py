@@ -6348,6 +6348,406 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@3 of the IVF-probe path against the exact
+# brute-force top-3, per query — the metric an ANN index is tuned by. Both
+# sides are existing registered queries, so the eval composes their fns
+# (Spark) and their oracle SQL (DuckDB) — one definition, no drift.
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+    WITH bf AS ({QUERIES['sim_knn_bruteforce'].oracle}),
+    iv AS ({QUERIES['sim_ivf_rerank'].oracle}),
+    hits AS (
+      SELECT bf.query_id,
+             count(iv.neighbor_id)::BIGINT AS n_hit
+      FROM bf LEFT JOIN iv
+        ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT query_id, n_hit, round(n_hit / 3.0, 6) AS recall_at_3 FROM hits
+    """
+
+
+@register(
+    "sim_ann_recall_eval",
+    None,  # oracle assigned post-registration (needs both sibling oracles)
+    doc="ANN index evaluation: per-query recall@3 of the 4-probe IVF path "
+        "vs exact brute force — composed from the two registered queries "
+        "(sim_knn_bruteforce, sim_ivf_rerank) on both the Spark and the "
+        "oracle side, so the eval can never drift from the operators it "
+        "measures. The join is on (query_id, neighbor_id): tiny ranked "
+        "sets, broadcast at any scale. On the isotropic synthetic "
+        "embeddings recall is low by construction (see sim_ivf_rerank doc); "
+        "the eval MEASURING that honestly is the point",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = QUERIES["sim_knn_bruteforce"].fn(spark, sf_dir)
+    iv = QUERIES["sim_ivf_rerank"].fn(spark, sf_dir)
+    hits = (
+        bf.alias("bf")
+        .join(
+            iv.alias("iv"),
+            (F.col("bf.query_id") == F.col("iv.query_id"))
+            & (F.col("bf.neighbor_id") == F.col("iv.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("bf.query_id").alias("query_id"))
+        .agg(F.count(F.col("iv.neighbor_id")).cast("long").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id", "n_hit", F.round(F.col("n_hit") / 3.0, 6).alias("recall_at_3")
+    )
+
+
+QUERIES["sim_ann_recall_eval"].oracle = _ann_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: max simultaneously-open 30-minute event windows
+# per event type — the classic interval-overlap aggregation (concurrent
+# sessions / connections / jobs). Each interval becomes a +1 at its start
+# and a -1 at its end; a running sum in sweep order is the concurrency.
+# Tie rule: at equal timestamps ends close BEFORE starts open (delta
+# ascending), so touching intervals do not overlap — made total by a final
+# event_id tiebreak, which is what keeps the running sum engine-portable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_concurrency_sweep",
+    """
+    WITH iv AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) AS t0,
+             epoch_us(ts) + 30 * 60 * 1000000 AS t1
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, t0 AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, t1 AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+      SELECT event_type,
+             sum(delta) OVER (
+               PARTITION BY event_type
+               ORDER BY t ASC, delta ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conc
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(max(conc) AS BIGINT) AS max_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_events
+    FROM run GROUP BY event_type
+    """,
+    doc="sweep-line interval-overlap maximum: 30-minute event windows per "
+        "type become +1/-1 endpoints, a partitioned running sum in total "
+        "sweep order (time, delta, id — ends close before starts at ties) "
+        "gives instantaneous concurrency, max per type. The window is "
+        "partitioned by event_type, never global; at 100 TB you sweep per "
+        "shard key exactly like this",
+)
+def analytic_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t0"),
+        (F.unix_micros("ts") + F.lit(30 * 60 * 1_000_000)).alias("t1"),
+    )
+    pts = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("max_concurrency"),
+        (F.count("*") / 2).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: the partition filter is NOT known at plan time
+# — it arrives at runtime from the dimension side of a join. Spark inserts
+# a dynamicpruning subquery into the fact scan's PartitionFilters, so only
+# the partitions matching the dim filter are read. At 100 TB this is the
+# star-schema workhorse: a date-dim filter prunes a fact table partitioned
+# by day without the query ever naming the days.
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority AS prio,
+             CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                  THEN 'hot' ELSE 'cold' END AS tier
+      FROM orders
+    )
+    SELECT d.tier,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
+    WHERE d.tier = 'hot'
+    GROUP BY d.tier
+    """,
+    doc="dynamic partition pruning: orders written partitionBy(priority) is "
+        "joined to a priority dimension filtered AT RUNTIME (tier = 'hot') "
+        "— the fact scan's PartitionFilters carry a dynamicpruning subquery "
+        "instead of a literal, so 3 of 5 directories are never read even "
+        "though the query names no priority. Plan pinned in "
+        "tests/test_plan_shapes.py; oracle re-derives the same join from "
+        "the ORIGINAL table, catching over- and under-pruning by value",
+)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="src_dpp_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        f"{base}/orders"
+    )
+    fact = spark.read.parquet(f"{base}/orders")
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(
+                F.col("prio").startswith("1-") | F.col("prio").startswith("2-"),
+                F.lit("hot"),
+            ).otherwise(F.lit("cold")),
+        )
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("tier") == "hot")),
+            fact.o_orderpriority == F.col("prio"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain resampling (the mC4 / XLM-R mixing rule,
+# Conneau et al. '19 §3): sample sources proportionally to p_s^alpha so
+# low-resource domains are upsampled relative to their natural share.
+# Deterministic: per-source target counts are derived in-plan from exact
+# integer sizes, and the kept subset is the bottom-t_s docs by salted md5
+# within each source — reproducible across engines, runs, partitionings.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_temperature_mix",
+    """
+    WITH sz AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    tot AS (SELECT sum(cnt) AS n FROM sz),
+    q AS (
+      SELECT source, cnt, power(cnt::DOUBLE / tot.n, 0.3) AS qs
+      FROM sz CROSS JOIN tot
+    ),
+    t AS (
+      SELECT source, cnt,
+             CAST(floor(qs / (SELECT sum(qs) FROM q) * 1000 + 0.5) AS BIGINT)
+               AS target
+      FROM q
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, t.target,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('temp' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN t USING (source)
+    )
+    SELECT doc_id, source, target
+    FROM ranked WHERE rn <= target
+    """,
+    doc="temperature resampling (alpha = 0.3, mC4/XLM-R): per-source share "
+        "p_s^alpha renormalized to a 1000-doc budget, each source keeping "
+        "its bottom-target docs by salted md5 — low-resource domains "
+        "upsampled, hot domains cut, zero RNG. The source-size table is "
+        "group-cardinality-bounded (broadcast); the per-source ranking "
+        "window is partitioned, never global",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    tot = sz.agg(F.sum("cnt").alias("n"))
+    q = sz.crossJoin(F.broadcast(tot)).select(
+        "source", "cnt",
+        F.pow(F.col("cnt").cast("double") / F.col("n"), F.lit(0.3)).alias("qs"),
+    )
+    qsum = q.agg(F.sum("qs").alias("qsum"))
+    t = q.crossJoin(F.broadcast(qsum)).select(
+        "source",
+        F.floor(F.col("qs") / F.col("qsum") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("target"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("temp"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(t), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("target"))
+        .select("doc_id", "source", "target")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-dup clusters: hyperplane-LSH candidate pairs above a
+# cosine threshold, closed into components with the large-star/small-star
+# algorithm — the semantic-dedup composition (SemDeDup-style pipeline
+# shape: ANN candidates -> similarity cut -> cluster -> keep one per
+# cluster), all bucketed/linear, no all-pairs stage.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE bk AS (
+      SELECT vec_id, embedding, {_lsh_bits_sql(4)} AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    ),
+    edges AS (SELECT a AS u, b AS v FROM cand UNION SELECT b, a FROM cand),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS root FROM embeddings
+      UNION
+      SELECT e.v AS node, r.root AS root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS vec_id, min(root) AS component FROM reach GROUP BY node
+    """,
+    doc="semantic near-dup clusters over embeddings: hyperplane-LSH buckets "
+        "(data-independent count) -> cosine >= 0.4 verify -> large-star/"
+        "small-star connected components (O(log^2 n) rounds) — the SemDeDup "
+        "pipeline shape with every stage bucketed or equi-keyed; component "
+        "labels verified against a recursive-CTE reachability closure",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups_lsh(emb, threshold=0.4, n_planes=4, dim=64).select(
+        "a", "b"
+    )
+    labels = D.connected_components_star(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return labels.select(F.col("vec_id"), F.col("component"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group HLL distinct estimation, estimate computed IN-PLAN: the 100 TB
+# replacement for groupBy().agg(count_distinct(...)), whose exact form must
+# shuffle every distinct (group, value) pair. Registers are max-mergeable,
+# so partials combine map-side and the estimate is one more projection.
+# ---------------------------------------------------------------------------
+
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / 256) * 256 * 256
+
+
+@register(
+    "sketch_hll_per_group",
+    f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    parts AS (
+      SELECT event_type,
+             ('0x' || substr(hx, 1, 2))::INTEGER AS bucket,
+             substr(hx, 3, 13) AS payload
+      FROM h
+    ),
+    ranks AS (
+      SELECT event_type, bucket,
+             CASE WHEN regexp_replace(payload, '^0+', '') = '' THEN 53
+                  ELSE (length(payload) - length(regexp_replace(payload, '^0+', ''))) * 4
+                       + CASE substr(regexp_replace(payload, '^0+', ''), 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS rank
+      FROM parts
+    ),
+    regs AS (
+      SELECT event_type, bucket, max(rank) AS r
+      FROM ranks GROUP BY event_type, bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_registers,
+             sum(power(2.0, -r)) AS sum_pow
+      FROM regs GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT agg.event_type, agg.n_registers,
+           round(CASE WHEN {_HLL_ALPHA_M2!r} / (sum_pow + 256 - n_registers)
+                           <= 640 AND n_registers < 256
+                      THEN 256 * ln(256.0 / (256 - n_registers))
+                      ELSE {_HLL_ALPHA_M2!r} / (sum_pow + 256 - n_registers)
+                 END, 6) AS est_distinct,
+           ex.exact_distinct
+    FROM agg JOIN ex USING (event_type)
+    """,
+    doc="per-group HLL-256 distinct-user estimation with the estimate "
+        "computed in-plan (alpha_256 + linear-counting correction as one "
+        "projection over per-group register aggregates, no driver collect) "
+        "— the mergeable replacement for groupBy+count_distinct at 100 TB: "
+        "max-combinable registers move <= 256 rows per group instead of "
+        "every distinct value. Exact counts alongside expose the error",
+)
+def sketch_hll_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import (
+        hll_estimate_col,
+        hll_registers_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers_grouped(ev, ["event_type"], F.col("user_id"))
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_pow"),
+    )
+    est = agg.select(
+        "event_type",
+        "n_registers",
+        F.round(
+            hll_estimate_col(F.col("n_registers"), F.col("sum_pow")), 6
+        ).alias("est_distinct"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level line dedup (CCNet / RefinedWeb style): a line that recurs
 # across >= 3 distinct documents is boilerplate (headers, nav bars, license
 # blurbs) and is dropped from every document. The corpus has no newlines, so

@@ -161,3 +161,27 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
     assert "Bucketed: true" in plan, "scan does not report bucketed read"
+
+
+def test_temperature_mix_window_is_partitioned(spark):
+    """The ranking window must partition by source — a global window here
+    would single-thread the corpus at 100 TB."""
+    plan = _plan(spark, "sample_temperature_mix")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, "no window spec in plan"
+    for s in specs:
+        assert "source" in s, f"window not partitioned by source: {s}"
+
+
+def test_embedding_clusters_no_cartesian(spark):
+    plan = _plan(spark, "dedup_embedding_clusters")
+    assert "CartesianProduct" not in plan, "cartesian product in plan"
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """The fact scan must carry a runtime dynamicpruning filter derived from
+    the dim side — a literal-free partition prune."""
+    plan = _plan(spark, "source_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), "no dynamic pruning subquery in scan"

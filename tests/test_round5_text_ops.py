@@ -92,3 +92,65 @@ def test_html_strip_removes_all_markup(spark):
     again = {r["doc_id"]: r["clean_md5"]
              for r in QUERIES["text_html_strip"].fn(spark, SF_DIR).collect()}
     assert all(again[r["doc_id"]] == r["clean_md5"] for r in rows)
+
+
+def test_temperature_mix_upsamples_low_resource(spark):
+    """alpha < 1 must INCREASE small sources' share relative to natural
+    sampling: kept-fraction (kept/size) must be weakly decreasing in
+    source size, and per-source kept counts equal min(target, size)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    out = QUERIES["sample_temperature_mix"].fn(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sizes = {r["source"]: r["cnt"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    kept = Counter(r["source"] for r in rows)
+    targets = {r["source"]: r["target"] for r in rows}
+    for s, t in targets.items():
+        assert kept[s] == min(t, sizes[s]), (s, kept[s], t, sizes[s])
+    # weakly anti-monotone kept fraction vs size
+    fr = sorted(((sizes[s], kept[s] / sizes[s]) for s in kept))
+    for (sz1, f1), (sz2, f2) in zip(fr, fr[1:]):
+        if sz1 < sz2:
+            assert f1 >= f2 - 1e-9, (sz1, f1, sz2, f2)
+
+
+def test_embedding_clusters_labels_are_consistent(spark):
+    """Every LSH-candidate pair above threshold must land in the same
+    component, and each component's label is its min member."""
+    from etl_consumer_spark.extensions import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = D.embedding_near_dups_lsh(emb, threshold=0.4, n_planes=4, dim=64)
+    labels = {r["vec_id"]: r["component"] for r in
+              QUERIES["dedup_embedding_clusters"].fn(spark, "/root/testdata/sf0.001").collect()}
+    for r in pairs.collect():
+        assert labels[r["a"]] == labels[r["b"]], (r["a"], r["b"])
+    comps = {}
+    for v, c in labels.items():
+        comps.setdefault(c, []).append(v)
+    for c, members in comps.items():
+        assert c == min(members)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=0, max_size=24))
+def test_greedy_subwords_properties(word):
+    """For ANY lowercase word: segmentation covers the input exactly, every
+    fragment is either a vocab entry or a single char, and the greedy walk
+    is deterministic."""
+    segs = greedy_subwords(word)
+    assert "".join(segs) == word
+    from etl_consumer_spark.extensions.text_analysis import SUBWORD_VOCAB
+
+    vocab = set(SUBWORD_VOCAB)
+    for s in segs:
+        assert s in vocab or len(s) == 1
+    assert segs == greedy_subwords(word)

@@ -55,6 +55,14 @@ DEFAULT_QUERIES = [
     "sim_ivf_rerank",
     "dedup_connected_components",
     "dedup_connected_components_star",
+    # round-5 session-2 additions
+    "text_line_dedup",
+    "text_bigram_lm",
+    "text_subword_tokenize",
+    "layout_bucketed_join",
+    "sketch_hll_per_group",
+    "sample_temperature_mix",
+    "dedup_embedding_clusters",
 ]
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
