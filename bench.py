@@ -82,6 +82,34 @@ HEADLINE = [
 ]
 
 
+def _calib_work(_: int) -> int:
+    import hashlib
+
+    x = 0
+    for i in range(1_000_000):
+        x ^= i * i
+    h = b"calibration" * 64
+    for _ in range(50_000):
+        h = hashlib.md5(h[:512]).digest() + h[:512]
+    return x
+
+
+def _cpu_calibration_parallel(n: int = 16) -> float:
+    """Wall seconds for n processes running the single-thread workload
+    concurrently. On a healthy 32-core box this is ~= the single-thread
+    time (all workers truly parallel); on an oversubscribed host it
+    degrades toward n * single-thread. The PAIR (serial, parallel) is the
+    box-health fingerprint: the 2026-08-14 incident showed serial 0.15 s
+    with every 32-thread Spark job 1.5-3x slow — invisible to a serial
+    probe, obvious from this one."""
+    from multiprocessing import get_context
+
+    t0 = time.time()
+    with get_context("fork").Pool(n) as pool:
+        pool.map(_calib_work, range(n))
+    return round(time.time() - t0, 3)
+
+
 def _cpu_calibration() -> float:
     """Seconds for a fixed single-thread CPU workload (integer loop + md5
     chain). The box this bench runs on is a shared VM whose effective CPU
@@ -120,6 +148,7 @@ def main() -> None:
     # the operator. Load average is recorded before/after so a contended run
     # is distinguishable from a code regression when grading round-over-round.
     calib_before = _cpu_calibration()
+    mp_calib_before = _cpu_calibration_parallel()
     load_before = os.getloadavg()
     per_query: dict[str, float] = {}
     total = 0.0
@@ -145,6 +174,7 @@ def main() -> None:
             total_baseline += dt
     load_after = os.getloadavg()
     calib_after = _cpu_calibration()
+    mp_calib_after = _cpu_calibration_parallel()
 
     # derived throughput: CDC events applied per second in the batch apply
     # (3/4 of orders become events, replayed 2x in the query)
@@ -168,6 +198,8 @@ def main() -> None:
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "cpu_calib_before_sec": calib_before,
                 "cpu_calib_after_sec": calib_after,
+                "cpu_calib_parallel16_before_sec": mp_calib_before,
+                "cpu_calib_parallel16_after_sec": mp_calib_after,
             }
         )
     )
