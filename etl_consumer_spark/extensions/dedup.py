@@ -121,22 +121,31 @@ def lsh_buckets(
     bands: int = 4,
 ) -> DataFrame:
     """Band the signature: bucket id = md5 of the concatenated band slice.
-    Documents sharing any (band, bucket) become near-dup candidates."""
+    Documents sharing any (band, bucket) become near-dup candidates.
+
+    ONE pass: all band buckets are computed in a single projection and
+    exploded. The union-of-selects formulation this replaces re-executed
+    the whole upstream shingle-explode + MinHash pipeline once PER BAND
+    (Spark does not share non-cached subtrees across union branches) —
+    8 bands cost 8x the signature build, at any scale. Row output is
+    identical: (id, band, bucket)."""
     rows_per_band = num_hashes // bands
-    out = []
-    for b in range(bands):
+
+    def bucket_struct(b: int):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        out.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
+        return F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
         )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+
+    return signatures.select(
+        F.col(id_col),
+        F.explode(F.array(*[bucket_struct(b) for b in range(bands)])).alias("_bb"),
+    ).select(
+        F.col(id_col),
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    )
 
 
 def candidate_pairs(
