@@ -91,12 +91,23 @@ def kafka_batch(spark: SparkSession, cfg: Config) -> DataFrame:
     )
 
 
-def file_envelope_stream(spark: SparkSession, path: str) -> DataFrame:
+def file_envelope_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Broker-free transport: a file stream of (topic, value, headers,
     timestamp) rows in parquet under ``path``. Same columns as the Kafka
     source, so the whole pipeline (parse → route → decode → apply) is the
-    production code path; used by tests and availableNow backfills."""
-    return spark.readStream.schema(TRANSPORT_SCHEMA).parquet(path)
+    production code path; used by tests and availableNow backfills.
+
+    ``max_files_per_trigger`` bounds each micro-batch (the file-source
+    analog of Kafka's maxOffsetsPerTrigger): an availableNow replay then
+    processes the backlog as MULTIPLE sequential batches with a state
+    commit between each — how a large backfill actually runs, and what the
+    cross-batch exactly-once test drives."""
+    reader = spark.readStream.schema(TRANSPORT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def file_envelope_batch(spark: SparkSession, path: str) -> DataFrame:

@@ -337,3 +337,58 @@ def test_pipeline_ddl_evolves_parquet_state(spark, tmp_path):
     evolved = store.read("batch_seq")
     assert "note" in evolved.columns
     assert evolved.collect()[0]["note"] is None
+
+
+def test_pipeline_multi_micro_batch_exactly_once(spark, pipeline_env):
+    """Cross-batch incremental correctness: the same backlog processed as
+    THREE sequential micro-batches (maxFilesPerTrigger=1, one state commit
+    per batch) must land the identical final state as one big batch — the
+    shape a large backfill takes in production, where the state written by
+    batch N is the input state of batch N+1."""
+    cfg, store, pipe, _, tmp = pipeline_env
+    transport = str(tmp / "transport_mb")
+
+    batch1 = [
+        (TOPIC, envelope(None, row(1, 10, 0, 1000, 18993), pos=200)),
+        (TOPIC, envelope(None, row(2, 20, 0, 2000, 18993), pos=201)),
+        (TOPIC, envelope(None, row(3, 30, 0, 3000, 18993), pos=202)),
+        (TOPIC, envelope(None, row(4, 40, 0, 4000, 18993), pos=203)),
+    ]
+    batch2 = [
+        # update id=2 (both images), delete id=3
+        (TOPIC, envelope(row(2, 20, 0, 2000, 18993), row(2, 21, 1, 2500, 18993), pos=204)),
+        (TOPIC, envelope(row(3, 30, 0, 3000, 18993), None, pos=205)),
+    ]
+    batch3 = [
+        # insert id=5, update id=1, and a REPLAY of batch2's update (dup skip)
+        (TOPIC, envelope(None, row(5, 50, 0, 5000, 18993), pos=206)),
+        (TOPIC, envelope(row(1, 10, 0, 1000, 18993), row(1, 11, 2, 1500, 18993), pos=207)),
+        (TOPIC, envelope(row(2, 20, 0, 2000, 18993), row(2, 21, 1, 2500, 18993), pos=204)),
+    ]
+    # one parquet file per append -> one micro-batch per file
+    for msgs in (batch1, batch2, batch3):
+        make_transport(spark, msgs, transport)
+
+    seen_epochs = []
+    orig = pipe.process_batch
+    pipe.process_batch = lambda df, epoch: (seen_epochs.append(epoch), orig(df, epoch))[1]
+    q = pipe.start(
+        file_envelope_stream(spark, transport, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp / "ckpt_mb"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    pipe.process_batch = orig
+
+    assert len(seen_epochs) >= 3, f"expected >=3 micro-batches, got {seen_epochs}"
+
+    got = {
+        r["id"]: (r["province_id"], r["seq"], r["amount"])
+        for r in store.read("batch_seq").collect()
+    }
+    assert got == {
+        1: (11, 2, 15.00),
+        2: (21, 1, 25.00),
+        4: (40, 0, 40.00),
+        5: (50, 0, 50.00),
+    }
