@@ -12,7 +12,8 @@ loop → MySQL target).
   data/model.go:34-53);
 - transport from ``TRANSPORT``: ``kafka`` (needs the spark-sql-kafka jar
   and a broker) or ``file:<dir>`` (broker-free parquet envelope stream —
-  identical downstream columns);
+  identical downstream columns; ``MAX_FILES_PER_TRIGGER`` bounds each
+  micro-batch so backfills commit state incrementally);
 - state from ``STATE_PATH`` (bucket-partitioned partial-rewrite store, the
   pipeline default), with ``STATE_BACKEND=versioned`` for tiny tables;
 - optional Debezium Connect REST control (X1/X2 pause/resume) when
@@ -96,7 +97,14 @@ def build_pipeline(spark: SparkSession, cfg: Config | None = None) -> tuple[CDCP
     )
     transport_spec = os.environ.get("TRANSPORT", "kafka")
     if transport_spec.startswith("file:"):
-        transport = file_envelope_stream(spark, transport_spec[len("file:"):])
+        # MAX_FILES_PER_TRIGGER bounds each micro-batch of a file-transport
+        # backfill (state commit between batches); unset = one batch.
+        mfpt = os.environ.get("MAX_FILES_PER_TRIGGER")
+        transport = file_envelope_stream(
+            spark,
+            transport_spec[len("file:"):],
+            max_files_per_trigger=int(mfpt) if mfpt else None,
+        )
     elif transport_spec == "kafka":
         transport = kafka_stream(spark, cfg)
     else:

@@ -111,3 +111,46 @@ def test_runner_versioned_backend_and_bad_transport(spark, tmp_path, monkeypatch
     monkeypatch.setenv("TRANSPORT", "carrier-pigeon")
     with pytest.raises(ValueError):
         build_pipeline(spark)
+
+
+def test_runner_max_files_per_trigger_env(spark, tmp_path, monkeypatch):
+    """MAX_FILES_PER_TRIGGER must reach the file source: two transport
+    files + the env knob = two micro-batches, with the second batch's
+    update applied on top of the first batch's committed state."""
+    specs_file = tmp_path / "specs.json"
+    specs_file.write_text(json.dumps(SPECS))
+    monkeypatch.setenv("TABLESPECS", str(specs_file))
+    monkeypatch.setenv("STATE_PATH", str(tmp_path / "state"))
+    monkeypatch.setenv("TRANSPORT", f"file:{tmp_path / 'transport'}")
+    monkeypatch.setenv("SERVER", SERVER)
+    monkeypatch.setenv("DBNAME", DB)
+    monkeypatch.setenv("TABLE", "batch_seq")
+    monkeypatch.setenv("MAX_FILES_PER_TRIGGER", "1")
+
+    make_transport(
+        spark,
+        [(TOPIC, envelope(None, row(7, 70, 0, 7000, 18993), pos=300))],
+        str(tmp_path / "transport"),
+    )
+    make_transport(
+        spark,
+        [(TOPIC, envelope(row(7, 70, 0, 7000, 18993), row(7, 71, 1, 7700, 18993), pos=301))],
+        str(tmp_path / "transport"),
+    )
+
+    pipe, transport = build_pipeline(spark)
+    pipe.store.init(
+        "batch_seq",
+        spark.createDataFrame(
+            [], "id long, province_id long, seq long, amount double, created_day date"
+        ),
+        ["id"],
+    )
+    epochs = []
+    orig = pipe.process_batch
+    pipe.process_batch = lambda df, e: (epochs.append(e), orig(df, e))[1]
+    q = pipe.start(transport, checkpoint_dir=str(tmp_path / "ck"), trigger_available_now=True)
+    q.awaitTermination(120)
+    assert len(epochs) >= 2, f"expected >=2 micro-batches, got {epochs}"
+    state = pipe.store.read("batch_seq").collect()
+    assert [(r["id"], r["province_id"], r["amount"]) for r in state] == [(7, 71, 77.00)]
