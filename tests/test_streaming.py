@@ -392,3 +392,47 @@ def test_pipeline_multi_micro_batch_exactly_once(spark, pipeline_env):
         4: (40, 0, 40.00),
         5: (50, 0, 50.00),
     }
+
+
+def test_pipeline_checkpoint_restart_resumes_without_reprocessing(spark, pipeline_env):
+    """Exactly-once across RESTARTS: after an availableNow run commits its
+    offsets, a second run with the SAME checkpoint must process only files
+    added since — the earlier events must not re-enter the pipeline, and
+    the state must reflect both runs."""
+    cfg, store, pipe, _, tmp = pipeline_env
+    transport = str(tmp / "transport_ck")
+    ckpt = str(tmp / "ckpt_resume")
+
+    make_transport(
+        spark,
+        [
+            (TOPIC, envelope(None, row(1, 10, 0, 1000, 18993), pos=400)),
+            (TOPIC, envelope(None, row(2, 20, 0, 2000, 18993), pos=401)),
+        ],
+        transport,
+    )
+    run_stream(spark, pipe, transport, ckpt)
+    assert {r["id"] for r in store.read("batch_seq").collect()} == {1, 2}
+
+    # second run, same checkpoint: only the new file may reach the pipeline
+    make_transport(
+        spark,
+        [
+            (TOPIC, envelope(row(1, 10, 0, 1000, 18993), row(1, 11, 1, 1500, 18993), pos=402)),
+            (TOPIC, envelope(None, row(3, 30, 0, 3000, 18993), pos=403)),
+        ],
+        transport,
+    )
+    seen_rows = []
+    orig = pipe.process_batch
+    def spy(df, epoch):
+        seen_rows.extend(r["value"] for r in df.select("value").collect())
+        return orig(df, epoch)
+    pipe.process_batch = spy
+    run_stream(spark, pipe, transport, ckpt)
+    pipe.process_batch = orig
+
+    # the restart saw exactly the two new envelopes, none of the old ones
+    assert len(seen_rows) == 2, f"restart reprocessed old data: {len(seen_rows)} rows"
+    got = {r["id"]: (r["province_id"], r["amount"]) for r in store.read("batch_seq").collect()}
+    assert got == {1: (11, 15.00), 2: (20, 20.00), 3: (30, 30.00)}
