@@ -6348,6 +6348,107 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash estimator quality: for every capped-LSH candidate pair, the
+# 8-component signature agreement (the MinHash Jaccard estimate, Broder
+# '97 Thm 1: P[mh_j(A)=mh_j(B)] = J(A,B)) next to the EXACT shingle-set
+# Jaccard — the dedup analog of sim_ann_recall_eval: the engine measures
+# its own estimator's error instead of asserting it.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_minhash_accuracy_eval",
+    f"""{SIG_SQL},
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    bsize AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY band, bucket),
+    kept AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM buckets b JOIN bsize s ON b.band = s.band AND b.bucket = s.bucket
+      WHERE s.n <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT c.a, c.b,
+             ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT
+              + (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT
+              + (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT
+              + (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 AS est_j
+      FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    exact AS (
+      SELECT c.a, c.b,
+             coalesce(i.n_common, 0)::DOUBLE
+               / (za.sz + zb.sz - coalesce(i.n_common, 0)) AS exact_j
+      FROM cand c
+      LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      JOIN sizes za ON za.doc_id = c.a
+      JOIN sizes zb ON zb.doc_id = c.b
+    )
+    SELECT est.a, est.b,
+           round(est.est_j, 6) AS est_jaccard,
+           round(exact.exact_j, 6) AS exact_jaccard,
+           round(abs(est.est_j - exact.exact_j), 6) AS abs_err
+    FROM est JOIN exact ON est.a = exact.a AND est.b = exact.b
+    """,
+    doc="MinHash estimator error audit: per capped-LSH candidate pair, the "
+        "8-component signature-agreement estimate of Jaccard next to the "
+        "exact shingle-set Jaccard and the absolute error — the engine "
+        "measures its own sketch's accuracy (Broder '97). Candidates and "
+        "signatures are the same bounded pipelines as the dedup queries; "
+        "the exact side joins shingles only for candidate pairs",
+)
+def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(shingles, num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    cand = D.candidate_pairs(buckets, max_bucket_size=3)
+    agree = sum(
+        (F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}")).cast("int") for j in range(8)
+    )
+    est = (
+        cand.join(sigs.alias("sa"), F.col("sa.doc_id") == cand.a)
+        .join(sigs.alias("sb"), F.col("sb.doc_id") == cand.b)
+        .select("a", "b", (agree / F.lit(8.0)).alias("est_j"))
+    )
+    exact = D.jaccard_pairs(shingles, cand).select(
+        "a", "b", F.col("jaccard").alias("exact_j")
+    )
+    # left join: a candidate pair with NO common shingle (possible via a
+    # min-value hash collision) must appear with exact_j = 0, as in the
+    # oracle's LEFT JOIN — an inner join would silently drop it
+    joined = est.join(exact, ["a", "b"], "left").withColumn(
+        "exact_j", F.coalesce(F.col("exact_j"), F.lit(0.0))
+    )
+    return joined.select(
+        "a", "b",
+        F.round("est_j", 6).alias("est_jaccard"),
+        F.round("exact_j", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN quality evaluation: recall@3 of the IVF-probe path against the exact
 # brute-force top-3, per query — the metric an ANN index is tuned by. Both
 # sides are existing registered queries, so the eval composes their fns

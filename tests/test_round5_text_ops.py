@@ -154,3 +154,20 @@ def test_greedy_subwords_properties(word):
     for s in segs:
         assert s in vocab or len(s) == 1
     assert segs == greedy_subwords(word)
+
+
+def test_minhash_accuracy_eval_error_is_bounded(spark):
+    """8-component MinHash has per-pair sigma <= 0.177; the MEAN absolute
+    error over candidate pairs must land well inside that, and a perfect
+    signature match must correspond to genuinely similar sets."""
+    rows = QUERIES["dedup_minhash_accuracy_eval"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "no candidate pairs"
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.25, mean_err
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        if r["est_jaccard"] == 1.0:
+            assert r["exact_jaccard"] >= 0.5, r

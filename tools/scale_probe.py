@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     "sketch_hll_per_group",
     "sample_temperature_mix",
     "dedup_embedding_clusters",
+    "analytic_concurrency_sweep",
+    "source_dynamic_partition_pruning",
+    "sim_ann_recall_eval",
+    "dedup_minhash_accuracy_eval",
 ]
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
