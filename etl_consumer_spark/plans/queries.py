@@ -6431,7 +6431,19 @@ def dedup_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("sb"), F.col("sb.doc_id") == cand.b)
         .select("a", "b", (agree / F.lit(8.0)).alias("est_j"))
     )
-    exact = D.jaccard_pairs(shingles, cand).select(
+    # Restrict the exact side to documents that actually appear in a
+    # candidate pair BEFORE the shingle self-join: values are unchanged
+    # (a doc keeps all its shingles), but the join's both sides shrink
+    # from corpus-sized to candidate-sized — at 100 TB candidates are a
+    # vanishing fraction of the corpus, and this is the difference
+    # between auditing the sketch and re-running the quadratic baseline.
+    cand_docs = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = shingles.join(cand_docs, "doc_id", "left_semi")
+    exact = D.jaccard_pairs(sh_cand, cand).select(
         "a", "b", F.col("jaccard").alias("exact_j")
     )
     # left join: a candidate pair with NO common shingle (possible via a
