@@ -673,7 +673,19 @@ def containment_pairs(
     in a much larger one scores low Jaccard but containment 1.0; it is the
     right signal for dropping quoted/aggregated copies from a training
     corpus. Same bounded join shape as :func:`jaccard_pairs` restricted to
-    candidates."""
+    candidates.
+
+    The shingle frame is first semi-joined to the documents that appear in
+    ``pairs``: per-doc sizes and intersections are unchanged (a kept doc
+    keeps all its shingles), but the self-join shrinks from corpus-sized
+    to candidate-sized — at 100 TB candidates are a vanishing fraction of
+    the corpus, and scoring them must not re-run the all-pairs join."""
+    cand_docs = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    shingles = shingles.join(cand_docs, id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("shingle"), F.col(id_col).alias("a"))
     b = shingles.select(F.col("shingle"), F.col(id_col).alias("b"))
