@@ -78,6 +78,11 @@ HEADLINE = [
     "text_bigram_lm",             # broadcast bigram-LM quality scoring
     "text_subword_tokenize",      # memoized greedy subword inference (Arrow)
     "layout_bucketed_join",       # bucketed write + exchange-free join
+    # round-5 session-3 additions: clustering, graph structure, fingerprints
+    "sim_kmeans_lloyd",           # quantized Lloyd k-means (iterative, oracle-exact)
+    "graph_triangle_count",       # degree-ordered oriented wedge join
+    "text_winnow_fingerprint",    # MOSS winnowing window-min fingerprints
+    "cdc_scd2_history",           # Type-2 validity intervals via lead()
     "analytic_concurrency_sweep", # sweep-line interval overlap maximum
 ]
 

@@ -348,3 +348,75 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= topk)
         .select("q_id", id_col, "adc_dist2", "rnk")
     )
+
+
+def kmeans_lloyd_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over integer-quantized embeddings;
+    returns the final per-vector assignment (id, cl, d2).
+
+    ``deterministic_centroids`` notes that a float k-means step "is not
+    SQL-checkable" — float mean updates depend on summation order. This is
+    the checkable form: vectors are quantized to integers (round(x*scale)),
+    distances are exact integer sums (associative, order-free), and the
+    centroid update is floor(sum/count) per dimension — so every iteration
+    is bit-reproducible on any engine and a SQL oracle can replay the whole
+    unrolled loop. Quantized k-means is also the production-honest variant:
+    IVF/PQ coarse quantizers (Jegou et al., PAMI'11) cluster quantized
+    vectors at billion scale for exactly this determinism/compactness.
+
+    Scale shape per iteration: centroids live on the driver (k*d ints) and
+    enter the plan as literals — the broadcast every distributed k-means
+    uses; assignment is a map-only argmin over the literal centroids; the
+    update is one posexplode + groupBy(cl, pos) whose map-side combine
+    reduces each partition to k*d partial sums before the shuffle. Nothing
+    driver-side ever exceeds k*d. Ties (equal d2) break to the lowest
+    cluster id; empty clusters keep their previous centroid.
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: F.round(x * scale).cast("long")).alias("qv"),
+    ).localCheckpoint(eager=True)  # reused by every iteration's two passes
+
+    cents = [list(r.qv) for r in q.orderBy("id").limit(k).collect()]
+
+    def assign(centroids):
+        # one array-of-arrays literal + a single transform lambda: the
+        # unrolled per-centroid form generates k copies of the distance
+        # loop in codegen (seconds of Janino compile per pass at k*d=512);
+        # this form compiles one loop and iterates the centroid array
+        carr = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in centroids])
+        choices = F.transform(
+            carr,
+            lambda c, j: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), c, lambda a_, b_: (a_ - b_) * (a_ - b_)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                j.cast("long").alias("cl"),
+            ),
+        )
+        best = F.array_min(choices)
+        return q.select("id", "qv", best["cl"].alias("cl"), best["d2"].alias("d2"))
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        sums = (
+            assigned.select("cl", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep prior centroid
+        for r in sums:
+            new[r.cl][r.pos] = r.s // r.n  # python // floors like the oracle
+        cents = new
+
+    return assign(cents).select("id", "cl", "d2")

@@ -393,3 +393,72 @@ def subword_tokenize(df, id_col: str = "doc_id", text_col: str = "text"):
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def winnow_selections(df, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 4, w: int = 5):
+    """The raw winnowing selection set: (id, pos, h) of every selected
+    k-gram hash (see ``winnow_fingerprints`` for the scheme). Exposed so
+    overlap detection can join selection sets directly — two documents
+    sharing a run of >= w+k-1 words are guaranteed a common h."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    ng = F.size(toks) - (k - 1)
+    seq = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("wds"),
+        F.explode(seq).alias("pos"),
+    ).select(
+        "id",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.array_join(F.slice("wds", F.col("pos"), k), " ").cast("binary")), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame)
+    return (
+        grams.select("id", sel["h"].alias("h"), (-sel["np"]).alias("pos"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 4, w: int = 5):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-word gram, slide a window of
+    ``w`` consecutive gram hashes, select the RIGHTMOST minimal hash per
+    window; the distinct selected (position, hash) set is the fingerprint.
+    Guarantees: any shared run long enough to span a full window yields a
+    shared fingerprint, with density ~2/(w+1) — bounded-size sketches for
+    plagiarism/overlap detection at corpus scale.
+
+    Variant note: windows are slid over EVERY gram position (tail windows
+    truncate at the document end) so documents shorter than w grams still
+    contribute fingerprints; both engine and oracle implement this rule.
+
+    Returns (id, n_fingerprints, fp_md5) where fp_md5 hashes the selected
+    gram hashes in position order (proves the exact selection set).
+
+    Scale shape: one explode (grams), ONE window pass per document
+    partition (min over a w-row frame of (hash, -pos) structs — no w-way
+    self-join), one distinct, one groupBy(doc). Per-doc work is linear in
+    length; the SQL oracle uses the quadratic join formulation, the engine
+    the O(n) frame — same selection set by construction."""
+    picked = winnow_selections(df, id_col, text_col, k, w)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("h")))),
+        lambda s: s["h"].cast("string"),
+    )
+    return picked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(ordered, ",").cast("binary")).alias("fp_md5"),
+    )

@@ -7018,6 +7018,388 @@ def text_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD Type-2 history (warehouse-side companion to the destructive CDC apply:
+# reference main.go:348-380 keeps only the latest image; this keeps every
+# version with a validity interval so point-in-time joins stay answerable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH ev AS (
+      SELECT o_orderkey, o_totalprice,
+             unnest(generate_series(0, o_orderkey % 3)) AS version
+      FROM orders
+    ),
+    v AS (
+      SELECT o_orderkey,
+             CAST(version AS BIGINT) AS version,
+             o_totalprice + 100 * version AS price,
+             CAST((version + 1) * 1000 AS BIGINT) AS ts_ms
+      FROM ev
+    )
+    SELECT o_orderkey, version, price,
+           ts_ms AS valid_from,
+           lead(ts_ms) OVER w AS valid_to,
+           lead(ts_ms) OVER w IS NULL AS is_current
+    FROM v
+    WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts_ms)
+    """,
+    doc="SCD Type-2 dimension build from a CDC change log (Kimball Type 2): "
+        "every change event opens a version at its commit timestamp, the "
+        "prior version closes at exactly that timestamp (half-open "
+        "intervals, no gaps/overlaps), newest version per key is_current. "
+        "One shuffle on the business key + a single lead() per row — no "
+        "self-join; the minimal distributed interval-construction shape",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.scd import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+    ev = orders.select(
+        "o_orderkey", "o_totalprice", F.explode(versions).alias("version")
+    ).select(
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+        (F.col("o_totalprice") + 100 * F.col("version")).alias("price"),
+        ((F.col("version") + 1) * 1000).cast("long").alias("ts_ms"),
+    )
+    hist = scd2_history(ev, ["o_orderkey"], "ts_ms")
+    return hist.select(
+        "o_orderkey", "version", "price", "valid_from", "valid_to", "is_current"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long melt, the inverse of olap_pivot; Spark's
+# DataFrame.unpivot lowers to a single generator Expand — map-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_unpivot",
+    """
+    WITH w AS (
+      SELECT n_name,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                               THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_O,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                               THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_F,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                               THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_P
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, 'O' AS o_orderstatus, rev_O AS revenue_cents FROM w
+    UNION ALL
+    SELECT n_name, 'F' AS o_orderstatus, rev_F AS revenue_cents FROM w
+    UNION ALL
+    SELECT n_name, 'P' AS o_orderstatus, rev_P AS revenue_cents FROM w
+    """,
+    doc="unpivot (melt): per-nation order-status revenue computed wide "
+        "(conditional aggregates) then melted back to long form with "
+        "DataFrame.unpivot — the inverse of olap_pivot, completing the "
+        "reshape surface. Unpivot lowers to one generator Expand node "
+        "(map-only, no shuffle); integer-cents for exactness",
+)
+def olap_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    wide = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("o_orderstatus") == s, cents)), F.lit(0)
+                ).alias(f"rev_{s}")
+                for s in ("O", "F", "P")
+            ]
+        )
+    )
+    long = wide.unpivot(
+        ["n_name"], ["rev_O", "rev_F", "rev_P"], "status_col", "revenue_cents"
+    )
+    return long.select(
+        "n_name",
+        F.substring("status_col", 5, 1).alias("o_orderstatus"),
+        "revenue_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across parquet batches (a 100 TB corpus is written over
+# months; later batches add columns. mergeSchema unifies the footers at
+# planning time — old files surface NULL for new columns, no rewrite)
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_schema_evolution",
+    """
+    WITH m AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderstatus, '<missing>') AS status,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM m GROUP BY coalesce(o_orderstatus, '<missing>')
+    """,
+    doc="parquet schema evolution: batch 1 written without o_orderstatus, "
+        "batch 2 written with it (the column added mid-corpus), read back "
+        "as ONE dataset via mergeSchema=true — footer-level schema union at "
+        "planning time, old files yield NULL for the new column, zero data "
+        "rewrite. Aggregate proves the merged read is value-exact. At "
+        "100 TB this is how a column lands in a live corpus without a "
+        "backfill pass",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(base + "/b1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(base + "/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/b1", base + "/b2"
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderstatus", F.lit("<missing>")).alias("status")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting (degree-ordered orientation) and multi-source BFS
+# — link-graph structure metrics for web-corpus curation (clustering
+# coefficient numerators; crawl-frontier reachability)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH raw AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM raw e1
+      JOIN raw e2 ON e2.a = e1.b
+      JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    m AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*)::BIGINT AS n_triangles FROM m GROUP BY node
+    """,
+    doc="per-node triangle counts over a key-derived undirected graph. "
+        "Engine orients each edge from its lower-(degree, id) endpoint "
+        "(Suri & Vassilvitskii WWW'11), bounding every node's out-degree by "
+        "O(sqrt(m)) so the wedge join never explodes on hubs — the "
+        "curse-of-the-last-reducer fix that makes triangle counting viable "
+        "on power-law web graphs. Orientation changes intermediate sizes, "
+        "never results, so the plain a<b<c SQL oracle validates it exactly",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import triangle_counts
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 400).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+@register(
+    "graph_bfs_reachability",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    walk(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 25 = 0
+      UNION
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+    doc="multi-source BFS hop distances (crawl-frontier reachability) over "
+        "the supplier->part graph, seeds = nodes % 25 == 0, 4 hops. Engine "
+        "runs the frontier iteration: per round one edges-join of ONLY the "
+        "newly-discovered frontier plus one anti-join against the known "
+        "set, with localCheckpoint truncating lineage so round N's plan "
+        "does not re-expand rounds 1..N-1. All-integer; the oracle replays "
+        "it as a recursive CTE and min(dist) per node must match exactly",
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = nodes.filter(F.col("node") % 25 == 0)
+    return bfs_hops(edges, sources, max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# Quantized k-means (Lloyd) — the oracle replays the ENTIRE iterative loop
+# unrolled: integer quantization makes every distance and centroid update
+# order-free and bit-reproducible, so the "k-means is not SQL-checkable"
+# limitation (deterministic_centroids docstring) falls away.
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
+    parts = [
+        """q AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )""",
+        f"""qdim AS MATERIALIZED (
+      SELECT id, u.pos AS pos, qv[u.pos] AS val
+      FROM q, unnest(generate_series(1, {dim})) AS u(pos)
+    )""",
+        f"c0dim AS (SELECT id AS cl, pos, val AS cval FROM qdim WHERE id < {k})",
+    ]
+    for i in range(iterations):
+        parts.append(f"""d{i} AS (
+      SELECT q.id, c.cl, sum((q.val - c.cval) * (q.val - c.cval)) AS d2
+      FROM qdim q JOIN c{i}dim c USING (pos) GROUP BY q.id, c.cl
+    )""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+      SELECT id, cl FROM (
+        SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rn
+        FROM d{i}) t
+      WHERE rn = 1
+    )""")
+        parts.append(f"""u{i} AS (
+      SELECT a.cl, q.pos,
+             CAST(floor(CAST(sum(q.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+      FROM a{i} a JOIN qdim q USING (id) GROUP BY a.cl, q.pos
+    )""")
+        parts.append(f"""c{i + 1}dim AS MATERIALIZED (
+      SELECT p.cl, p.pos, coalesce(u.cval, p.cval) AS cval
+      FROM c{i}dim p LEFT JOIN u{i} u ON u.cl = p.cl AND u.pos = p.pos
+    )""")
+    parts.append(f"""dfin AS (
+      SELECT q.id, c.cl, sum((q.val - c.cval) * (q.val - c.cval)) AS d2
+      FROM qdim q JOIN c{iterations}dim c USING (pos) GROUP BY q.id, c.cl
+    )""")
+    parts.append("""afin AS (
+      SELECT id, cl, d2 FROM (
+        SELECT id, cl, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rn
+        FROM dfin) t
+      WHERE rn = 1
+    )""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT cl, count(*)::BIGINT AS n_members, CAST(sum(d2) AS BIGINT) AS inertia,
+           CAST(min(id) AS BIGINT) AS min_member_id
+    FROM afin GROUP BY cl
+    """
+
+
+@register(
+    "sim_kmeans_lloyd",
+    _kmeans_oracle_sql(),
+    doc="deterministic quantized k-means (2 Lloyd iterations, k=8) over the "
+        "embedding corpus: vectors quantized to integers, distances exact "
+        "integer sums, centroid update floor(sum/count) per dim — every "
+        "iteration bit-reproducible, so the SQL oracle replays the whole "
+        "unrolled loop and value-matches per-cluster sizes AND inertia. "
+        "The semantic-clustering step SemDeDup-style curation and IVF "
+        "coarse quantizers (Jegou PAMI'11) need. Per iteration: centroids "
+        "broadcast as literals (k*d ints), map-only argmin assignment, one "
+        "posexplode+groupBy(cl,pos) update with map-side combine — driver "
+        "traffic bounded at k*d regardless of corpus size",
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.similarity import kmeans_lloyd_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd_quantized(emb, k=8, iterations=2, scale=1000)
+    return assigned.groupBy("cl").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("inertia"),
+        F.min("id").cast("long").alias("min_member_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — MOSS)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_winnow_fingerprint",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wds
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(wds[u.i : u.i + 3], ' ')), 1, 12))::BIGINT AS h
+      FROM tok, unnest(generate_series(1, len(wds) - 3)) AS u(i)
+      WHERE len(wds) >= 4
+    ),
+    win AS (
+      SELECT a.doc_id, b.pos AS p, b.h,
+             row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                ORDER BY b.h, b.pos DESC) AS rn
+      FROM kg a JOIN kg b
+        ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 4
+    ),
+    sel AS (SELECT DISTINCT doc_id, p AS pos, h FROM win WHERE rn = 1)
+    SELECT doc_id AS id, count(*)::BIGINT AS n_fingerprints,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY pos)) AS fp_md5
+    FROM sel GROUP BY doc_id
+    """,
+    doc="winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS "
+        "scheme): hash 4-word grams, slide a 5-gram window, keep the "
+        "rightmost minimal hash per window — guaranteed shared fingerprint "
+        "for any sufficiently long shared run at ~2/(w+1) density. Engine "
+        "does ONE window-frame pass per doc (min over (hash,-pos) structs, "
+        "O(n) per doc); the oracle replays the selection with the "
+        "quadratic join formulation — same set by construction, verified "
+        "md5-exact over the position-ordered fingerprint sequence",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=4, w=5)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
