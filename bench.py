@@ -83,6 +83,8 @@ HEADLINE = [
     "graph_triangle_count",       # degree-ordered oriented wedge join
     "text_winnow_fingerprint",    # MOSS winnowing window-min fingerprints
     "cdc_scd2_history",           # Type-2 validity intervals via lead()
+    "sample_pack_contexts",       # two-level prefix-sum sequence packing
+    "text_dsir_importance",       # DSIR hashed-ngram importance weights
     "analytic_concurrency_sweep", # sweep-line interval overlap maximum
 ]
 

@@ -66,3 +66,73 @@ def per_group_quota(
     order = F.col(order_col) if order_col else hash_fraction(F.col(group_col), salt)
     w = Window.partitionBy(group_col).orderBy(order.asc())
     return df.withColumn("_qrank", F.row_number().over(w)).filter(F.col("_qrank") <= quota).drop("_qrank")
+
+
+def pack_contexts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_tokens: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Sequence packing: concatenate all documents in id order and split
+    the token stream into fixed ``ctx_tokens`` training contexts (the
+    concat-then-chunk packing GPT-style pretraining uses — zero padding
+    waste, documents may span context boundaries).
+
+    Returns (ctx_id, n_docs, n_tokens): how many documents touch each
+    context and how many tokens it holds (the last context may be
+    partial). Empty documents (0 tokens) are excluded.
+
+    Scale shape — a global prefix sum without a global window: documents
+    are range-bucketed by id (``n_buckets`` from the broadcast max id),
+    token counts are cum-summed WITHIN each bucket partition, and the
+    bucket totals (n_buckets rows) get their own tiny cumulative offset
+    window which joins back by broadcast. No single-partition window over
+    the corpus — the two-level scan is how distributed prefix sums are
+    built. The per-doc context span then explodes into at most
+    ceil(len/ctx) rows and aggregates by ctx_id.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+    t = docs.select(
+        F.col(id_col).cast("long").alias("id"), toks.cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    bounds = t.agg(F.max("id").alias("max_id"))
+    t = t.crossJoin(F.broadcast(bounds)).select(
+        "id",
+        "n",
+        (F.col("id") * n_buckets / (F.col("max_id") + 1)).cast("long").alias("bkt"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("id")
+    within = t.select("id", "n", "bkt", F.sum("n").over(w_in).alias("cum_in"))
+    bkt_tot = t.groupBy("bkt").agg(F.sum("n").alias("tot"))
+    w_bkt = Window.orderBy("bkt")  # n_buckets rows — bounded single partition
+    offsets = bkt_tot.select(
+        "bkt", (F.sum("tot").over(w_bkt) - F.col("tot")).alias("off")
+    )
+    g = within.join(F.broadcast(offsets), "bkt").select(
+        "id",
+        "n",
+        (F.col("off") + F.col("cum_in") - F.col("n")).alias("start"),
+        (F.col("off") + F.col("cum_in")).alias("end"),
+    )
+    c = F.lit(ctx_tokens)
+    spans = g.select(
+        "id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {ctx_tokens}"), F.expr(f"(end - 1) div {ctx_tokens}")
+            )
+        ).alias("ctx_id"),
+    )
+    in_ctx = F.least((F.col("ctx_id") + 1) * c, F.col("end")) - F.greatest(
+        F.col("ctx_id") * c, F.col("start")
+    )
+    return spans.groupBy("ctx_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(in_ctx).cast("long").alias("n_tokens"),
+    )

@@ -7400,6 +7400,210 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk GPT-style pretraining contexts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_pack_contexts",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT id, n,
+             CAST(sum(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t WHERE n > 0
+    ),
+    s AS (SELECT id, n, cum - n AS strt, cum AS en FROM g),
+    sp AS (
+      SELECT id, strt, en,
+             unnest(generate_series(strt // 512, (en - 1) // 512)) AS ctx_id
+      FROM s
+    )
+    SELECT ctx_id, count(*)::BIGINT AS n_docs,
+           CAST(sum(least((ctx_id + 1) * 512, en) - greatest(ctx_id * 512, strt))
+                AS BIGINT) AS n_tokens
+    FROM sp GROUP BY ctx_id
+    """,
+    doc="sequence packing: concatenate documents in id order, split the "
+        "token stream into fixed 512-token training contexts (the "
+        "concat-then-chunk packing GPT-style pretraining uses — zero "
+        "padding waste, docs span boundaries). The global prefix sum is "
+        "built WITHOUT a global window: range-bucket by id, cumsum within "
+        "each bucket partition, broadcast the n_buckets bucket offsets — "
+        "the two-level distributed prefix-sum shape; the oracle uses the "
+        "single-threaded running sum and must match exactly",
+)
+def sample_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import pack_contexts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_contexts(docs, "doc_id", "text", ctx_tokens=512, n_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. '23: hashed-feature log-likelihood
+# ratio target vs raw — data selection for language models)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_dsir_importance",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(word), 1, 8))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang, unnest(w) AS word FROM tok)
+    ),
+    ct AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+    tt AS (SELECT count(*) AS t FROM f WHERE lang = 'en'),
+    tr AS (SELECT count(*) AS r FROM f),
+    scored AS (
+      SELECT f.doc_id,
+             ln((coalesce(ct.c, 0) + 1)::DOUBLE / (tt.t + 256)) -
+             ln((cr.c + 1)::DOUBLE / (tr.r + 256)) AS lw
+      FROM f LEFT JOIN ct USING (b) JOIN cr USING (b)
+      CROSS JOIN tt CROSS JOIN tr
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(lw), 6) AS avg_importance
+    FROM scored GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. NeurIPS'23): per-token hashed "
+        "unigram features (md5 mod 256), importance = mean log-likelihood "
+        "ratio of the add-one-smoothed target distribution (lang='en' "
+        "slice) vs the raw corpus — the data-selection score used to "
+        "resample raw crawls toward a target domain. Both count tables are "
+        "bucket-bounded (256 rows, corpus-size-independent) so they "
+        "broadcast; scoring is one map-side join + one groupBy(doc). Same "
+        "round(avg,6) determinism contract as text_bigram_lm",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    f = tok.select(
+        "doc_id", "lang", F.explode("w").alias("word")
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % 256).alias("b"),
+    )
+    ct = f.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("c_t"))
+    cr = f.groupBy("b").agg(F.count("*").alias("c_r"))
+    tt = f.filter(F.col("lang") == "en").agg(F.count("*").alias("t"))
+    tr = f.agg(F.count("*").alias("r"))
+    scored = (
+        f.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "doc_id",
+            (
+                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double") / (F.col("t") + 256))
+                - F.log((F.col("c_r") + 1).cast("double") / (F.col("r") + 256))
+            ).alias("lw"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lw"), 6).alias("avg_importance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: incremental Type-2 history maintenance across micro-batches
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_scd2_history",
+    """
+    WITH ev AS (
+      SELECT o_orderkey, o_totalprice,
+             unnest(generate_series(0, o_orderkey % 3)) AS version
+      FROM orders
+    ),
+    v AS (
+      SELECT o_orderkey,
+             CAST(version AS BIGINT) AS version,
+             o_totalprice + 100 * version AS price,
+             CAST((version + 1) * 1000 AS BIGINT) AS ts_ms
+      FROM ev
+    )
+    SELECT o_orderkey, version, price,
+           ts_ms AS valid_from,
+           lead(ts_ms) OVER w AS valid_to,
+           lead(ts_ms) OVER w IS NULL AS is_current
+    FROM v
+    WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts_ms)
+    """,
+    doc="INCREMENTAL SCD Type-2: the same history table cdc_scd2_history "
+        "builds in one batch pass, maintained across TWO micro-batches in "
+        "a Structured Streaming foreachBatch (streaming/scd2.py) — batch 2 "
+        "must CLOSE the current versions batch 1 committed. History store "
+        "is range-bucketed on the business key, so cross-batch closing "
+        "reads each touched key's version chain from one pruned bucket "
+        "(read_leading_range) and the staged upsert rewrites only touched "
+        "buckets: per-batch cost ~ batch, not history. Same oracle as the "
+        "batch query — the incremental path must converge to it exactly",
+)
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.streaming.scd2 import SCD2StreamMaintainer
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+    ev = orders.select(
+        "o_orderkey", "o_totalprice", F.explode(versions).alias("version")
+    ).select(
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+        (F.col("o_totalprice") + 100 * F.col("version")).alias("price"),
+        ((F.col("version") + 1) * 1000).cast("long").alias("ts_ms"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_scd2_")
+    # two appends -> two files -> two sequential micro-batches: batch 2
+    # carries the later versions that must close batch 1's current rows
+    ev.filter(F.col("version") == 0).coalesce(1).write.mode("append").parquet(
+        f"{base}/events"
+    )
+    ev.filter(F.col("version") >= 1).coalesce(1).write.mode("append").parquet(
+        f"{base}/events"
+    )
+    store = PartitionedParquetStateStore(spark, f"{base}/state")
+    m = SCD2StreamMaintainer(
+        store, "orders_hist", "o_orderkey", "ts_ms",
+        payload_cols=["version", "price"], key_range_size=2048,
+    )
+    m.seed(ev)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{base}/events")
+    q = (
+        stream.writeStream.foreachBatch(m.foreach_batch())
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    hist = store.read("orders_hist")
+    return hist.select(
+        "o_orderkey", "version", "price", "valid_from", "valid_to", "is_current"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

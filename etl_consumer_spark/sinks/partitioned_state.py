@@ -276,6 +276,57 @@ class PartitionedParquetStateStore:
             .join(F.broadcast(key_df), pk, "left_semi")
         )
 
+    def read_leading_range(self, table: str, leading_values: list) -> DataFrame:
+        """Bucket-pruned read of every row whose LEADING pk column takes one
+        of ``leading_values`` — the prefix lookup ``read_keys`` cannot do
+        (it needs full composite keys). Only valid for single-size range
+        layouts, where the bucket id is determined by the leading column
+        alone; raises otherwise rather than silently full-scanning.
+
+        This is the history-table access path: an SCD2 store keyed by
+        (business_key, valid_from) and range-bucketed on business_key reads
+        a key's whole version chain from exactly one bucket directory.
+
+        ``leading_values`` is a list of values, or a one-column DataFrame —
+        the DataFrame form keeps the keys DISTRIBUTED (only the distinct
+        bucket ids, at most n_buckets rows, ever reach the driver)."""
+        self._recover(table)
+        layout = self._layout(table)
+        if layout["bucket_mode"] != "range" or layout.get("range_sizes"):
+            raise ValueError(
+                "read_leading_range requires a single-size range layout "
+                "(bucket determined by the leading pk column)"
+            )
+        if not self._has_parts(table):
+            return self._empty(table)
+        size = layout["range_size"]
+        pk = self._pk_cols(table)
+        lead = pk[0]
+        if isinstance(leading_values, DataFrame):
+            key_df = leading_values.toDF(lead)
+            buckets = sorted(
+                r["_b"]
+                for r in key_df.select(
+                    self._floor_div(F.col(lead), size).alias("_b")
+                ).distinct().collect()
+            )
+        else:
+            if not leading_values:
+                return self._empty(table)
+            buckets = sorted({int(v) // size for v in leading_values})
+            key_df = self.spark.createDataFrame(
+                [(v,) for v in leading_values],
+                T.StructType([self._empty(table).schema[lead]]),
+            )
+        if not buckets:
+            return self._empty(table)
+        return (
+            self.spark.read.parquet(self._path(table))
+            .filter(F.col("_bucket").isin(buckets))
+            .drop("_bucket")
+            .join(F.broadcast(key_df.distinct()), lead, "left_semi")
+        )
+
     def _pk_cols(self, table: str) -> list[str]:
         try:
             with open(f"{self._path(table)}/_pk.json") as fh:
