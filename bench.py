@@ -85,6 +85,8 @@ HEADLINE = [
     "cdc_scd2_history",           # Type-2 validity intervals via lead()
     "sample_pack_contexts",       # two-level prefix-sum sequence packing
     "text_dsir_importance",       # DSIR hashed-ngram importance weights
+    "graph_bom_explosion",        # level-wise weighted transitive closure
+    "mm_tiff_features",           # TIFF 6.0 multi-strip decode kernel
     "analytic_concurrency_sweep", # sweep-line interval overlap maximum
 ]
 

@@ -98,6 +98,37 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def weighted_path_aggregate(
+    edges: DataFrame, roots: DataFrame, max_depth: int
+) -> DataFrame:
+    """BOM explosion / weighted transitive closure: total requirement per
+    node = sum over all root-to-node paths (length <= max_depth) of the
+    product of edge quantities. ``edges`` is (parent, child, qty) on a DAG;
+    ``roots`` is (node). Returns (node, total_qty). All-integer, exact.
+
+    Scale design — level-wise aggregation, NOT path enumeration: because
+    sum-of-products distributes over path concatenation
+    (sum_paths(prod) at depth d+1 = sum_child(level_d(parent) * qty)),
+    each round aggregates to at most |nodes| rows before the next join.
+    Path counts grow combinatorially (a dense DAG has millions of paths at
+    depth 3); the level table never exceeds the node set. The SQL oracle
+    deliberately ENUMERATES paths with a recursive CTE — validating the
+    algebraic collapse against the definition.
+    """
+    level = roots.select("node", F.lit(1).cast("long").alias("q"))
+    acc = level
+    for _ in range(max_depth):
+        level = (
+            level.join(edges, level.node == edges.parent)
+            .select(edges.child.alias("node"), (level.q * edges.qty).alias("q"))
+            .groupBy("node")
+            .agg(F.sum("q").alias("q"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        acc = acc.unionByName(level)
+    return acc.groupBy("node").agg(F.sum("q").cast("long").alias("total_qty"))
+
+
 def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int) -> DataFrame:
     """Multi-source BFS over a directed edge list; returns (node, dist).
 

@@ -293,6 +293,11 @@ def sniff_and_decode(blob: bytes) -> tuple[str, int, int, np.ndarray]:
 
         w, h, rgb = decode_gif(blob)
         return "gif", w, h, rgb
+    if blob[:4] == b"II\x2a\x00":
+        from etl_consumer_spark.extensions.tiff import decode_tiff
+
+        w, h, gray = decode_tiff(blob)
+        return "tiff", w, h, np.repeat(gray[:, :, None], 3, axis=2)
     raise ValueError(f"unknown image magic {blob[:2]!r}")
 
 
@@ -450,6 +455,49 @@ def synthesize_gif_media_table(df: DataFrame, id_col: str, payload_col: str) -> 
         F.struct(
             F.lit("image").alias("media_type"),
             F.lit("gif").alias("format"),
+            (F.col("w") * 3).alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    ).drop("w")
+
+
+def synthesize_tiff_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """TIFF twin of :func:`synthesize_gif_media_table`: the SAME
+    deterministic grayscale raster (``(4, w*3)``, one pixel per raster
+    byte), written as a real multi-strip uncompressed TIFF 6.0 blob
+    (``RowsPerStrip=2`` → two strips, so the IFD walk and the strip
+    reassembly are genuinely exercised). Uncompressed strips are lossless,
+    so the shared gray SQL oracle value-checks the decode exactly."""
+    from etl_consumer_spark.extensions.tiff import encode_tiff
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["_payload"]
+                w = 8 + len(payload) % 8
+                hexes = (hashlib.md5(payload.encode()).hexdigest() * 6)[: w * 12]
+                raster = np.frombuffer(hexes.encode("ascii"), dtype=np.uint8)
+                blob = encode_tiff(raster.reshape(4, w * 3), rows_per_strip=2)
+                out.append({"media_id": int(row["_id"]), "blob": blob, "w": w})
+            yield pd.DataFrame(out, columns=["media_id", "blob", "w"])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    encoded = (
+        df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+        .repartition(par)
+        .mapInPandas(kernel, "media_id long, blob binary, w int")
+    )
+    return encoded.select(
+        "media_id",
+        "blob",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("tiff").alias("format"),
             (F.col("w") * 3).alias("width"),
             F.lit(4).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),

@@ -7604,6 +7604,96 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BOM explosion (weighted transitive closure) — level-wise sum-of-products
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_bom_explosion",
+    """
+    WITH RECURSIVE e AS (
+      SELECT least(a, b) AS parent, greatest(a, b) AS child,
+             CAST(max(q) AS BIGINT) AS qty
+      FROM (
+        SELECT l_partkey % 600 AS a, l_orderkey % 600 AS b, l_linenumber AS q
+        FROM lineitem WHERE (l_partkey + l_orderkey) % 29 = 0
+      ) t
+      WHERE a <> b GROUP BY least(a, b), greatest(a, b)
+    ),
+    walk(node, q, d) AS (
+      SELECT CAST(r AS BIGINT) AS node, CAST(1 AS BIGINT) AS q, 0 AS d
+      FROM (SELECT unnest(generate_series(0, 4)) AS r) roots
+      UNION ALL
+      SELECT e.child, w.q * e.qty, w.d + 1
+      FROM walk w JOIN e ON e.parent = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(sum(q) AS BIGINT) AS total_qty FROM walk GROUP BY node
+    """,
+    doc="BOM explosion / weighted transitive closure over a key-derived "
+        "DAG (edges oriented low->high = acyclic by construction): total "
+        "requirement per node = sum over root paths of the product of "
+        "edge quantities, depth <= 3. Engine aggregates LEVEL-WISE — "
+        "sum-of-products distributes over path concatenation, so each "
+        "round collapses to <= |nodes| rows before the next join, while "
+        "path counts grow combinatorially. The oracle deliberately "
+        "ENUMERATES every path with a recursive CTE, validating the "
+        "algebraic collapse against the definition. All-integer, exact",
+)
+def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import weighted_path_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.filter((F.col("l_partkey") + F.col("l_orderkey")) % 29 == 0).select(
+        (F.col("l_partkey") % 600).alias("a"),
+        (F.col("l_orderkey") % 600).alias("b"),
+        F.col("l_linenumber").alias("q"),
+    )
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .groupBy(
+            F.least("a", "b").alias("parent"), F.greatest("a", "b").alias("child")
+        )
+        .agg(F.max("q").cast("long").alias("qty"))
+    )
+    roots = spark.range(5).select(F.col("id").alias("node"))
+    return weighted_path_aggregate(edges, roots, max_depth=3)
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 strip decode (multimodal breadth: the uncompressed-strip +
+# IFD-walk container family, alongside PPM/BMP/PNG/JPEG/GIF/WAV/AVI)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_tiff_features",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    px AS (
+      SELECT doc_id, w, ascii(substr(ras, u.i, 1)) AS v, length(ras) AS n
+      FROM r, unnest(generate_series(1, length(ras))) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           sum(v) / n AS mean_px,
+           sqrt(sum(v * v) / n - (sum(v) / n) * (sum(v) / n)) AS std_px,
+           (max(w) * 12)::BIGINT AS n_px
+    FROM px GROUP BY doc_id, n
+    """,
+    doc="multimodal: feature extraction through a REAL pure-Python TIFF "
+        "6.0 decode (little-endian IFD walk, bounds-checked tag arrays, "
+        "MULTI-strip reassembly with RowsPerStrip=2) — same deterministic "
+        "raster as the GIF twin laid out one gray pixel per byte, so the "
+        "shared SQL oracle value-checks the strip path end-to-end. "
+        "Uncompressed strips are lossless; public Adobe TIFF 6.0 spec",
+)
+def mm_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_tiff_media_table(docs, "doc_id", "text")
+    return M.extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -69,3 +69,32 @@ def test_bfs_multi_source_takes_nearest_seed(spark):
     src = spark.createDataFrame([(0,), (10,)], "node: long")
     got = {r.node: r.dist for r in bfs_hops(e, src, max_hops=4).collect()}
     assert got[3] == 1  # via seed 10, not 3 hops from seed 0
+
+
+def test_weighted_path_aggregate_diamond_and_depth(spark):
+    from etl_consumer_spark.extensions.graph import weighted_path_aggregate
+
+    #      1 --2--> 2 --3--> 4
+    #      1 --5--> 3 --7--> 4      (diamond: two paths into 4)
+    #      4 --1--> 5 --1--> 6 --1--> 7   (7 is 4 hops from root: cut off)
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 5), (2, 4, 3), (3, 4, 7), (4, 5, 1), (5, 6, 1), (6, 7, 1)],
+        "parent: long, child: long, qty: long",
+    )
+    roots = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.total_qty
+           for r in weighted_path_aggregate(edges, roots, max_depth=3).collect()}
+    # 4: 2*3 + 5*7 = 41; 5: 41*1 (depth 3); 6,7 beyond depth
+    assert got == {1: 1, 2: 2, 3: 5, 4: 41, 5: 41}
+
+
+def test_weighted_path_aggregate_multi_root_sums(spark):
+    from etl_consumer_spark.extensions.graph import weighted_path_aggregate
+
+    edges = spark.createDataFrame(
+        [(1, 3, 2), (2, 3, 10)], "parent: long, child: long, qty: long"
+    )
+    roots = spark.createDataFrame([(1,), (2,)], "node: long")
+    got = {r.node: r.total_qty
+           for r in weighted_path_aggregate(edges, roots, max_depth=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 12}

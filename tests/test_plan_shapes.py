@@ -185,3 +185,56 @@ def test_dynamic_partition_pruning_in_plan(spark):
     the dim side — a literal-free partition prune."""
     plan = _plan(spark, "source_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower(), "no dynamic pruning subquery in scan"
+
+
+def test_dsir_count_tables_broadcast(spark):
+    """DSIR's two count tables are 256-bucket-bounded: they must broadcast
+    (map-side scoring join), never sort-merge-shuffle the token stream."""
+    plan = _plan(spark, "text_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_contexts_no_global_window(spark):
+    """The packing prefix sum must stay two-level (per-bucket windows +
+    broadcast offsets): a single-partition global window over the corpus
+    would serialize at 100 TB. The only ORDER-BY-id window in the plan
+    must be partitioned by the bucket column."""
+    plan = _plan(spark, "sample_pack_contexts")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "id#" in spec.split("ASC")[0]:
+            assert "bkt" in spec, f"global (unpartitioned) id window: {spec}"
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Centroids enter the k-means assignment as literals: the argmin scan
+    must contain no join at all — the only exchange is the k*d-bounded
+    update aggregation."""
+    from etl_consumer_spark.extensions.similarity import kmeans_lloyd_quantized
+    from etl_consumer_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned = kmeans_lloyd_quantized(emb, k=4, iterations=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "assignment must be map-only over literals"
+
+
+def test_scd2_stream_read_prunes_buckets(spark, tmp_path):
+    """read_leading_range must plan a partition-pruned scan: the _bucket
+    partition filter has to reach the parquet read."""
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "pp"))
+    df = spark.createDataFrame(
+        [(k, v, k) for k in range(40) for v in range(2)],
+        "k: long, v: long, p: long",
+    )
+    store.init(
+        "t", df, ["k", "v"],
+        layout={"bucket_mode": "range", "range_size": 4, "n_buckets": 64},
+    )
+    out = store.read_leading_range("t", [5])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_bucket" in plan
