@@ -31,6 +31,7 @@ from etl_consumer_spark.operators.retry import (
     with_retry_columns,
 )
 from etl_consumer_spark.operators.rollup import merge_partial_rollups
+from etl_consumer_spark.operators.scd import scd2_history
 from etl_consumer_spark.operators.skew import salted_agg, salted_join
 from etl_consumer_spark.operators.routing import (
     BLOCKLIST,

@@ -7694,6 +7694,76 @@ def mm_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing overlap pairs — the MOSS use case: shared fingerprints -> pairs
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_winnow_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wds
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(wds[u.i : u.i + 3], ' ')), 1, 12))::BIGINT AS h
+      FROM tok, unnest(generate_series(1, len(wds) - 3)) AS u(i)
+      WHERE len(wds) >= 4
+    ),
+    win AS (
+      SELECT a.doc_id, b.pos AS p, b.h,
+             row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                ORDER BY b.h, b.pos DESC) AS rn
+      FROM kg a JOIN kg b
+        ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 4
+    ),
+    sel AS (SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+    hcnt AS (SELECT h, count(*) AS df FROM sel GROUP BY h),
+    cand AS (SELECT h FROM hcnt WHERE df BETWEEN 2 AND 16)
+    SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+           count(*)::BIGINT AS shared_fps
+    FROM sel s1
+    JOIN cand USING (h)
+    JOIN sel s2 USING (h)
+    WHERE s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="winnowing overlap detection (the MOSS workflow): documents "
+        "sharing >= 2 selected fingerprints are overlap candidates — the "
+        "SIGMOD'03 guarantee makes this catch every shared run of >= "
+        "w+k-1 words while storing only ~2/(w+1) of the gram hashes. "
+        "Hot-fingerprint cap (df <= 16) before the self-join bounds the "
+        "pair expansion exactly like the capped-LSH dedup paths — "
+        "boilerplate fingerprints shared by everything never explode the "
+        "join. One groupBy(h) + one bounded equi-join + one groupBy(pair)",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import winnow_selections
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize once: three consumers (frequency count + both join sides)
+    # would each re-run the whole winnowing pipeline — no cross-branch CSE
+    sel = (
+        winnow_selections(docs, "doc_id", "text", k=4, w=5)
+        .select("id", "h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hcnt = sel.groupBy("h").agg(F.count("*").alias("df"))
+    cand = hcnt.filter((F.col("df") >= 2) & (F.col("df") <= 16)).select("h")
+    s1 = sel.join(cand, "h").select(F.col("h"), F.col("id").alias("doc_a"))
+    s2 = sel.join(cand, "h").select(F.col("h"), F.col("id").alias("doc_b"))
+    return (
+        s1.join(s2, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -16,6 +16,9 @@ loop → MySQL target).
   micro-batch so backfills commit state incrementally);
 - state from ``STATE_PATH`` (bucket-partitioned partial-rewrite store, the
   pipeline default), with ``STATE_BACKEND=versioned`` for tiny tables;
+- ``SCD2_TABLES=t1,t2`` additionally maintains a Type-2 history table
+  (``<name>__history``: validity intervals, deletes close the open
+  version) for the named tables — requires the partitioned backend;
 - optional Debezium Connect REST control (X1/X2 pause/resume) when
   ``DEBEZIUM_CONTROL=1``.
 
@@ -87,6 +90,7 @@ def build_pipeline(spark: SparkSession, cfg: Config | None = None) -> tuple[CDCP
     api = None
     if os.environ.get("DEBEZIUM_CONTROL", "0") in ("1", "true"):
         api = DebeziumAPI(cfg.debezium_addr, cfg.debezium_port, cfg.connector)
+    scd2 = {t for t in os.environ.get("SCD2_TABLES", "").split(",") if t}
     pipe = CDCPipeline(
         spark,
         cfg,
@@ -94,6 +98,7 @@ def build_pipeline(spark: SparkSession, cfg: Config | None = None) -> tuple[CDCP
         store,
         api=api,
         dead_letter_path=os.environ.get("DEAD_LETTER_PATH"),
+        scd2_tables=scd2,
     )
     transport_spec = os.environ.get("TRANSPORT", "kafka")
     if transport_spec.startswith("file:"):

@@ -223,6 +223,11 @@ class PartitionedParquetStateStore:
             schema = T.StructType.fromJson(json.loads(fh.read()))
         return self.spark.createDataFrame([], schema)
 
+    def exists(self, table: str) -> bool:
+        """Whether the table has ever been initialized (sidecars present) —
+        lets restart-safe callers seed-if-absent instead of wiping state."""
+        return os.path.exists(f"{self._path(table)}/_schema.json")
+
     def read(self, table: str) -> DataFrame:
         self._recover(table)
         if not self._has_parts(table):

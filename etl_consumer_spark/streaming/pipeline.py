@@ -144,6 +144,7 @@ class CDCPipeline:
         passthrough_executor=None,
         state_path: str | None = None,
         metrics_path: str | None = None,
+        scd2_tables: set[str] | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -173,6 +174,20 @@ class CDCPipeline:
         # applied table per micro-batch) — the queryable counterpart of the
         # in-memory ring buffer
         self.metrics_path = metrics_path
+        # tables that ALSO maintain an SCD Type-2 history ("<name>__history"
+        # in the same store): every applied image opens a version, the
+        # predecessor closes, deletes close without reopening. Requires the
+        # partitioned store (the history read path is bucket-pruned).
+        self.scd2_tables = set(scd2_tables or ())
+        unknown = self.scd2_tables - set(self.tables)
+        if unknown:
+            raise ValueError(f"scd2_tables not in table specs: {sorted(unknown)}")
+        if self.scd2_tables and not hasattr(self.store, "read_leading_range"):
+            raise ValueError(
+                "scd2_tables requires the partitioned state store "
+                "(bucket-pruned history reads)"
+            )
+        self._scd2_maintainers: dict[str, object] = {}
         self.results: list[BatchResult] = []
 
     def _evolve_state_schema(self, statement: str) -> None:
@@ -278,6 +293,41 @@ class CDCPipeline:
             if self.api is not None:
                 self.api.resume(max_attempts=30)                               # X2/E6
 
+    # -- SCD2 history (optional per-table Type-2 companion tables) ---------
+
+    def _apply_scd2(self, name, spec, events, epoch_id: int) -> None:
+        """Feed one applied micro-batch of decoded CDC events into the
+        table's Type-2 history maintainer (``<name>__history``). Ordering
+        column is the envelope's binlog position (``pos``) — strictly
+        increasing per key on a consistent stream; deletes (null after)
+        close the open version without opening a new one."""
+        from etl_consumer_spark.streaming.scd2 import SCD2StreamMaintainer
+
+        m = self._scd2_maintainers.get(name)
+        payload = [f.name for f in spec.fields if f.name not in spec.pk_cols]
+        if m is None:
+            m = SCD2StreamMaintainer(
+                self.store,
+                f"{name}__history",
+                spec.pk_cols,
+                "_scd2_ts",
+                payload,
+                delete_col="_scd2_deleted",
+            )
+            self._scd2_maintainers[name] = m
+        batch = events.select(
+            *[
+                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
+                for k in spec.pk_cols
+            ],
+            *[F.col(f"after.{c}").alias(c) for c in payload],
+            F.col("pos").cast("long").alias("_scd2_ts"),
+            F.col("after").isNull().alias("_scd2_deleted"),
+        )
+        if not m.exists():  # restart-safe: never wipe an existing history
+            m.seed(batch.drop("_scd2_deleted"))
+        m.apply_batch(batch, epoch_id)
+
     # -- DML path (reference main.go:122-168, 348-380) ---------------------
 
     def _process_dml(self, batch: DataFrame, result: BatchResult) -> None:
@@ -360,6 +410,8 @@ class CDCPipeline:
                     try:
                         version = self.store.upsert(name, events, spec.pk_cols)
                         result.applied[name] = version
+                        if name in self.scd2_tables:
+                            self._apply_scd2(name, spec, events, result.epoch_id)
                     except Exception as exc:  # noqa: BLE001 — K2 + K3 branch
                         dead = dead_letter_rows(
                             slice_df.withColumn("err", F.lit(str(exc)[:200])),

@@ -39,37 +39,49 @@ from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateSt
 class SCD2StreamMaintainer:
     """Maintains a Type-2 history table from an after-image change stream.
 
-    ``batch_df`` rows are (key_col, ts_col, *payload): one row per change
+    ``batch_df`` rows are (*key_cols, ts_col, *payload): one row per change
     event, ``ts_col`` strictly increasing per key (the CDC log order).
-    History rows are (key, *payload, valid_from, valid_to, is_current)
-    keyed by (key, valid_from).
+    History rows are (*keys, *payload, valid_from, valid_to, is_current)
+    keyed by (*keys, valid_from). ``key_col`` may be one column name or a
+    list (composite business keys); the history store range-buckets on the
+    LEADING key column, which is what the pruned current-row read uses.
     """
 
     def __init__(
         self,
         store: PartitionedParquetStateStore,
         table: str,
-        key_col: str,
+        key_col: str | list[str],
         ts_col: str,
         payload_cols: list[str],
         key_range_size: int = 1024,
+        delete_col: str | None = None,
     ):
+        """``delete_col`` (optional boolean column in batch rows) marks CDC
+        deletes: a delete CLOSES the key's open version at its timestamp
+        without opening a new one — the key has no current row until a
+        later image re-opens it. Payload columns of delete rows are
+        ignored."""
         self.store = store
         self.table = table
-        self.key = key_col
+        self.keys = [key_col] if isinstance(key_col, str) else list(key_col)
         self.ts = ts_col
         self.payload = payload_cols
         self.range_size = key_range_size
+        self.delete_col = delete_col
 
     @property
     def pk(self) -> list[str]:
-        return [self.key, "valid_from"]
+        return [*self.keys, "valid_from"]
+
+    def exists(self) -> bool:
+        return self.store.exists(self.table)
 
     def seed(self, template: DataFrame) -> None:
         """Initialize an empty history table from an event-batch template
         (schema only — no rows are written)."""
         hist = template.limit(0).select(
-            self.key,
+            *self.keys,
             *self.payload,
             F.col(self.ts).alias("valid_from"),
             F.lit(None).cast("long").alias("valid_to"),
@@ -87,32 +99,56 @@ class SCD2StreamMaintainer:
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(self.key).orderBy(self.ts)
-        nxt = F.lead(self.ts).over(w)
-        new_rows = batch_df.select(
-            self.key,
+        is_del = (
+            F.col(self.delete_col) if self.delete_col else F.lit(False)
+        )
+        # materialize the normalized batch once: three consumers (interval
+        # build, touched keys, closing minimums); batch-sized
+        events = batch_df.select(
+            *self.keys,
             *self.payload,
-            F.col(self.ts).alias("valid_from"),
-            nxt.cast("long").alias("valid_to"),
-            nxt.isNull().alias("is_current"),
-        ).localCheckpoint(eager=True)  # two consumers below; batch-sized
+            F.col(self.ts).cast("long").alias("_ts"),
+            is_del.alias("_is_delete"),
+        ).localCheckpoint(eager=True)
+        # lead() runs over ALL events (images AND deletes): an image's
+        # validity ends at the NEXT event for its key, whatever kind — a
+        # delete closes the interval without opening a new one, leaving the
+        # key current-less until a later image re-opens it
+        w = Window.partitionBy(*self.keys).orderBy("_ts")
+        nxt = F.lead("_ts").over(w)
+        new_rows = (
+            events.select(
+                *self.keys,
+                *self.payload,
+                F.col("_ts").alias("valid_from"),
+                nxt.cast("long").alias("valid_to"),
+                nxt.isNull().alias("is_current"),
+                F.col("_is_delete"),
+            )
+            .filter(~F.col("_is_delete"))  # deletes shape neighbors, add no row
+            .drop("_is_delete")
+        )
 
-        # touched keys stay DISTRIBUTED: only the distinct bucket ids (at
-        # most n_buckets values) reach the driver inside read_leading_range
+        # touched keys and closing timestamps come from ALL events (a
+        # delete-only batch must still close its key's current row); keys
+        # stay DISTRIBUTED — only the distinct bucket ids (at most
+        # n_buckets values) reach the driver inside read_leading_range
         cur = (
             self.store.read_leading_range(
-                self.table, new_rows.select(self.key)
+                self.table, events.select(self.keys[0])
             ).filter(F.col("is_current"))
         )
-        mins = new_rows.groupBy(self.key).agg(F.min("valid_from").alias("_new_from"))
+        mins = events.groupBy(*self.keys).agg(
+            F.min("_ts").alias("_new_from")
+        )
         closing = (
-            cur.join(F.broadcast(mins), self.key)
+            cur.join(F.broadcast(mins), self.keys)
             # the guard makes replays idempotent: a re-run batch finds the
             # previously-closed rows no longer current (filter above) and
             # never re-opens or double-closes anything
             .filter(F.col("_new_from") > F.col("valid_from"))
             .select(
-                self.key,
+                *self.keys,
                 *self.payload,
                 "valid_from",
                 F.col("_new_from").cast("long").alias("valid_to"),
@@ -121,7 +157,7 @@ class SCD2StreamMaintainer:
         )
         hist_updates = closing.unionByName(new_rows)
         img = F.struct(
-            self.key, *self.payload, "valid_from", "valid_to", "is_current"
+            *self.keys, *self.payload, "valid_from", "valid_to", "is_current"
         )
         events = hist_updates.select(
             img.alias("before"),  # update-shaped: after-image always wins

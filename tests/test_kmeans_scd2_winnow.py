@@ -120,3 +120,24 @@ def test_winnowing_density_roughly_two_over_w_plus_one(spark):
     n_grams = 400 - 3
     density = n / n_grams
     assert 0.2 < density < 0.55  # expected ~2/(w+1) = 0.33 on random hashes
+
+
+def test_winnow_pairs_catch_shared_run_not_unrelated(spark, tmp_path):
+    import os
+
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, "intro words " + shared + " closing remark", "en", "web", 0),
+        (2, "other beginning " + shared + " different end", "en", "web", 0),
+        (3, "entirely unrelated content about something else whatsoever here", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path / "wp")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b) for r in QUERIES["dedup_winnow_pairs"].fn(spark, d).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

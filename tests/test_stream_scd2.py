@@ -94,3 +94,113 @@ def test_read_leading_range_rejects_hash_layout(spark, tmp_path):
     store.init("t", df, ["k", "v"], layout={"bucket_mode": "hash", "n_buckets": 8})
     with pytest.raises(ValueError, match="range layout"):
         store.read_leading_range("t", [1])
+
+
+def _events_d(spark, rows):
+    return spark.createDataFrame(rows, "k: long, ts: long, val: string, deleted: boolean")
+
+
+def test_delete_closes_without_reopening(spark, tmp_path):
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "sd"))
+    m = SCD2StreamMaintainer(
+        store, "hist", "k", "ts", ["val"], key_range_size=4, delete_col="deleted"
+    )
+    m.seed(_events_d(spark, []).drop("deleted"))
+    m.apply_batch(_events_d(spark, [(1, 10, "a", False), (2, 10, "x", False)]), 0)
+    # delete key 1 in a later batch: interval closes, no current row remains
+    m.apply_batch(_events_d(spark, [(1, 20, None, True)]), 1)
+    assert _hist(store) == [
+        (1, 10, 20, False, "a"),
+        (2, 10, None, True, "x"),
+    ]
+
+
+def test_delete_then_reinsert_within_batch(spark, tmp_path):
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "sd2"))
+    m = SCD2StreamMaintainer(
+        store, "hist", "k", "ts", ["val"], key_range_size=4, delete_col="deleted"
+    )
+    m.seed(_events_d(spark, []).drop("deleted"))
+    m.apply_batch(_events_d(spark, [(1, 10, "a", False)]), 0)
+    # one batch: update@20, delete@30, re-insert@40
+    m.apply_batch(
+        _events_d(spark, [(1, 20, "b", False), (1, 30, None, True), (1, 40, "c", False)]),
+        1,
+    )
+    assert _hist(store) == [
+        (1, 10, 20, False, "a"),
+        (1, 20, 30, False, "b"),   # closed by the delete: 30-40 is a gap
+        (1, 40, None, True, "c"),
+    ]
+
+
+def test_pipeline_maintains_scd2_history_table(spark, tmp_path):
+    """Full pipeline e2e with SCD2_TABLES semantics: the same envelope
+    stream that upserts latest state ALSO maintains batch_seq__history —
+    inserts open versions, updates chain them, deletes close them, across
+    multiple micro-batches (maxFilesPerTrigger=1)."""
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+    from tests.test_streaming import (
+        FIELDS, PK, SERVER, DB, TOPIC, envelope, make_transport, row,
+    )
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "state"))
+    empty = spark.createDataFrame(
+        [], "id long, province_id long, seq long, amount double, created_day date"
+    )
+    store.init("batch_seq", empty, PK)
+    pipe = CDCPipeline(
+        spark, cfg, [TableSpec("batch_seq", FIELDS, PK)], store,
+        scd2_tables={"batch_seq"},
+    )
+    transport = str(tmp_path / "transport")
+    batch1 = [
+        (TOPIC, envelope(None, row(1, 10, 0, 1000, 18993), pos=200)),
+        (TOPIC, envelope(None, row(2, 20, 0, 2000, 18993), pos=201)),
+    ]
+    batch2 = [
+        (TOPIC, envelope(row(1, 10, 0, 1000, 18993), row(1, 11, 1, 1500, 18993), pos=202)),
+        (TOPIC, envelope(row(2, 20, 0, 2000, 18993), None, pos=203)),  # delete id=2
+    ]
+    for msgs in (batch1, batch2):
+        make_transport(spark, msgs, transport)
+    q = pipe.start(
+        file_envelope_stream(spark, transport, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    hist = sorted(
+        (r.id, r.valid_from, r.valid_to, r.is_current, r.province_id, float(r.amount))
+        for r in store.read("batch_seq__history").collect()
+    )
+    assert hist == [
+        (1, 200, 202, False, 10, 10.00),
+        (1, 202, None, True, 11, 15.00),
+        (2, 201, 203, False, 20, 20.00),  # closed by the delete, not reopened
+    ]
+    # latest state unaffected: id=1 updated, id=2 deleted
+    got = {r.id: r.seq for r in store.read("batch_seq").collect()}
+    assert got == {1: 1}
+
+
+def test_pipeline_scd2_requires_partitioned_store(spark, tmp_path):
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.state import ParquetStateStore
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+    from tests.test_streaming import FIELDS, PK, SERVER, DB
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+    store = ParquetStateStore(spark, str(tmp_path / "vstate"))
+    with pytest.raises(ValueError, match="partitioned"):
+        CDCPipeline(
+            spark, cfg, [TableSpec("batch_seq", FIELDS, PK)], store,
+            scd2_tables={"batch_seq"},
+        )
