@@ -87,6 +87,7 @@ HEADLINE = [
     "text_dsir_importance",       # DSIR hashed-ngram importance weights
     "graph_bom_explosion",        # level-wise weighted transitive closure
     "mm_tiff_features",           # TIFF 6.0 multi-strip decode kernel
+    "sim_ivf_kmeans_rerank",      # trained-IVF: kmeans coarse quantizer
     "analytic_concurrency_sweep", # sweep-line interval overlap maximum
 ]
 

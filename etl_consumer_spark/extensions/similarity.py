@@ -162,6 +162,7 @@ def knn_ivf_rerank(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN (the standard IVF answer): probe the query's
     ``n_probe`` nearest clusters to gather a candidate pool, then EXACT
@@ -171,8 +172,16 @@ def knn_ivf_rerank(
     on cluster id, and the rerank touches only the candidate pool — at
     corpus scale, bucket the corpus by cid so probes are partition-pruned
     scans. Output schema matches :func:`knn_bruteforce` (query_id,
-    neighbor_id, rank), so brute force is the recall oracle."""
-    cents = deterministic_centroids(corpus, n_clusters, id_col, vec_col)
+    neighbor_id, rank), so brute force is the recall oracle.
+
+    ``centroids`` (cid, cvec) overrides the default first-n coarse
+    quantizer — pass :func:`kmeans_centroids` output (dequantized) to run
+    the trained-IVF composition."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_clusters, id_col, vec_col)
+    )
     c_assigned = assign_clusters(corpus, cents, id_col, vec_col)
     q_probes = assign_clusters(queries, cents, id_col, vec_col, n_probe=n_probe)
     # each corpus vector lives in exactly one cluster, so (query, neighbor)
@@ -379,6 +388,27 @@ def kmeans_lloyd_quantized(
     driver-side ever exceeds k*d. Ties (equal d2) break to the lowest
     cluster id; empty clusters keep their previous centroid.
     """
+    q, assign, cents = _kmeans_fit(emb, k, iterations, scale, id_col, vec_col)
+    return assign(cents).select("id", "cl", "d2")
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """The fitted quantized centroids themselves (k lists of d ints) --
+    e.g. as the coarse quantizer of an IVF index (the composition IVF-PQ
+    systems actually train). Same determinism contract as
+    :func:`kmeans_lloyd_quantized`."""
+    _, _, cents = _kmeans_fit(emb, k, iterations, scale, id_col, vec_col)
+    return cents
+
+
+def _kmeans_fit(emb, k, iterations, scale, id_col, vec_col):
     q = emb.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: F.round(x * scale).cast("long")).alias("qv"),
@@ -419,4 +449,4 @@ def kmeans_lloyd_quantized(
             new[r.cl][r.pos] = r.s // r.n  # python // floors like the oracle
         cents = new
 
-    return assign(cents).select("id", "cl", "d2")
+    return q, assign, cents

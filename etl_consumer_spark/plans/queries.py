@@ -7277,7 +7277,10 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # limitation (deterministic_centroids docstring) falls away.
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle_sql(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
+def _kmeans_centroid_ctes(k: int = 8, dim: int = 64, iterations: int = 2):
+    """CTE chain replaying the quantized Lloyd loop; returns (parts, final)
+    where ``final`` is the name of the last centroid-dims CTE (cl, pos,
+    cval) — reused by the IVF-with-kmeans oracle."""
     parts = [
         """q AS MATERIALIZED (
       SELECT vec_id AS id,
@@ -7310,9 +7313,15 @@ def _kmeans_oracle_sql(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
       SELECT p.cl, p.pos, coalesce(u.cval, p.cval) AS cval
       FROM c{i}dim p LEFT JOIN u{i} u ON u.cl = p.cl AND u.pos = p.pos
     )""")
+    return parts, f"c{iterations}dim"
+
+
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
+    parts, final = _kmeans_centroid_ctes(k, dim, iterations)
+    parts = list(parts)
     parts.append(f"""dfin AS (
       SELECT q.id, c.cl, sum((q.val - c.cval) * (q.val - c.cval)) AS d2
-      FROM qdim q JOIN c{iterations}dim c USING (pos) GROUP BY q.id, c.cl
+      FROM qdim q JOIN {final} c USING (pos) GROUP BY q.id, c.cl
     )""")
     parts.append("""afin AS (
       SELECT id, cl, d2 FROM (
@@ -7760,6 +7769,86 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: k-means centroids as the coarse quantizer (the IVF-PQ
+# composition — Jegou PAMI'11 trains exactly this)
+# ---------------------------------------------------------------------------
+
+def _ivf_kmeans_oracle_sql() -> str:
+    parts, final = _kmeans_centroid_ctes(k=8, dim=64, iterations=2)
+    parts = list(parts)
+    parts.append(f"""ckm AS (
+      SELECT cl AS cid,
+             list_transform(list(cval ORDER BY pos), v -> v / 1000.0) AS cvec
+      FROM {final} GROUP BY cl
+    )""")
+    parts.append("q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0)")
+    parts.append(f"""qp_scored AS (
+      SELECT q.vec_id, c.cid, {_cos_sql('q.embedding', 'c.cvec')} AS csim
+      FROM q0 q, ckm c
+    )""")
+    parts.append("""qprobe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        FROM qp_scored) t WHERE rn <= 3
+    )""")
+    parts.append(f"""ca_scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS csim
+      FROM embeddings e, ckm c
+    )""")
+    parts.append("""cassign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+        FROM ca_scored) t WHERE rn = 1
+    )""")
+    parts.append(f"""scored AS (
+      SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             {_cos_sql('qe.embedding', 'ca.embedding')} AS cos_sim
+      FROM qprobe qp
+      JOIN cassign ca ON ca.cid = qp.cid AND ca.vec_id <> qp.vec_id
+      JOIN q0 qe ON qe.vec_id = qp.vec_id
+    )""")
+    return f"""
+    WITH {', '.join(parts)},
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+    """
+
+
+@register(
+    "sim_ivf_kmeans_rerank",
+    _ivf_kmeans_oracle_sql(),
+    doc="TRAINED IVF: the quantized-k-means centroids (sim_kmeans_lloyd, "
+        "dequantized) replace the first-n coarse quantizer of "
+        "sim_ivf_rerank — the composition IVF-PQ systems actually train "
+        "(Jegou PAMI'11). Probe the 3 nearest trained clusters (of 8), "
+        "exact cosine rerank for top-3. The oracle replays the ENTIRE "
+        "stack: the unrolled Lloyd loop, centroid dequantization, cosine "
+        "cluster assignment, multi-probe, and rerank — value-exact "
+        "end-to-end. Same scale shape as sim_ivf_rerank (centroids "
+        "broadcast, candidate pool bounded by n_probe/n_clusters)",
+)
+def sim_ivf_kmeans_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, k=8, iterations=2, scale=1000)
+    cents_df = spark.createDataFrame(
+        [(j, [v / 1000.0 for v in c]) for j, c in enumerate(cents)],
+        "cid long, cvec array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_ivf_rerank(
+        queries, emb, n_probe=3, k=3, centroids=F.broadcast(cents_df)
     )
 
 

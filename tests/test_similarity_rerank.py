@@ -94,3 +94,31 @@ def test_multi_probe_assignment_shape(spark):
     )
     bad = per_vec.filter((F.col("n") != 3) | (F.col("nd") != 3)).count()
     assert bad == 0
+
+
+def test_trained_ivf_full_probe_equals_bruteforce(spark):
+    """With k-means centroids as the coarse quantizer, n_probe=k still
+    reduces to brute force — the trained index changes WHERE vectors live,
+    never which neighbors exist."""
+    from etl_consumer_spark.extensions.similarity import kmeans_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(emb, k=4, iterations=2)
+    cents_df = spark.createDataFrame(
+        [(j, [v / 1000.0 for v in c]) for j, c in enumerate(cents)],
+        "cid long, cvec array<double>",
+    )
+    brute = _topk(knn_bruteforce(q, emb, k=3))
+    full = _topk(knn_ivf_rerank(q, emb, n_probe=4, k=3, centroids=cents_df))
+    assert full == brute
+
+
+def test_kmeans_centroids_shape_and_determinism(spark):
+    from etl_consumer_spark.extensions.similarity import kmeans_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    a = kmeans_centroids(emb, k=4, iterations=2)
+    b = kmeans_centroids(emb, k=4, iterations=2)
+    assert a == b
+    assert len(a) == 4 and all(len(c) == 64 for c in a)
