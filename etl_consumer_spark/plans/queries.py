@@ -7853,6 +7853,195 @@ def sim_ivf_kmeans_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time join against SCD2 history ("what did this row look like at
+# time T?" — the question the history table exists to answer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_pit_join",
+    """
+    WITH ev AS (
+      SELECT o_orderkey, o_totalprice,
+             unnest(generate_series(0, o_orderkey % 3)) AS version
+      FROM orders
+    ),
+    v AS (
+      SELECT o_orderkey,
+             CAST(version AS BIGINT) AS version,
+             o_totalprice + 100 * version AS price,
+             CAST((version + 1) * 1000 AS BIGINT) AS ts_ms
+      FROM ev
+    ),
+    h AS (
+      SELECT o_orderkey, version, price,
+             ts_ms AS valid_from,
+             lead(ts_ms) OVER w AS valid_to
+      FROM v
+      WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts_ms)
+    ),
+    p AS (
+      SELECT o_orderkey,
+             CAST(((o_orderkey % 4) + 1) * 1000 + 500 AS BIGINT) AS probe_ts
+      FROM orders
+    )
+    SELECT p.o_orderkey, p.probe_ts, h.version, h.price
+    FROM p JOIN h ON h.o_orderkey = p.o_orderkey
+      AND h.valid_from <= p.probe_ts
+      AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    """,
+    doc="point-in-time join: each probe timestamp resolves to the SCD2 "
+        "version valid at that instant — the query the history table "
+        "exists to answer (reproducible training snapshots, 'as of' "
+        "feature lookups). Engine composes scd2_history with the as-of "
+        "join operator (union+carry-forward, one key shuffle — no range "
+        "self-join); the oracle uses the interval-predicate formulation. "
+        "Half-open intervals make every probe match exactly one version",
+)
+def analytic_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.analytic import asof_join
+    from etl_consumer_spark.operators.scd import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+    ev = orders.select(
+        "o_orderkey", "o_totalprice", F.explode(versions).alias("version")
+    ).select(
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+        (F.col("o_totalprice") + 100 * F.col("version")).alias("price"),
+        ((F.col("version") + 1) * 1000).cast("long").alias("ts_ms"),
+    )
+    hist = scd2_history(ev, ["o_orderkey"], "ts_ms").select(
+        F.col("o_orderkey").alias("k"), "version", "price",
+        F.col("valid_from").alias("vf"),
+    )
+    probes = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (((F.col("o_orderkey") % 4) + 1) * 1000 + 500).cast("long").alias("probe_ts"),
+    )
+    out = asof_join(
+        probes, hist, key="k", left_ts="probe_ts", right_ts="vf",
+        payload_cols=["version", "price"],
+    )
+    return out.select(
+        F.col("k").alias("o_orderkey"), "probe_ts", "version", "price"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deployable streaming SCD2: the ENVELOPE pipeline (parse -> route ->
+# decode -> apply) with scd2_tables enabled, history read back — the
+# registry record for the SCD2_TABLES runner feature
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_cdc_scd2",
+    """
+    SELECT o_orderkey,
+           o_totalprice AS o_totalprice,
+           CAST(1 AS BIGINT) AS valid_from,
+           CASE WHEN o_orderkey % 3 IN (0, 1) THEN CAST(2 AS BIGINT) END AS valid_to,
+           o_orderkey % 3 = 2 AS is_current
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1000.0, CAST(2 AS BIGINT), NULL, true
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="the DEPLOYABLE streaming-SCD2 path end-to-end: Debezium JSON "
+        "envelopes ride the file transport through the full pipeline "
+        "(parse -> route -> decode -> apply) with scd2_tables enabled, "
+        "TWO micro-batches (inserts, then updates+deletes) — batch 2 "
+        "closes batch 1's versions, deletes close without reopening, and "
+        "the history table read back must match the oracle exactly. This "
+        "is the registry record for the runner's SCD2_TABLES feature",
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    img_t = "struct<o_orderkey:long,o_totalprice:double>"
+    row_img = F.struct("o_orderkey", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+
+    def env(before, after, pos):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.struct(
+                        F.lit("srv").alias("name"),
+                        F.lit("db0").alias("db"),
+                        F.lit("orders").alias("table"),
+                        pos.alias("pos"),
+                        F.lit(0).alias("row"),
+                    ).alias("source"),
+                    F.lit("c").alias("op"),
+                    F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("payload")
+            )
+        )
+
+    def transport_rows(value_col):
+        return F.struct(
+            F.lit("srv.db0.orders").alias("topic"),
+            value_col.cast("binary").alias("value"),
+            F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
+
+    null_img = F.lit(None).cast(img_t)
+    b1 = orders.select(
+        transport_rows(env(null_img, row_img, F.lit(1))).alias("r")
+    ).select("r.*")
+    k3 = F.col("o_orderkey") % 3
+    b2 = orders.filter(k3 < 2).select(
+        transport_rows(
+            F.when(k3 == 0, env(row_img, upd_img, F.lit(2))).otherwise(
+                env(row_img, null_img, F.lit(2))  # delete
+            )
+        ).alias("r")
+    ).select("r.*")
+    base = tempfile.mkdtemp(prefix="stream_scd2_pipe_")
+    b1.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    b2.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
+    fields = [WireField("o_orderkey", "int64"), WireField("o_totalprice", "float64")]
+    store = PartitionedParquetStateStore(spark, f"{base}/state")
+    store.init("orders", orders.limit(0), ["o_orderkey"])
+    pipe = CDCPipeline(
+        spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store,
+        scd2_tables={"orders"},
+    )
+    q = pipe.start(
+        file_envelope_stream(spark, f"{base}/transport", max_files_per_trigger=1),
+        checkpoint_dir=f"{base}/ckpt",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    hist = store.read("orders__history")
+    return hist.select(
+        "o_orderkey", "o_totalprice",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
