@@ -89,6 +89,15 @@ HEADLINE = [
     "mm_tiff_features",           # TIFF 6.0 multi-strip decode kernel
     "sim_ivf_kmeans_rerank",      # trained-IVF: kmeans coarse quantizer
     "analytic_concurrency_sweep", # sweep-line interval overlap maximum
+    # round-5 session-4 additions: lattice aggregation, mergeable moments,
+    # image-level perceptual dedup, file-layout maintenance, RAKE keywords
+    "olap_cube_grouping_id",      # CUBE + GROUPING-id bitmask
+    "sketch_moments",             # mergeable power-sum moments
+    "mm_image_ahash",             # perceptual-hash image dedup (Arrow kernel)
+    "layout_compaction",          # small-file rewrite + XOR fingerprint
+    "text_rake_keywords",         # stopword-island phrases, integer scores
+    "olap_percentiles_exact",     # exact p50/p90/p99 per group
+    "analytic_entropy_mi",        # contingency counts + broadcast marginals
 ]
 
 

@@ -751,6 +751,46 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
     return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = "media_id long, ahash string"
+
+
+def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: the decoded grayscale
+    plane is nearest-neighbor downsampled to a ``grid``x``grid`` cell
+    matrix, each cell becomes one bit — 1 iff the cell is >= the mean of
+    the grid — and the bits are emitted row-major as a '0'/'1' string.
+
+    The threshold is computed in EXACT integer arithmetic
+    (``v * grid^2 >= sum(cells)``, no float mean), so an independent SQL
+    oracle reproduces the hash bit-for-bit from the synthesis rule.
+    Identical images always collide; the hash is a stable 64-bit content
+    key for image-level dedup, grouped/joined JVM-side downstream (the
+    Python kernel only decodes + hashes — one Arrow batch pass, no
+    per-image driver work)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                h, w = gray.shape
+                ys = (np.arange(grid) * h // grid).clip(0, h - 1)
+                xs = (np.arange(grid) * w // grid).clip(0, w - 1)
+                cells = gray[np.ix_(ys, xs)].astype(np.int64)
+                total = int(cells.sum())
+                bits = (cells.reshape(-1) * grid * grid >= total).astype(np.uint8)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "ahash": "".join("1" if b else "0" for b in bits),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, AHASH_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Video (round 4): MJPEG-in-AVI. AVI is a RIFF container (the format the
 # audio codec already walks) whose 'movi' LIST holds one '00dc' chunk per

@@ -450,3 +450,61 @@ def _kmeans_fit(emb, k, iterations, scale, id_col, vec_col):
         cents = new
 
     return q, assign, cents
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, int]]:
+    """Greedy k-center / farthest-point traversal (Gonzalez, TCS '85): seed
+    with the lowest id, then repeatedly select the point FARTHEST from the
+    chosen set — the classic 2-approximation for k-center and the geometric
+    diversity selector coreset-based data curation uses (pick the k most
+    mutually-distant examples instead of k random ones).
+
+    Returns ``k + 1`` tuples ``(round, center_id, d2_at_selection)``: rounds
+    ``0..k-1`` are the selected centers (the seed's d2 is 0), and the extra
+    round ``k`` row is the next would-be selection — its d2 IS the exact
+    coverage radius² of the chosen set (max-min distance), so the quality of
+    the coreset ships with the coreset.
+
+    Same determinism contract as :func:`kmeans_lloyd_quantized`: integer
+    quantization, exact integer distances, ties broken to the lowest id — a
+    SQL oracle replays the whole unrolled selection. Scale shape per round:
+    selected centers enter the plan as literals (<= k*d ints), min-distance
+    is a map-only array fold, the argmax is TakeOrdered(1) — k linear
+    passes, driver traffic k rows (the algorithm is inherently k-round;
+    each round must see the previous pick).
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: F.round(x * scale).cast("long")).alias("qv"),
+    ).localCheckpoint(eager=True)  # reused by every round's pass
+
+    seed = q.orderBy("id").limit(1).collect()[0]
+    out = [(0, int(seed.id), 0)]
+    centers = [list(seed.qv)]
+    for rnd in range(1, k + 1):
+        carr = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in centers])
+        mind2 = F.array_min(
+            F.transform(
+                carr,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("qv"), c, lambda a_, b_: (a_ - b_) * (a_ - b_)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        far = (
+            q.select("id", "qv", mind2.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((rnd, int(far.id), int(far.d2)))
+        centers.append(list(far.qv))
+    return out

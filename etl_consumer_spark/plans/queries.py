@@ -62,6 +62,11 @@ def register(
 ):
     def deco(fn):
         target = BASELINES if baseline_only else QUERIES
+        # a duplicate name would silently REPLACE an already-verified query
+        # (and its correctness history) — fail at import instead
+        assert name not in QUERIES and name not in BASELINES, (
+            f"duplicate query registration: {name}"
+        )
         target[name] = QueryDef(fn, oracle, doc, scale_safe)
         return fn
 
@@ -8039,6 +8044,525 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("long").alias("valid_to"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP: CUBE with the GROUPING-id bitmask. olap_cube/olap_rollup/
+# olap_grouping_sets cover the lattice SHAPES; what was missing is the
+# GROUPING id — the bitmask that tells a consumer WHICH grouping set a row
+# belongs to (NULL-as-value vs NULL-as-subtotal is ambiguous without it).
+# Both engines put the FIRST grouping column in the most significant bit
+# (verified value-exact), so the id is portable; integer-cents keeps the
+# lattice totals exact. Plan: one Expand into a single hash aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_cube_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority) with grouping_id: all 4 grouping sets "
+        "in ONE Expand + hash aggregate (single shuffle, map-side partials "
+        "over the expanded rows) — at 100 TB this replaces 4 separate scans; "
+        "integer-cents sums keep the lattice totals exact",
+)
+def olap_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass mergeable moments: raw power sums S1..S4 are plain integer
+# aggregates (map-side combinable, mergeable across partitions/days — the
+# streaming-friendly property HLL/KMV have for distincts, applied to
+# distribution shape), and mean/variance/skewness/kurtosis are derived from
+# them in ONE shared float expression per statistic. Both engines aggregate
+# exact integers first and run the identical expression tree after, so the
+# doubles are bit-comparable. The shared formula strings below are used
+# verbatim by the Spark side (F.expr) and the oracle (CTE) — one source of
+# truth, zero drift. Long power sums hold to ~2^63: |x| <= 490 here, so S4
+# fits up to ~1.6e8 rows per group; beyond that the same plan carries
+# DECIMAL(38,0) sums.
+# ---------------------------------------------------------------------------
+
+_MOMENT_EXPRS: tuple[tuple[str, str], ...] = (
+    ("mean", "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"),
+    ("m2", "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean"),
+    ("m3",
+     "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+     " - 3 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+     " + 2 * mean * mean * mean"),
+    ("m4",
+     "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+     " - 4 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+     " + 6 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+     " - 3 * mean * mean * mean * mean"),
+)
+
+
+@register(
+    "sketch_moments",
+    f"""
+    WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+          FROM v GROUP BY event_type),
+    m AS (SELECT *, {_MOMENT_EXPRS[0][1]} AS mean FROM s),
+    mm AS (SELECT *, {_MOMENT_EXPRS[1][1]} AS m2, {_MOMENT_EXPRS[2][1]} AS m3,
+                     {_MOMENT_EXPRS[3][1]} AS m4 FROM m)
+    SELECT event_type, n, mean, m2 AS variance,
+           m3 / (sqrt(m2) * m2) AS skewness,
+           m4 / (m2 * m2) AS kurtosis
+    FROM mm
+    """,
+    doc="one-pass mergeable distribution moments per group: integer power "
+        "sums S1..S4 (map-side combinable; mergeable across partitions and "
+        "batches like HLL registers), mean/variance/skewness/kurtosis "
+        "derived afterward in a shared float expression — distribution-drift "
+        "monitoring over 100 TB in a single aggregate pass, no sort, no "
+        "second scan",
+)
+def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value")).cast("long")
+    s = (
+        events.select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.expr("x*x")).alias("s2"),
+            F.sum(F.expr("x*x*x")).alias("s3"),
+            F.sum(F.expr("x*x*x*x")).alias("s4"),
+        )
+    )
+    for name, expr in _MOMENT_EXPRS:
+        s = s.withColumn(name, F.expr(expr))
+    return s.select(
+        "event_type",
+        "n",
+        "mean",
+        F.expr("m2").alias("variance"),
+        F.expr("m3 / (sqrt(m2) * m2)").alias("skewness"),
+        F.expr("m4 / (m2 * m2)").alias("kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction: the steady-state maintenance job every streaming
+# ingest needs — micro-batches leave thousands of small files per day, and
+# scan throughput at 100 TB dies on file-open overhead (and on a file:task
+# ratio that starves executors). The engine writes a deliberately fragmented
+# copy (16 round-robin files), compacts it with an explicit repartition(2)
+# rewrite (AQE never coalesces a user repartition, so the output count is
+# pinned), and proves CONTENT preservation with an order-insensitive
+# bit_xor fingerprint over per-row md5s that the oracle recomputes from the
+# original table — any lost, duplicated, or mutated row flips the XOR.
+# File counts are asserted from the actual directory listing, not assumed.
+# ---------------------------------------------------------------------------
+
+@register(
+    "layout_compaction",
+    """
+    SELECT CAST(16 AS BIGINT) AS n_files_small,
+           CAST(2 AS BIGINT) AS n_files_compacted,
+           count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT)
+             AS content_fp
+    FROM documents
+    """,
+    doc="small-file compaction (streaming-ingest maintenance): 16 fragment "
+        "files rewritten to 2 via explicit repartition (pinned — AQE does "
+        "not coalesce user repartitions); content preservation proved by an "
+        "order-insensitive per-row md5 XOR fingerprint the oracle recomputes "
+        "from the ORIGINAL table, so any lost/duplicated/mutated row flips "
+        "the hash; file counts come from the real directory listing",
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="compact_")
+    docs.repartition(16).write.mode("overwrite").parquet(f"{base}/small")
+    n_small = len([f for f in os.listdir(f"{base}/small") if f.endswith(".parquet")])
+    (
+        spark.read.parquet(f"{base}/small")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(f"{base}/compacted")
+    )
+    n_comp = len([f for f in os.listdir(f"{base}/compacted") if f.endswith(".parquet")])
+    back = spark.read.parquet(f"{base}/compacted")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    return back.select(h.alias("fp")).agg(
+        F.lit(n_small).cast("long").alias("n_files_small"),
+        F.lit(n_comp).cast("long").alias("n_files_compacted"),
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(fp)").alias("content_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-level dedup via perceptual average-hash (aHash): the image twin of
+# content-hash text dedup — decode (real PPM codec), nearest-neighbor 8x8
+# downsample, one bit per cell (>= grid mean, EXACT integer threshold), then
+# a plain JVM-side groupBy on the 64-bit hash string. Identical images
+# always collide regardless of byte-level container differences; the
+# synthetic every-5th-doc duplication (same rule as dedup_exact) guarantees
+# real clusters. The oracle replays decode + downsample + threshold from the
+# synthesis rule entirely in SQL, so the hash is verified bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_image_ahash",
+    """
+    WITH d2 AS (
+      SELECT d1.doc_id,
+             CASE WHEN d1.doc_id % 5 = 4 AND prev.text IS NOT NULL
+                  THEN prev.text ELSE d1.text END AS text
+      FROM documents d1 LEFT JOIN documents prev ON prev.doc_id = d1.doc_id - 1
+    ),
+    r AS (
+      SELECT doc_id, (8 + length(text) % 8) AS w,
+             substr(repeat(md5(text), 6), 1, (8 + length(text) % 8) * 12) AS ras
+      FROM d2
+    ),
+    cell AS (
+      SELECT doc_id, u.i AS i,
+             ascii(substr(ras, (((u.i // 8) // 2) * w + ((u.i % 8) * w) // 8) * 3 + 1, 1)) AS v
+      FROM r, unnest(generate_series(0, 63)) AS u(i)
+    ),
+    tot AS (SELECT doc_id, sum(v) AS s FROM cell GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.v * 64 >= t.s THEN '1' ELSE '0' END, '' ORDER BY c.i) AS ahash
+      FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+    )
+    SELECT ahash, count(*) AS n_images, min(doc_id) AS keeper_id
+    FROM bits GROUP BY ahash
+    """,
+    doc="image dedup via perceptual average-hash: real PPM decode -> "
+        "nearest-neighbor 8x8 -> per-cell bit (exact integer threshold "
+        "v*64 >= sum) -> JVM groupBy on the 64-bit hash; identical images "
+        "collide whatever their container bytes, clusters carry "
+        "(count, keeper); Arrow-batched kernel only decodes+hashes — the "
+        "shuffle key is 8 bytes/image at 100 TB, never pixels",
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("prev_text"))
+    with_dups = (
+        docs.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 5 == 4) & F.col("prev_text").isNotNull(),
+                F.col("prev_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    media = M.synthesize_media_table(with_dups, "doc_id", "text")
+    return (
+        M.ahash_images(media)
+        .groupBy("ahash")
+        .agg(F.count("*").alias("n_images"), F.min("media_id").alias("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles: Spark's `percentile` and DuckDB's
+# `quantile_cont` share the textbook definition (index p*(n-1), linear
+# interpolation between floor/ceil neighbors), so on integer-cast inputs the
+# doubles agree bit-for-bit. This is the EXACT complement of the
+# sketch-based paths (bottom-k / t-digest territory): one sort-based
+# aggregate per group — fine when groups fit an executor, replaced by
+# sketch_bottomk_quantiles when they don't.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_percentiles_exact",
+    """
+    WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events)
+    SELECT event_type,
+           quantile_cont(x, 0.5) AS p50,
+           quantile_cont(x, 0.9) AS p90,
+           quantile_cont(x, 0.99) AS p99,
+           count(*) AS n
+    FROM v GROUP BY event_type
+    """,
+    doc="exact p50/p90/p99 per group (linear-interpolation definition shared "
+        "by both engines, bit-identical on integer inputs): the in-group "
+        "sort aggregate for groups that fit one executor; its sketch twin "
+        "(sketch_bottomk_quantiles) is the path when a group does not",
+)
+def olap_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value")).cast("long")
+    return (
+        events.select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(x, 0.5)").alias("p50"),
+            F.expr("percentile(x, 0.9)").alias("p90"),
+            F.expr("percentile(x, 0.99)").alias("p99"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entropy / mutual information between two categorical columns — the
+# feature-vs-label dependence diagnostic a curation pipeline runs before
+# training on a slice (is `source` informative about `lang`? is a cohort
+# leaking the label?). Exact integer contingency counts (one shuffle),
+# marginals broadcast back, H and MI derived in one shared float expression;
+# the n_total literal is bound at plan time (a count(*) scalar — at 100 TB
+# a pre-aggregated stat, not a per-row value).
+# ---------------------------------------------------------------------------
+
+_MI_TERM = (
+    "CAST(nxy AS DOUBLE) / {n} * ln(CAST(nxy AS DOUBLE) * {n} "
+    "/ (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))"
+)
+_HX_TERM = "CAST(nx AS DOUBLE) / {n} * ln(CAST(nx AS DOUBLE) / {n})"
+_HY_TERM = "CAST(ny AS DOUBLE) / {n} * ln(CAST(ny AS DOUBLE) / {n})"
+
+
+@register(
+    "analytic_entropy_mi",
+    f"""
+    WITH e AS (SELECT event_type, user_id % 8 AS cohort FROM events),
+    n_t AS (SELECT count(*) AS n FROM e),
+    jo AS (SELECT event_type, cohort, count(*) AS nxy FROM e GROUP BY 1, 2),
+    nx AS (SELECT event_type, count(*) AS nx FROM e GROUP BY 1),
+    ny AS (SELECT cohort, count(*) AS ny FROM e GROUP BY 1),
+    mi AS (
+      SELECT sum({_MI_TERM.format(n='(SELECT n FROM n_t)')}) AS mi
+      FROM jo JOIN nx USING (event_type) JOIN ny USING (cohort)
+    ),
+    hx AS (SELECT -sum({_HX_TERM.format(n='(SELECT n FROM n_t)')}) AS h_event_type FROM nx),
+    hy AS (SELECT -sum({_HY_TERM.format(n='(SELECT n FROM n_t)')}) AS h_cohort FROM ny)
+    SELECT h_event_type, h_cohort, mi, mi / least(h_event_type, h_cohort) AS nmi
+    FROM mi, hx, hy
+    """,
+    doc="Shannon entropy + mutual information between event_type and a "
+        "user cohort: exact integer contingency counts (one shuffle), "
+        "broadcast marginals, shared float expression for H/MI/NMI — the "
+        "label-leakage / feature-dependence diagnostic, one aggregation "
+        "pass at any scale",
+)
+def analytic_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("event_type", (F.col("user_id") % 8).alias("cohort"))
+    n = ev.count()
+    jo = ev.groupBy("event_type", "cohort").agg(F.count("*").alias("nxy"))
+    nx = ev.groupBy("event_type").agg(F.count("*").alias("nx"))
+    ny = ev.groupBy("cohort").agg(F.count("*").alias("ny"))
+    joined = jo.join(F.broadcast(nx), "event_type").join(F.broadcast(ny), "cohort")
+    mi = joined.agg(F.sum(F.expr(_MI_TERM.format(n=n))).alias("mi"))
+    hx = nx.agg((-F.sum(F.expr(_HX_TERM.format(n=n)))).alias("h_event_type"))
+    hy = ny.agg((-F.sum(F.expr(_HY_TERM.format(n=n)))).alias("h_cohort"))
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            "h_event_type",
+            "h_cohort",
+            "mi",
+            F.expr("mi / least(h_event_type, h_cohort)").alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are maximal
+# stopword-free runs (gaps-and-islands via one running sum per doc), word
+# score = degree/frequency over candidate words, phrase score = sum of its
+# word scores. Scores are integer MILLIONTHS (degree*1e6 DIV freq) so the
+# phrase-score sum is order-insensitive — summing doubles across a shuffle
+# would be partition-order-dependent and unhashable. All linear: explode,
+# per-doc window, two groupBys, broadcast word-score join, TakeOrdered 20.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_rake_keywords",
+    """
+    WITH words AS (
+      SELECT doc_id, u.i - 1 AS pos, parts[u.i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t,
+           unnest(generate_series(1, len(parts))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, word, word IN ('a', 'the') AS is_stop,
+             sum(CASE WHEN word IN ('a', 'the') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM words
+    ),
+    cand AS (SELECT doc_id, pos, word, phrase_id FROM marked WHERE NOT is_stop),
+    plen AS (
+      SELECT doc_id, phrase_id, count(*) AS phrase_len
+      FROM cand GROUP BY doc_id, phrase_id
+    ),
+    pw AS (
+      SELECT c.*, p.phrase_len FROM cand c JOIN plen p USING (doc_id, phrase_id)
+      WHERE p.phrase_len <= 4
+    ),
+    stats AS (
+      SELECT word, count(*) AS freq, sum(phrase_len) AS degree FROM pw GROUP BY word
+    ),
+    scored AS (SELECT word, degree * 1000000 // freq AS score_ppm FROM stats),
+    phrases AS (
+      SELECT pw.doc_id, pw.phrase_id,
+             string_agg(pw.word, ' ' ORDER BY pw.pos) AS phrase,
+             sum(s.score_ppm) AS score_ppm
+      FROM pw JOIN scored s USING (word)
+      GROUP BY pw.doc_id, pw.phrase_id
+    )
+    SELECT phrase, CAST(max(score_ppm) AS BIGINT) AS score_ppm, count(*) AS n_occurrences
+    FROM phrases GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT 20
+    """,
+    doc="RAKE keyword extraction: stopword-delimited candidate phrases "
+        "(gaps-and-islands, one per-doc window), word score = degree/freq "
+        "in integer millionths (order-insensitive phrase sums), global "
+        "top-20 phrases via TakeOrdered — linear passes + one broadcast "
+        "join, no driver-side text handling",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    marked = words.withColumn("is_stop", F.col("word").isin("a", "the"))
+    running = F.sum(F.col("is_stop").cast("int")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    cand = marked.withColumn("phrase_id", running).filter(~F.col("is_stop"))
+    plen = cand.groupBy("doc_id", "phrase_id").agg(F.count("*").alias("phrase_len"))
+    pw = cand.join(plen, ["doc_id", "phrase_id"]).filter(F.col("phrase_len") <= 4)
+    scored = (
+        pw.groupBy("word")
+        .agg(F.count("*").alias("freq"), F.sum("phrase_len").alias("degree"))
+        .withColumn("score_ppm", F.expr("degree * 1000000 DIV freq"))
+    )
+    phrases = (
+        pw.join(F.broadcast(scored.select("word", "score_ppm")), "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("phrase"),
+            F.sum("score_ppm").alias("score_ppm"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(F.max("score_ppm").alias("score_ppm"), F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez '85 farthest-point traversal): the
+# geometric diversity selector for training-data curation — pick the k most
+# mutually-distant examples, not k random ones. Deterministic by the same
+# contract as sim_kmeans_lloyd (integer quantization, exact integer
+# distances, lowest-id ties), so the oracle replays the ENTIRE unrolled
+# k-round selection. The extra final row is the would-be (k+1)th pick,
+# whose distance is the exact coverage radius² of the chosen set.
+# ---------------------------------------------------------------------------
+
+def _kcenter_oracle_sql(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
+    parts = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    )""",
+        f"""qdim AS MATERIALIZED (
+      SELECT id, u.pos AS pos, qv[u.pos] AS val
+      FROM q, unnest(generate_series(1, {dim})) AS u(pos)
+    )""",
+        "sel0 AS (SELECT id AS sid, 0 AS rnd, 0::BIGINT AS d2 FROM q ORDER BY id LIMIT 1)",
+    ]
+    prev = "sel0"
+    for r in range(1, k + 1):
+        parts.append(f"""d{r} AS (
+      SELECT a.id, b.id AS sid, sum((a.val - b.val) * (a.val - b.val)) AS d2
+      FROM qdim a JOIN qdim b
+        ON b.pos = a.pos AND b.id IN (SELECT sid FROM {prev})
+      GROUP BY a.id, b.id
+    )""")
+        parts.append(f"m{r} AS (SELECT id, min(d2) AS d2 FROM d{r} GROUP BY id)")
+        parts.append(
+            f"p{r} AS (SELECT id AS sid, {r} AS rnd, d2 FROM m{r} ORDER BY d2 DESC, id LIMIT 1)"
+        )
+        # MATERIALIZED is load-bearing: sel{r} references sel{r-1} twice
+        # (directly and through p{r}); inlining would re-evaluate the whole
+        # selection chain 2^k times (same DuckDB pitfall the subword
+        # tokenizer oracle documents)
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r})"
+        )
+        prev = f"sel{r}"
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT rnd, sid AS center_id, CAST(d2 AS BIGINT) AS d2 FROM {prev}
+    """
+
+
+@register(
+    "sample_kcenter_coreset",
+    _kcenter_oracle_sql(),
+    doc="greedy k-center coreset (Gonzalez '85): 8 farthest-point rounds "
+        "over integer-quantized embeddings — the diversity-maximizing "
+        "subset selector for curation, with the exact coverage radius "
+        "shipped as the final row. Per round: selected centers broadcast "
+        "as literals, min-distance is a map-only array fold, argmax is "
+        "TakeOrdered(1); k linear passes, k rows of driver traffic. The "
+        "oracle replays the whole unrolled selection value-exact",
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.similarity import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kcenter_greedy(emb, k=8, scale=1000)
+    return spark.createDataFrame(rows, "rnd int, center_id long, d2 long")
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,36 @@ def test_scd2_stream_read_prunes_buckets(spark, tmp_path):
     out = store.read_leading_range("t", [5])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "_bucket" in plan
+
+
+def test_grouping_sets_single_expand_single_exchange(spark):
+    """CUBE must plan as ONE Expand feeding one hash aggregate (single
+    shuffle for all 4 grouping sets) — never one scan+shuffle per set."""
+    plan = _plan(spark, "olap_cube_grouping_id")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_moments_and_percentiles_single_exchange(spark):
+    """One aggregation shuffle each: power sums are map-side combinable,
+    and the exact-percentile sort happens inside the final aggregate."""
+    for name in ("sketch_moments", "olap_percentiles_exact"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") == 1, f"{name}: expected exactly one shuffle"
+
+
+def test_rake_broadcasts_word_scores_and_takeordered(spark):
+    """The word->score join must broadcast (vocabulary-bounded table) and
+    the global top-20 must plan as TakeOrdered, not a full sort."""
+    plan = _plan(spark, "text_rake_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_entropy_mi_broadcasts_marginals(spark):
+    """Both marginal tables are category-bounded: they must broadcast into
+    the contingency join."""
+    plan = _plan(spark, "analytic_entropy_mi")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
