@@ -98,6 +98,9 @@ HEADLINE = [
     "text_rake_keywords",         # stopword-island phrases, integer scores
     "olap_percentiles_exact",     # exact p50/p90/p99 per group
     "analytic_entropy_mi",        # contingency counts + broadcast marginals
+    "analytic_markov_transitions",  # per-user lag window + pair counts
+    "text_zipf_fit",              # ordered-fold OLS over top-100 ranks
+    "text_entropy_per_doc",       # vocabulary-diversity quality signal
 ]
 
 

@@ -8566,6 +8566,288 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences: the
+# sequence-mining primitive (next-event prediction, anomaly scoring, funnel
+# discovery). One lag() window per user — partitioned by user_id, so the
+# sort is per-user-slice, never global — then a global pair count; the
+# transition probability divides two exact integer counts in a shared
+# expression. Ordering ties broken by event_id so both engines see the
+# identical sequence.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_markov_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_ms(epoch_ns(ts) // 1000000) AS ts
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM e
+    ),
+    pair AS (
+      SELECT prev_type, event_type AS cur_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, sum(n_transitions) AS n_from FROM pair GROUP BY prev_type)
+    SELECT p.prev_type, p.cur_type,
+           CAST(p.n_transitions AS BIGINT) AS n_transitions,
+           CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS prob
+    FROM pair p JOIN tot t USING (prev_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: one per-user lag() window (partitioned — no global "
+        "sort), exact integer pair counts, row-normalized probabilities "
+        "from a shared division. The next-event / anomaly-scoring "
+        "primitive; |types|^2-bounded output at any corpus size",
+)
+def analytic_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pair = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = pair.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_from"))
+    return (
+        pair.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "cur_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.expr(
+                "CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE)"
+            ).alias("prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope fit: OLS regression of ln(freq) on ln(rank) over the top-100
+# words — the classic corpus-health diagnostic (natural language ~ -1;
+# boilerplate or synthetic soup drifts off). Determinism discipline: the
+# regression sums are computed by an ORDERED array fold over the
+# rank-sorted top-100 (ln terms summed rank-ascending in BOTH engines), not
+# a SQL SUM whose accumulation order is partition-dependent — summing 100
+# doubles in different orders can flip the 9th decimal the value-hash
+# compares. The fold input is 100 elements, driver-safe by construction.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH wc AS (
+      SELECT w AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, word) AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rank
+      FROM wc QUALIFY rank <= 100
+    ),
+    arr AS (
+      -- list_reduce folds SEQUENTIALLY over the rank-ordered list: the
+      -- double accumulation order is pinned, matching the engine's
+      -- aggregate() fold term for term
+      SELECT list(x ORDER BY rank) AS xs, list(y ORDER BY rank) AS ys,
+             list(x * y ORDER BY rank) AS xys, list(x * x ORDER BY rank) AS xxs
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(len(xs) AS DOUBLE) AS n,
+             list_reduce(xs, (acc, v) -> acc + v) AS sx,
+             list_reduce(ys, (acc, v) -> acc + v) AS sy,
+             list_reduce(xys, (acc, v) -> acc + v) AS sxy,
+             list_reduce(xxs, (acc, v) -> acc + v) AS sxx
+      FROM arr
+    )
+    SELECT 100 AS n_words,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM s
+    """,
+    doc="Zipf-slope diagnostic: OLS of ln(freq) on ln(rank) over the "
+        "top-100 words (natural text ~ -1). Rank via TakeOrdered-100; "
+        "regression sums via an ORDERED fold over the rank-sorted array so "
+        "double accumulation order is identical in both engines — a plain "
+        "SUM over a shuffle is partition-order-dependent at the ulp level",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = (
+        wc.orderBy(F.desc("cnt"), "word")
+        .limit(100)
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "word")).alias("rank"),
+            "cnt",
+        )
+    )
+    arr = ranked.agg(
+        F.expr("array_sort(collect_list(struct(rank, ln(CAST(rank AS DOUBLE)) AS x, "
+               "ln(CAST(cnt AS DOUBLE)) AS y)))").alias("pts")
+    )
+    s = arr.select(
+        F.expr("CAST(size(pts) AS DOUBLE)").alias("n"),
+        F.expr("aggregate(pts, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x)").alias("sx"),
+        F.expr("aggregate(pts, CAST(0 AS DOUBLE), (acc, p) -> acc + p.y)").alias("sy"),
+        F.expr("aggregate(pts, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x * p.y)").alias("sxy"),
+        F.expr("aggregate(pts, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x * p.x)").alias("sxx"),
+    )
+    return s.select(
+        F.lit(100).cast("int").alias("n_words"),
+        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("slope"),
+        F.expr("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n").alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document word entropy — the vocabulary-diversity quality signal the
+# Gopher repetition metrics don't capture (a doc repeating 3 words has low
+# entropy but may pass duplicate-line checks). H = ln(n) - (1/n)·Σ c·ln(c)
+# from exact integer token counts: one explode + two groupBys, all linear;
+# the float expression is shared verbatim between the engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_entropy_per_doc",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+    agg AS (
+      SELECT doc_id, sum(c) AS n, sum(c * ln(CAST(c AS DOUBLE))) AS sclnc,
+             count(*) AS n_unique
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           ln(CAST(n AS DOUBLE)) - sclnc / CAST(n AS DOUBLE) AS word_entropy
+    FROM agg
+    """,
+    doc="per-document word entropy H = ln(n) - (1/n)*sum(c*ln(c)) from "
+        "exact integer counts — the vocabulary-diversity quality signal "
+        "(low-entropy docs are template/boilerplate even when line-dedup "
+        "passes); one explode + two linear groupBys",
+)
+def text_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("c * ln(CAST(c AS DOUBLE))")).alias("sclnc"),
+        F.count("*").alias("n_unique"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.expr("ln(CAST(n AS DOUBLE)) - sclnc / CAST(n AS DOUBLE)").alias("word_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming proof of the moments-mergeability claim: the SAME power-sum
+# aggregation as sketch_moments, but fed through Structured Streaming in 4
+# forced micro-batches (maxFilesPerTrigger=1) — the state store MERGES the
+# integer partial sums batch-by-batch, and the final complete-mode output
+# must equal the one-shot batch aggregation bit-for-bit. This is the
+# incremental-statistics shape a 100 TB daily pipeline runs: per-day sums
+# merged into running distribution moments without re-scanning history.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_mergeable_moments",
+    f"""
+    WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+          FROM v GROUP BY event_type),
+    m AS (SELECT *, {_MOMENT_EXPRS[0][1]} AS mean FROM s),
+    mm AS (SELECT *, {_MOMENT_EXPRS[1][1]} AS m2, {_MOMENT_EXPRS[2][1]} AS m3,
+                     {_MOMENT_EXPRS[3][1]} AS m4 FROM m)
+    SELECT event_type, n, mean, m2 AS variance,
+           m3 / (sqrt(m2) * m2) AS skewness,
+           m4 / (m2 * m2) AS kurtosis
+    FROM mm
+    """,
+    doc="mergeable moments under streaming: the sketch_moments power sums "
+        "aggregated across 4 FORCED micro-batches (maxFilesPerTrigger=1) — "
+        "the state store merges integer partials per batch, and the final "
+        "output equals the one-shot batch aggregation bit-for-bit (same "
+        "oracle). The incremental-statistics shape: merge day sums into "
+        "running moments, never re-scan history",
+)
+def stream_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_mom_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    x = F.floor(F.col("value")).cast("long")
+    sums = (
+        stream.select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.expr("x*x")).alias("s2"),
+            F.sum(F.expr("x*x*x")).alias("s3"),
+            F.sum(F.expr("x*x*x*x")).alias("s4"),
+        )
+    )
+    sink = f"mom_{uuid.uuid4().hex[:8]}"
+    q = (
+        sums.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    s = spark.table(sink)
+    for name, expr in _MOMENT_EXPRS:
+        s = s.withColumn(name, F.expr(expr))
+    return s.select(
+        "event_type",
+        "n",
+        "mean",
+        F.expr("m2").alias("variance"),
+        F.expr("m3 / (sqrt(m2) * m2)").alias("skewness"),
+        F.expr("m4 / (m2 * m2)").alias("kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
