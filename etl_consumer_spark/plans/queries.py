@@ -8848,6 +8848,55 @@ def stream_mergeable_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window DISTINCT count — the classic "hard window" (no native
+# streaming-friendly form: distinct is not subtractable, so engines either
+# support DISTINCT window aggregates natively (DuckDB) or compose it from
+# collect_set (Spark)). Trailing-7-day distinct event types per user: the
+# engagement-breadth metric. RANGE frame ⇒ peer rows included on both
+# engines, so equal-timestamp rows get identical values. Partitioned by
+# user — per-user slices sort locally, nothing global.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_window_distinct_count",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000000000 AS es
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(es AS BIGINT) AS es,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_7d
+    FROM e
+    """,
+    doc="trailing-7-day DISTINCT event-type count per user (engagement "
+        "breadth): the non-subtractable window aggregate — DuckDB runs a "
+        "native DISTINCT window, Spark composes size(collect_set) over the "
+        "same RANGE frame; peer rows included on both engines so ties are "
+        "deterministic. Per-user partitioned window, no global sort",
+)
+def olap_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("es").cast("long").alias("es"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_distinct_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -156,3 +156,25 @@ def test_stream_moments_merges_across_multiple_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_window_distinct_count_tiny(spark):
+    """Distinct count in a trailing 2-second RANGE window, peers included."""
+    rows = [
+        (1, 1, 0, "a"),
+        (2, 1, 1, "b"),
+        (3, 1, 2, "a"),   # window [0,2]: {a,b} -> 2
+        (4, 1, 5, "c"),   # window [3,5]: {c} -> 1
+        (5, 1, 5, "a"),   # peer of event 4: both see {c,a} -> 2
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, es long, event_type string")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-2, Window.currentRow)
+    got = {
+        r["event_id"]: r["d"]
+        for r in df.select(
+            "event_id", F.size(F.collect_set("event_type").over(w)).alias("d")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2}
