@@ -101,6 +101,9 @@ HEADLINE = [
     "analytic_markov_transitions",  # per-user lag window + pair counts
     "text_zipf_fit",              # ordered-fold OLS over top-100 ranks
     "text_entropy_per_doc",       # vocabulary-diversity quality signal
+    "mm_ahash_robustness",        # perceptual-hash invariance audit
+    "source_csv_corrupt_records", # PERMISSIVE quarantine ingestion
+    "olap_window_distinct_count", # non-subtractable RANGE-frame distinct
 ]
 
 

@@ -8897,6 +8897,162 @@ def olap_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash robustness — the property that makes aHash a NEAR-dup
+# detector rather than a checksum: a one-byte raster perturbation (one gray
+# pixel ±1) must leave the hash (nearly) unchanged, because each bit
+# thresholds an 8x8 cell against the global mean. For every document we
+# build the original PPM and a twin whose FIRST raster byte is incremented,
+# decode both through the real codec, and measure the Hamming distance
+# distribution. The oracle replays raster construction + perturbation +
+# hash + Hamming entirely in SQL. At scale this is the re-encode /
+# recompress dedup case exact content hashing misses.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_ahash_robustness",
+    """
+    WITH d AS (
+      SELECT doc_id, (8 + length(text) % 8) AS w,
+             substr(repeat(md5(text), 6), 1, (8 + length(text) % 8) * 12) AS ras
+      FROM documents
+    ),
+    pairviews AS (
+      SELECT doc_id, w, ras, 0 AS variant FROM d
+      UNION ALL
+      SELECT doc_id, w, chr(ascii(substr(ras, 1, 1)) + 1) || substr(ras, 2), 1 FROM d
+    ),
+    cell AS (
+      SELECT doc_id, variant, u.i AS i,
+             ascii(substr(ras, (((u.i // 8) // 2) * w + ((u.i % 8) * w) // 8) * 3 + 1, 1)) AS v
+      FROM pairviews, unnest(generate_series(0, 63)) AS u(i)
+    ),
+    tot AS (SELECT doc_id, variant, sum(v) AS s FROM cell GROUP BY doc_id, variant),
+    bits AS (
+      SELECT c.doc_id, c.variant,
+             string_agg(CASE WHEN c.v * 64 >= t.s THEN '1' ELSE '0' END, '' ORDER BY c.i) AS ahash
+      FROM cell c JOIN tot t USING (doc_id, variant) GROUP BY c.doc_id, c.variant
+    ),
+    pairs AS (
+      SELECT a.doc_id,
+             (SELECT count(*) FROM unnest(generate_series(1, 64)) AS u(i)
+              WHERE substr(a.ahash, u.i, 1) <> substr(b.ahash, u.i, 1)) AS hamming
+      FROM bits a JOIN bits b ON a.doc_id = b.doc_id AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_identical,
+           CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3,
+           CAST(max(hamming) AS BIGINT) AS max_hamming
+    FROM pairs
+    """,
+    doc="perceptual-hash robustness audit: every image vs a one-byte-"
+        "perturbed twin (one gray pixel +1) through the REAL decode + aHash "
+        "path — Hamming distribution shows near-invariance (the property "
+        "that catches re-encoded/recompressed duplicates exact hashing "
+        "misses). Linear: one decode per variant, a per-doc equi-join on "
+        "doc_id, 64-char comparisons JVM-side",
+)
+def mm_ahash_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.length("text") % 8 + 8).cast("int")
+    raster = F.repeat(F.md5(F.col("text").cast("binary")), 6).substr(F.lit(1), w * 12)
+    perturbed = F.concat(
+        F.expr("char(ascii(substr(ras, 1, 1)) + 1)"), F.expr("substr(ras, 2)")
+    )
+    base = docs.select("doc_id", w.alias("w"), raster.alias("ras"))
+    variants = base.select("doc_id", "w", F.col("ras").alias("r2"), F.lit(0).alias("variant")).unionByName(
+        base.select("doc_id", "w", perturbed.alias("r2"), F.lit(1).alias("variant"))
+    )
+    header = F.concat(F.lit("P6\n"), F.col("w").cast("string"), F.lit(" 4\n255\n"))
+    media = variants.select(
+        # media_id encodes (doc, variant) so the decode kernel stays unchanged
+        (F.col("doc_id") * 2 + F.col("variant")).alias("media_id"),
+        F.concat(header, F.col("r2")).cast("binary").alias("blob"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("ppm").alias("format"),
+            F.col("w").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    hashes = M.ahash_images(media).select(
+        (F.col("media_id") / 2).cast("long").alias("doc_id"),
+        (F.col("media_id") % 2).alias("variant"),
+        "ahash",
+    )
+    orig = hashes.filter(F.col("variant") == 0).select("doc_id", F.col("ahash").alias("h0"))
+    pert = hashes.filter(F.col("variant") == 1).select("doc_id", F.col("ahash").alias("h1"))
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> "
+        "acc + IF(substring(h0, i, 1) = substring(h1, i, 1), 0, 1))"
+    )
+    pairs = orig.join(pert, "doc_id").select(hamming.alias("hamming"))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).cast("long").alias("n_identical"),
+        F.sum(F.when(F.col("hamming") <= 3, 1).otherwise(0)).cast("long").alias("n_within_3"),
+        F.max("hamming").cast("long").alias("max_hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE CSV ingestion with corrupt-record capture — the operational
+# reality of 100 TB crawl ingest: some fraction of lines are malformed and
+# the pipeline must COUNT and QUARANTINE them without failing the job
+# (the batch analog of the streaming dead-letter path). Every 7th doc's
+# n_chars field is written as a non-numeric token; the typed read sends
+# exactly those rows to _corrupt_record and yields NULL fields.
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_csv_corrupt_records",
+    """
+    SELECT CAST(sum(CASE WHEN doc_id % 7 <> 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN doc_id % 7 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 7 <> 6 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS good_chars
+    FROM documents
+    """,
+    doc="PERMISSIVE CSV read with corrupt-record quarantine: every 7th "
+        "line carries a non-numeric field, the typed read captures exactly "
+        "those lines in _corrupt_record (nulls elsewhere) and the good "
+        "rows aggregate to the oracle's totals — the batch dead-letter "
+        "path; malformed data is counted and kept, never crashes the scan",
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("source"),
+        F.when(F.col("doc_id") % 7 == 6, F.lit("notanumber")).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="src_corrupt_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(f"{base}/in")
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, source string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(f"{base}/in")
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars")).otherwise(0)).cast("long").alias("good_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -161,3 +161,71 @@ def test_cube_gid_matches_manual_unions(spark):
     for r in by_gid[1]:
         kids = [v for (s, _), v in full.items() if s == r["o_orderstatus"]]
         assert r["total_cents"] == sum(kids)
+
+
+# ---------------------------------------------------------------------------
+# aHash robustness + corrupt-record CSV (session-4 wave 5)
+# ---------------------------------------------------------------------------
+
+def test_ahash_perturbation_robust_on_varied_sensitive_on_degenerate(spark):
+    """±1 on one pixel leaves a VARIED image's hash (near-)unchanged — cells
+    sit away from the mean threshold — while a CONSTANT image is the
+    degenerate worst case: every cell sits exactly AT the threshold, so one
+    nudge flips (almost) every bit. Both verified against the numpy
+    reference, proving the Hamming machinery isn't trivially zero."""
+    rng = np.random.RandomState(5)
+    varied = rng.randint(0, 256, size=(4, 10, 3), dtype=np.uint8)
+    pert = varied.copy(); pert[0, 0, 0] = np.uint8(int(pert[0, 0, 0]) + 1 & 0xFF)
+    out = M.ahash_images(_media_df(spark, [varied, pert])).collect()
+    h = {r["media_id"]: r["ahash"] for r in out}
+    d_robust = sum(a != b for a, b in zip(h[0], h[1]))
+    assert d_robust <= 2  # at most the perturbed pixel's own cells
+    # degenerate case: constant image, all cells AT the threshold
+    flat = np.full((4, 8, 3), 100, dtype=np.uint8)
+    pert2 = flat.copy(); pert2[0, 0, 0] = 101
+    out2 = M.ahash_images(_media_df(spark, [flat, pert2])).collect()
+    h2 = {r["media_id"]: r["ahash"] for r in out2}
+    d_sens = sum(a != b for a, b in zip(h2[0], h2[1]))
+    assert d_sens >= 32  # threshold-straddling flips nearly everything
+    for i, r in ((0, flat), (1, pert2)):
+        assert h2[i] == _ahash_ref(r[:, :, 0])
+
+
+def test_registry_ahash_robustness_shape(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    row = QUERIES["mm_ahash_robustness"].fn(spark, SF_DIR).collect()[0]
+    # near-invariance: on varied (md5-derived) rasters, a ±1 pixel nudge
+    # leaves (almost) every hash untouched — rare threshold-straddling
+    # docs may flip bits, which is exactly what the distribution reports
+    assert row["n_identical"] >= row["n_pairs"] - 2
+    assert row["n_within_3"] >= row["n_identical"]
+    assert row["n_pairs"] > 0
+
+
+def test_csv_corrupt_records_quarantined_not_dropped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en", "web", 10 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, n_chars long")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"), "lang", "source",
+        F.when(F.col("doc_id") % 7 == 6, F.lit("oops")).otherwise(F.col("n_chars").cast("string")),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(str(tmp_path / "in"))
+    back = (
+        spark.read.schema("doc_id long, lang string, source string, n_chars long, _c string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_c")
+        .csv(str(tmp_path / "in"))
+    )
+    got = back.collect()
+    bad = [r for r in got if r["_c"] is not None]
+    good = [r for r in got if r["_c"] is None]
+    # ids 0..19 with id % 7 == 6 -> exactly {6, 13}; nothing dropped
+    assert len(got) == 20
+    assert {r["doc_id"] for r in bad} == {6, 13}
+    # quarantined rows keep the raw line; the unparseable field is NULL
+    assert all(r["n_chars"] is None and "oops" in r["_c"] for r in bad)
+    assert sum(r["n_chars"] for r in good) == sum(10 * i for i in range(20) if i % 7 != 6)
