@@ -9053,6 +9053,116 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SLIDING (overlapping) streaming windows — the tumbling/session surface
+# exists; this is the third window kind: 2h windows sliding every 1h, so
+# every event lands in exactly TWO windows. The oracle materializes the
+# same assignment as a 2-way UNION of hour-truncations. State size is
+# windows×groups, eviction by watermark — the standard overlapping-window
+# monitoring shape.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_sliding_windowed_agg",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_ms(epoch_ns(ts) // 1000000) AS t,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events
+    ),
+    assigned AS (
+      SELECT date_trunc('hour', t) AS window_start, event_type, v FROM e
+      UNION ALL
+      SELECT date_trunc('hour', t) - INTERVAL 1 HOUR, event_type, v FROM e
+    )
+    SELECT window_start, event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_floor_value
+    FROM assigned GROUP BY window_start, event_type
+    """,
+    doc="sliding 2h/1h streaming windows (overlapping — every event in "
+        "exactly 2 windows) with a 10min watermark through availableNow; "
+        "completes the tumbling/sliding/session window surface. Oracle "
+        "assigns each event to both its windows via a 2-way union of hour "
+        "truncations",
+)
+def stream_sliding_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="stream_slide_")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor("value").cast("long")).cast("long").alias("sum_floor_value"),
+        )
+    )
+    sink = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_floor_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Size-balanced shard assignment — the training-data packaging step: docs
+# ranked by size (ties by id) are dealt round-robin across 8 shards, so
+# shard totals differ by at most a few large-item sizes and every engine
+# reproduces the identical assignment. One global rank (TakeOrdered-free:
+# row_number over a single ordered pass — at 100 TB this would switch to
+# the two-level bucket rank sample_pack_contexts uses) + one groupBy.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_shard_assignment",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM ranked GROUP BY (rk - 1) % 8
+    """,
+    doc="size-balanced shard assignment: docs ranked by size dealt "
+        "round-robin across 8 shards — deterministic, reproducible "
+        "training-shard packaging with imbalance bounded by item sizes; "
+        "per-shard totals verified exactly",
+)
+def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", rk.alias("rk"))
+        .select(
+            ((F.col("rk") - 1) % 8).cast("long").alias("shard"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -178,3 +178,28 @@ def test_window_distinct_count_tiny(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_sliding_windows_cover_each_event_twice(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+    from etl_consumer_spark.sources.tables import load_table
+
+    out = QUERIES["stream_sliding_windowed_agg"].fn(spark, SF_DIR)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * n_events  # 2h window, 1h slide -> exactly 2 windows/event
+
+
+def test_shard_assignment_is_balanced_and_covers(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+    from etl_consumer_spark.sources.tables import load_table
+
+    rows = QUERIES["sample_shard_assignment"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert len(rows) == 8
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["total_chars"] for r in rows) == docs.agg(F.sum("n_chars")).collect()[0][0]
+    totals = [r["total_chars"] for r in rows]
+    max_item = docs.agg(F.max("n_chars")).collect()[0][0]
+    # round-robin by size rank: spread bounded by a few max-item sizes
+    assert max(totals) - min(totals) <= 3 * max_item
