@@ -9163,6 +9163,62 @@ def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust outlier detection via median absolute deviation — the robust twin
+# of analytic_zscore_outliers: mean/stddev are dragged by the outliers they
+# are supposed to find; median/MAD are not (50% breakdown point). Two
+# median passes (the exact-percentile definition both engines share
+# bit-for-bit on integer-derived inputs), group stats broadcast back,
+# flag |x - med| > 5*MAD. At 100 TB each pass is one aggregation; for
+# groups beyond executor memory the same shape runs on the bottom-k
+# quantile sketch instead.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_anomaly_mad",
+    """
+    WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x FROM events),
+    med AS (SELECT event_type, quantile_cont(x, 0.5) AS med FROM v GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, v.x, m.med, abs(CAST(v.x AS DOUBLE) - m.med) AS adev
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*) AS n,
+           max(d.med) AS med, max(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.adev > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="robust outliers via median absolute deviation: two exact-median "
+        "passes (shared interpolation definition — bit-identical on "
+        "integer inputs), group stats broadcast back, flag |x-med| > "
+        "5*MAD. The 50%-breakdown twin of the z-score detector: one "
+        "extreme value cannot mask itself by inflating the spread",
+)
+def analytic_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("event_type", F.floor("value").cast("long").alias("x"))
+    med = v.groupBy("event_type").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.expr("abs(CAST(x AS DOUBLE) - med)")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.expr("adev > 5 * mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

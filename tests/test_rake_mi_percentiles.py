@@ -169,3 +169,42 @@ def test_percentiles_match_numpy_linear_interpolation(spark):
                 np.quantile(xs, p, method="linear"), rel=1e-12
             ), (et, col)
         assert row["n"] == len(xs)
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_flags_planted_outlier_that_zscore_masking_would_miss(spark):
+    """49 points at 100 +/- 2 and one at 10000: MAD stays ~2 so the spike
+    is flagged; the spike itself inflates stddev to ~1400, putting its own
+    z-score at ~7 but pulling smaller anomalies under the z threshold —
+    the masking MAD is immune to."""
+    import numpy as np
+
+    xs = [100 + (i % 5) - 2 for i in range(49)] + [10000]
+    df = spark.createDataFrame([("g", int(x)) for x in xs], "event_type string, x long")
+    med = df.groupBy("event_type").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.expr("abs(CAST(x AS DOUBLE) - med)")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.expr("adev > 5 * mad"))
+        .collect()
+    )
+    assert [r["x"] for r in out] == [10000]
+    arr = np.array(xs, dtype=float)
+    assert np.median(np.abs(arr - np.median(arr))) == pytest.approx(
+        mad.collect()[0]["mad"]
+    )
+
+
+def test_registry_mad_bounds(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    rows = QUERIES["analytic_anomaly_mad"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mad"] >= 0 and 0 <= r["n_outliers"] < r["n"]
