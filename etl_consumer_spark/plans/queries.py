@@ -9219,6 +9219,140 @@ def analytic_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mid-stream schema evolution e2e — the CDC-completeness record: batch 1
+# inserts rows on the OLD schema; batch 2 opens with a Debezium schema-
+# change envelope (ALTER TABLE ... ADD COLUMN, applied FIRST within the
+# batch, as the reference pauses the connector to do synchronously —
+# main.go:70-121) and then streams DML that CARRIES the new column. The
+# pipeline must evolve the state store (old rows -> NULL), re-bind the
+# decode field list (C5 is build-time bound, so a stale binding would
+# FIELD_NOT_FOUND the whole slice), and land the new column's values —
+# all verified value-exact against a pure-SQL oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_cdc_add_column",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+                THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 3 = 1 OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)
+                THEN 'n' || CAST(o_orderkey AS VARCHAR) END AS o_note
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="mid-stream ADD COLUMN e2e: old-schema inserts (batch 1), then a "
+        "schema-change envelope + DML carrying the new column (batch 2) "
+        "through the full pipeline — state store evolved (old rows NULL), "
+        "wire-field binding refreshed, new values landed; the streaming "
+        "analog of reference main.go's pause->exec(ddl)->resume",
+)
+def stream_cdc_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import tempfile
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    old_t = "struct<o_orderkey:long,o_totalprice:double>"
+    new_t = "struct<o_orderkey:long,o_totalprice:double,o_note:string>"
+    note = F.concat(F.lit("n"), k.cast("string"))
+
+    def env(before, after, pos):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.struct(
+                        F.lit("srv").alias("name"),
+                        F.lit("db0").alias("db"),
+                        F.lit("orders").alias("table"),
+                        pos.alias("pos"),
+                        F.lit(0).alias("row"),
+                    ).alias("source"),
+                    F.lit("c").alias("op"),
+                    F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("payload")
+            )
+        )
+
+    def transport(topic, value):
+        return F.struct(
+            topic.alias("topic"),
+            value.cast("binary").alias("value"),
+            F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
+
+    old_row = F.struct("o_orderkey", "o_totalprice")
+    new_ins = F.struct(F.col("o_orderkey"), F.col("o_totalprice"), note.alias("o_note"))
+    new_upd = F.struct(
+        F.col("o_orderkey"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        note.alias("o_note"),
+    )
+    # batch 1: inserts on the OLD schema
+    b1 = orders.filter(k % 3 == 0).select(
+        transport(
+            F.lit("srv.db0.orders"), env(F.lit(None).cast(old_t), old_row, F.lit(1))
+        ).alias("r")
+    ).select("r.*")
+    # batch 2: the schema-change envelope FIRST, then DML carrying o_note
+    ddl_json = json.dumps(
+        {
+            "payload": {
+                "source": {"name": "srv", "db": "db0", "table": "orders"},
+                "databaseName": "db0",
+                "ddl": "ALTER TABLE `db0`.`orders` ADD COLUMN o_note VARCHAR(32)",
+            }
+        }
+    )
+    ddl_row = spark.range(1).select(
+        transport(F.lit("srv"), F.lit(ddl_json)).alias("r")
+    ).select("r.*")
+    ins2 = orders.filter(k % 3 == 1).select(
+        transport(
+            F.lit("srv.db0.orders"), env(F.lit(None).cast(new_t), new_ins, F.lit(2))
+        ).alias("r")
+    ).select("r.*")
+    old_row_as_new = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit(None).cast("string").alias("o_note"),
+    )
+    upd2 = orders.filter((k % 3 == 0) & (k % 2 == 0)).select(
+        transport(
+            F.lit("srv.db0.orders"),
+            env(old_row_as_new, new_upd, F.lit(2)),
+        ).alias("r")
+    ).select("r.*")
+    base = tempfile.mkdtemp(prefix="stream_addcol_")
+    b1.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    ddl_row.unionByName(ins2).unionByName(upd2).coalesce(1).write.mode("append").parquet(
+        f"{base}/transport"
+    )
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
+    fields = [WireField("o_orderkey", "int64"), WireField("o_totalprice", "float64")]
+    store = PartitionedParquetStateStore(spark, f"{base}/state")
+    store.init("orders", orders.limit(0), ["o_orderkey"])
+    pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
+    q = pipe.start(
+        file_envelope_stream(spark, f"{base}/transport", max_files_per_trigger=1),
+        checkpoint_dir=f"{base}/ckpt",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    return store.read("orders").select("o_orderkey", "o_totalprice", "o_note")
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 5).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
