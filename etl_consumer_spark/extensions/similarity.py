@@ -508,3 +508,94 @@ def kcenter_greedy(
         out.append((rnd, int(far.id), int(far.d2)))
         centers.append(list(far.qv))
     return out
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k_codebook: int = 8,
+    shortlist: int = 10,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ search (Jegou et al., PAMI'11 — the billion-vector ANN
+    stack): coarse quantizer prunes the corpus to the query's ``n_probe``
+    clusters, PQ codes give an asymmetric-distance shortlist WITHOUT
+    touching raw candidate vectors, and only the ``shortlist`` survivors
+    are reranked with exact cosine for the final top-k.
+
+    Composition of the verified pieces: :func:`assign_clusters` (coarse),
+    :func:`pq_encode` / :func:`pq_codebook` (compression),
+    ADC lookup-sum in fixed subspace order (engine-stable doubles),
+    exact rerank. Scale shape: after encode, the per-query work is an
+    equi-join on cluster id against the code table plus ``shortlist``
+    raw-vector reads — memory ~ codes (n_sub bytes/vector), never
+    embeddings. Flat-PQ within IVF (no residual re-encoding): the
+    standard memory/recall tradeoff point one notch below residual-PQ."""
+    cents = deterministic_centroids(corpus, n_clusters, id_col, vec_col)
+    c_assigned = assign_clusters(corpus, cents, id_col, vec_col).select(
+        F.col(id_col), F.col("cid")
+    )
+    q_probes = assign_clusters(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("q_id"), F.col("cid")
+    )
+    codes = pq_encode(corpus, n_sub, sub_dim, k_codebook, id_col, vec_col)
+    csub = pq_codebook(corpus, n_sub, sub_dim, k_codebook, id_col, vec_col)
+    qsub = queries.select(
+        F.col(id_col).alias("q_id"), _pq_subspaces(vec_col, "qv", n_sub, sub_dim)
+    )
+    dtable = qsub.join(F.broadcast(csub), "subspace").select(
+        "q_id", "subspace", "cid", _pq_dist2("qv", "cv").alias("qd")
+    )
+    # candidates: codes of vectors living in the query's probed clusters
+    cand = q_probes.join(c_assigned, "cid").filter(
+        F.col("q_id") != F.col(id_col)
+    ).select("q_id", id_col)
+    per_sub = (
+        cand.join(codes, id_col)
+        .join(
+            F.broadcast(dtable),
+            (F.col("subspace") == dtable.subspace)
+            & (F.col("code") == dtable.cid)
+            & (cand.q_id == dtable.q_id),
+        )
+        .select(cand.q_id.alias("q_id"), F.col(id_col), codes.subspace.alias("s"), "qd")
+    )
+    fixed_sum = None
+    for s in range(n_sub):
+        term = F.coalesce(F.max(F.when(F.col("s") == s, F.col("qd"))), F.lit(0.0))
+        fixed_sum = term if fixed_sum is None else fixed_sum + term
+    adc = per_sub.groupBy("q_id", id_col).agg(fixed_sum.alias("adc_dist2"))
+    w_short = Window.partitionBy("q_id").orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+    short = (
+        adc.withColumn("rnk", F.row_number().over(w_short))
+        .filter(F.col("rnk") <= shortlist)
+        .select("q_id", id_col)
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    cv = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("nvec"), l2_norm(F.col(vec_col)).alias("nnorm")
+    )
+    reranked = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(cv, id_col)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            (dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
