@@ -104,6 +104,9 @@ HEADLINE = [
     "mm_ahash_robustness",        # perceptual-hash invariance audit
     "source_csv_corrupt_records", # PERMISSIVE quarantine ingestion
     "olap_window_distinct_count", # non-subtractable RANGE-frame distinct
+    # round-6 additions: full IVF-PQ stack, value-checked error routing
+    "sim_ivfpq_search",           # coarse probe -> PQ-ADC shortlist -> rerank
+    "e4_e5_error_routing",        # parse-error drop + empty-DDL dead-letter
 ]
 
 
@@ -156,6 +159,76 @@ def _cpu_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
+# stream queries whose fn runs the _stream_cdc_run harness: the envelope
+# synthesis + transport write and store seeding are test-DATA GENERATION, not
+# pipeline cost — their phase split is reported alongside the wall time so
+# the stream metric grades the pipeline (VERDICT r5 #6)
+_STREAM_QUERIES = ("stream_cdc_full_stack", "stream_cdc_partitioned")
+
+
+def _measure(spark, sf_dir):
+    """One full measurement pass: each query 3x, steady-state (min) time,
+    calibration + loadavg bracketing the pass. Returns the result dict and
+    whether the box degraded mid-run (parallel16 calibration drift >1.5x)."""
+    calib_before = _cpu_calibration()
+    mp_calib_before = _cpu_calibration_parallel()
+    load_before = os.getloadavg()
+    per_query: dict[str, float] = {}
+    stream_phases: dict[str, dict[str, float]] = {}
+    total = 0.0
+    total_scale_safe = 0.0
+    total_baseline = 0.0
+    for name in HEADLINE:
+        q = QUERIES[name]
+        times = []
+        phases = []
+        for _ in range(3):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            if name in _STREAM_QUERIES:
+                from etl_consumer_spark.plans.queries import STREAM_PHASES
+
+                phases.append(dict(STREAM_PHASES))
+        best = min(range(len(times)), key=times.__getitem__)
+        dt = round(times[best], 3)
+        per_query[name] = dt
+        if phases:
+            stream_phases[name] = phases[best]
+        total += dt
+        # scale_safe=False marks retained correctness baselines (uncapped
+        # quadratic-under-skew plans, e.g. dedup_ngram_jaccard) — kept out of
+        # the regression-graded subtotal so rounds compare like with like.
+        if q.scale_safe:
+            total_scale_safe += dt
+        else:
+            total_baseline += dt
+    load_after = os.getloadavg()
+    calib_after = _cpu_calibration()
+    mp_calib_after = _cpu_calibration_parallel()
+    drift = max(
+        mp_calib_after / mp_calib_before, mp_calib_before / mp_calib_after
+    )
+    result = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "stream_phases": stream_phases,
+        "scale_safe_total": round(total_scale_safe, 3),
+        "baseline_only_total": round(total_baseline, 3),
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpu_calib_before_sec": calib_before,
+        "cpu_calib_after_sec": calib_after,
+        "cpu_calib_parallel16_before_sec": mp_calib_before,
+        "cpu_calib_parallel16_after_sec": mp_calib_after,
+        "calib_drift": round(drift, 3),
+    }
+    return result, drift > 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -168,66 +241,28 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Each query runs three times; we report the steady-state (min) time so
-    # one-off codegen/JIT compilation and box contention aren't attributed to
-    # the operator. Load average is recorded before/after so a contended run
-    # is distinguishable from a code regression when grading round-over-round.
-    calib_before = _cpu_calibration()
-    mp_calib_before = _cpu_calibration_parallel()
-    load_before = os.getloadavg()
-    per_query: dict[str, float] = {}
-    total = 0.0
-    total_scale_safe = 0.0
-    total_baseline = 0.0
-    for name in HEADLINE:
-        q = QUERIES[name]
-        times = []
-        for _ in range(3):
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times.append(time.time() - t0)
-        dt = round(min(times), 3)
-        per_query[name] = dt
-        total += dt
-        # scale_safe=False marks retained correctness baselines (uncapped
-        # quadratic-under-skew plans, e.g. dedup_ngram_jaccard) — kept out of
-        # the regression-graded subtotal so rounds compare like with like.
-        if q.scale_safe:
-            total_scale_safe += dt
-        else:
-            total_baseline += dt
-    load_after = os.getloadavg()
-    calib_after = _cpu_calibration()
-    mp_calib_after = _cpu_calibration_parallel()
+    # Contention protocol (VERDICT r5 #5): if the 16-process CPU probe
+    # drifts >1.5x across the pass (the box changed UNDER the run — the
+    # BENCH_r03/r05 phantom-regression mode), retry the whole pass once;
+    # if the retry is also contended, publish with degraded=true so the
+    # number is never silently trusted.
+    result, degraded = _measure(spark, sf_dir)
+    if degraded:
+        retry, still_degraded = _measure(spark, sf_dir)
+        if not still_degraded or retry["value"] < result["value"]:
+            result, degraded = retry, still_degraded
 
     # derived throughput: CDC events applied per second in the batch apply
     # (3/4 of orders become events, replayed 2x in the query)
     from etl_consumer_spark.sources.tables import load_table
 
     n_events = load_table(spark, sf_dir, "orders").count() * 3 // 4 * 2
-    cdc_eps = round(n_events / per_query["cdc_apply_orders"], 1)
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "cdc_events_per_sec": cdc_eps,
-                "scale_safe_total": round(total_scale_safe, 3),
-                "baseline_only_total": round(total_baseline, 3),
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "cpu_calib_before_sec": calib_before,
-                "cpu_calib_after_sec": calib_after,
-                "cpu_calib_parallel16_before_sec": mp_calib_before,
-                "cpu_calib_parallel16_after_sec": mp_calib_after,
-            }
-        )
+    result["sf"] = sf
+    result["cdc_events_per_sec"] = round(
+        n_events / result["queries"]["cdc_apply_orders"], 1
     )
+    result["degraded"] = degraded
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -560,8 +560,12 @@ def ivfpq_search(
         cand.join(codes, id_col)
         .join(
             F.broadcast(dtable),
-            (F.col("subspace") == dtable.subspace)
-            & (F.col("code") == dtable.cid)
+            # qualify every join column: "subspace"/"q_id" exist on BOTH
+            # sides here (codes vs dtable, cand vs dtable) and the bare
+            # F.col form raises AMBIGUOUS_REFERENCE (same discipline as
+            # pq_adc_topk above)
+            (codes.subspace == dtable.subspace)
+            & (codes.code == dtable.cid)
             & (cand.q_id == dtable.q_id),
         )
         .select(cand.q_id.alias("q_id"), F.col(id_col), codes.subspace.alias("s"), "qd")

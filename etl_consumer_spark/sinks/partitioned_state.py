@@ -293,8 +293,12 @@ class PartitionedParquetStateStore:
         a key's whole version chain from exactly one bucket directory.
 
         ``leading_values`` is a list of values, or a one-column DataFrame —
-        the DataFrame form keeps the keys DISTRIBUTED (only the distinct
-        bucket ids, at most n_buckets rows, ever reach the driver)."""
+        the DataFrame form keeps the keys DISTRIBUTED: only the DISTINCT
+        TOUCHED bucket ids reach the driver. In range mode bucket id is
+        key div range_size, so that count is bounded by the key spread of
+        the batch (one id per range_size-wide span the batch touches), not
+        by the layout's n_buckets hint — a batch touching k distinct spans
+        collects k ids."""
         self._recover(table)
         layout = self._layout(table)
         if layout["bucket_mode"] != "range" or layout.get("range_sizes"):

@@ -83,6 +83,10 @@ class BatchResult:
     # live DataFrame here would pin plan/cache references for the stream's
     # whole lifetime
     republish: list = field(default_factory=list)
+    # SCD2 history-write failures (per table): separate from dead_letters
+    # because the base-table slice WAS committed — replaying it would
+    # double-apply; the history can be rebuilt from the base + later batches
+    scd2_errors: list[str] = field(default_factory=list)
 
 
 def _wire_field_for(col: str, spark_type: str) -> WireField:
@@ -198,8 +202,19 @@ class CDCPipeline:
         # (bool_to_int, main.go:259-265); keep the state column INT so the
         # decoded int image unions cleanly with state.
         statement = _re.sub(r"(?i)\bBOOLEAN\b", "INT", statement)
+        name = m.group(1)
         if hasattr(self.store, "evolve"):
-            self.store.evolve(m.group(1), statement)
+            self.store.evolve(name, statement)
+            # SCD2 history evolves in LOCKSTEP with its base table: without
+            # this the cached maintainer keeps its first-batch payload list
+            # (new column silently omitted), and a restarted maintainer
+            # would bind the new column against the stale on-disk __history
+            # schema and dead-letter slices already applied to the base
+            if name in self.scd2_tables and self.store.exists(f"{name}__history"):
+                self.store.evolve(f"{name}__history", statement)
+        # drop the cached maintainer so the next batch rebuilds it from the
+        # refreshed spec.fields (payload list includes/excludes the column)
+        self._scd2_maintainers.pop(name, None)
 
     def _refresh_fields(self, statement: str) -> None:
         """Keep TableSpec.fields/pk_cols in lockstep with the evolved state
@@ -411,7 +426,16 @@ class CDCPipeline:
                         version = self.store.upsert(name, events, spec.pk_cols)
                         result.applied[name] = version
                         if name in self.scd2_tables:
-                            self._apply_scd2(name, spec, events, result.epoch_id)
+                            # own error channel: a history-write failure must
+                            # NOT dead-letter/republish a slice already
+                            # committed to the base table (the K2/K3 branch
+                            # below would re-apply it on replay)
+                            try:
+                                self._apply_scd2(name, spec, events, result.epoch_id)
+                            except Exception as exc:  # noqa: BLE001
+                                result.scd2_errors.append(
+                                    f"{name}: {str(exc)[:200]}"
+                                )
                     except Exception as exc:  # noqa: BLE001 — K2 + K3 branch
                         dead = dead_letter_rows(
                             slice_df.withColumn("err", F.lit(str(exc)[:200])),

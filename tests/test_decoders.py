@@ -147,3 +147,44 @@ def test_zoned_ts_year_2100_outside_gate(spark):
     df = spark.createDataFrame([("2100-01-01T00:00:00Z",)], "z string")
     out = [r[0] for r in df.select(EF.zoned_ts_normalize("z", as_string=True)).collect()]
     assert out == ["0001-01-01 07:00:00"]
+
+
+def test_timezone_hours_threads_through_decode_envelope(spark):
+    """config.timezone_hours is parameterized (the reference hardcodes 7,
+    main.go:271/296); prove a NON-default offset actually reaches both the
+    F3 and F5 decoders through the full envelope decode path."""
+    import json
+
+    from etl_consumer_spark.sources.envelope import (
+        TIMESTAMP,
+        ZONEDTS,
+        WireField,
+        decode_envelope,
+    )
+
+    fields = [
+        WireField("id", "int64"),
+        WireField("t", "int64", logical=TIMESTAMP),
+        WireField("z", "string", logical=ZONEDTS),
+    ]
+    env = json.dumps(
+        {
+            "payload": {
+                "before": None,
+                "after": {"id": 1, "t": 3_600_000, "z": "1970-01-01T12:00:00Z"},
+                "source": {"name": "s", "db": "d", "table": "t", "pos": 1, "row": 0},
+                "op": "c",
+                "ts_ms": 0,
+            }
+        }
+    )
+    from etl_consumer_spark.sources.envelope import parse_dml_envelope
+
+    raw = spark.createDataFrame([(env,)], "value string")
+    parsed = parse_dml_envelope(raw).withColumn("table", F.lit("t"))
+    for tz in (-5, 0, 7):
+        out = decode_envelope(parsed, fields, with_timezone=True, tz_hours=tz).collect()[0]
+        # F3 reads BACK by tz_hours: epoch+1h minus tz
+        assert out["after"]["t"].hour == (1 - tz) % 24
+        # F5 writes FORWARD: 12:00 plus tz
+        assert out["after"]["z"].hour == (12 + tz) % 24

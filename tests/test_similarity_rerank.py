@@ -122,3 +122,38 @@ def test_kmeans_centroids_shape_and_determinism(spark):
     b = kmeans_centroids(emb, k=4, iterations=2)
     assert a == b
     assert len(a) == 4 and all(len(c) == 64 for c in a)
+
+
+def test_ivfpq_full_probe_wide_shortlist_equals_bruteforce(spark):
+    """IVF-PQ reduces to brute force when nothing is pruned: n_probe =
+    n_clusters makes the candidate pool the whole corpus, and a shortlist
+    wider than the corpus means the ADC approximation cannot drop a true
+    neighbor before the exact rerank."""
+    from etl_consumer_spark.extensions.similarity import ivfpq_search
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = _topk(knn_bruteforce(q, emb, k=3))
+    full = _topk(
+        ivfpq_search(
+            q, emb, n_clusters=8, n_probe=8, n_sub=4, sub_dim=16,
+            k_codebook=8, shortlist=10_000, k=3,
+        )
+    )
+    assert full == brute
+
+
+def test_ivfpq_narrow_search_is_subset_ranked(spark):
+    """Production-shaped params (4-of-16 probe, 10-wide shortlist): output
+    is exactly k ranked rows per query, ranks 1..k, no self-matches."""
+    from etl_consumer_spark.extensions.similarity import ivfpq_search
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_search(q, emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_q) == 10
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())

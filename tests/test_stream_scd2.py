@@ -204,3 +204,81 @@ def test_pipeline_scd2_requires_partitioned_store(spark, tmp_path):
             spark, cfg, [TableSpec("batch_seq", FIELDS, PK)], store,
             scd2_tables={"batch_seq"},
         )
+
+
+def test_pipeline_scd2_history_evolves_through_mid_stream_ddl(spark, tmp_path):
+    """ADVICE r5: a mid-stream ADD COLUMN must evolve <table>__history in
+    lockstep with the base table and rebuild the cached maintainer —
+    otherwise the history silently omits the new column (this session) or
+    dead-letters already-applied slices (after restart)."""
+    import json as _json
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+    from tests.test_streaming import (
+        FIELDS, PK, SERVER, DB, TOPIC, envelope, make_transport, row,
+    )
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "state"))
+    empty = spark.createDataFrame(
+        [], "id long, province_id long, seq long, amount double, created_day date"
+    )
+    store.init("batch_seq", empty, PK)
+    pipe = CDCPipeline(
+        spark, cfg, [TableSpec("batch_seq", list(FIELDS), PK)], store,
+        scd2_tables={"batch_seq"},
+    )
+    transport = str(tmp_path / "transport")
+    # batch 1: insert on the OLD schema (maintainer binds the old payload)
+    make_transport(
+        spark,
+        [(TOPIC, envelope(None, row(1, 10, 0, 1000, 18993), pos=200))],
+        transport,
+    )
+    # batch 2: DDL first, then an update CARRYING the new column
+    ddl = _json.dumps(
+        {
+            "payload": {
+                "source": {"name": SERVER, "db": DB, "table": "batch_seq"},
+                "databaseName": DB,
+                "ddl": f"ALTER TABLE `{DB}`.`batch_seq` ADD COLUMN note VARCHAR(32)",
+            }
+        }
+    )
+    new_after = dict(row(1, 11, 1, 1500, 18993), note="hello")
+    old_before = dict(row(1, 10, 0, 1000, 18993), note=None)
+    make_transport(
+        spark,
+        [
+            (SERVER, ddl),
+            (TOPIC, envelope(old_before, new_after, pos=202)),
+        ],
+        transport,
+    )
+    q = pipe.start(
+        file_envelope_stream(spark, transport, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    # base table evolved and updated
+    base = {r.id: (r.seq, r.note) for r in store.read("batch_seq").collect()}
+    assert base == {1: (1, "hello")}
+    # history evolved: version chain intact, old version NULL note, new
+    # version carries the value
+    hist = sorted(
+        (r.valid_from, r.valid_to, r.is_current, r.province_id, r.note)
+        for r in store.read("batch_seq__history").collect()
+    )
+    assert hist == [
+        (200, 202, False, 10, None),
+        (202, None, True, 11, "hello"),
+    ]
+    # no slice dead-lettered or scd2-error'd along the way
+    assert all(not r.scd2_errors for r in pipe.results)
+    assert sum(r.dead_letters for r in pipe.results) == 0
