@@ -104,9 +104,18 @@ HEADLINE = [
     "mm_ahash_robustness",        # perceptual-hash invariance audit
     "source_csv_corrupt_records", # PERMISSIVE quarantine ingestion
     "olap_window_distinct_count", # non-subtractable RANGE-frame distinct
-    # round-6 additions: full IVF-PQ stack, value-checked error routing
+    # round-6 additions: full IVF-PQ stack, value-checked error routing,
+    # tokenizer training, link prediction, watermark late-drop accounting,
+    # codec roundtrip, scene cuts, epoch shuffle, Welch t-test
     "sim_ivfpq_search",           # coarse probe -> PQ-ADC shortlist -> rerank
     "e4_e5_error_routing",        # parse-error drop + empty-DDL dead-letter
+    "text_bpe_learn",             # distributed BPE merge learning (4 rounds)
+    "graph_jaccard_linkpred",     # degree-capped wedge common-neighbor scores
+    "stream_late_data_metrics",   # append-mode watermark late-drop contract
+    "source_compression_codecs",  # snappy/gzip/zstd/lz4 roundtrip fingerprints
+    "mm_video_scene_cuts",        # RIFF/MJPEG decode + lag-window shot bounds
+    "sample_epoch_shuffle",       # zero-RNG per-epoch training permutations
+    "analytic_welch_ttest",       # one-pass A/B significance (shared exprs)
 ]
 
 

@@ -195,3 +195,78 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").cast("long").alias("pagerank"))
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    max_degree: int = 100,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (Liben-Nowell & Kleinberg,
+    CIKM'03): score non-adjacent node pairs by the Jaccard similarity of
+    their neighborhoods — the classic "people you may know" / related-page
+    primitive. ``edges`` is (src, dst); self-loops dropped, direction and
+    duplicates normalized away.
+
+    Scale shape: common neighbors are counted by the WEDGE expansion (every
+    center emits its neighbor pairs), whose cost is sum(degree^2) —
+    quadratic on hubs. Hub nodes (degree > ``max_degree``) are therefore
+    REMOVED from the graph before expansion (the capped-LSH discipline:
+    bounded work, explicitly documented drop — a celebrity node's
+    neighborhood says nothing about link formation anyway). All degrees and
+    adjacency checks are computed on the SAME capped subgraph, so Jaccard
+    denominators are consistent; the oracle replays the identical cap.
+
+    Returns (node_a, node_b, n_common, jaccard) for non-adjacent pairs
+    with >= ``min_common`` shared neighbors; node_a < node_b.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("deg"))
+    keep = deg.filter(F.col("deg") <= max_degree).select("n")
+    # capped subgraph: BOTH endpoints must survive, then recompute degrees
+    # on what's left so the Jaccard denominator matches the numerator's world
+    capped = (
+        adj.join(keep, "n", "left_semi")
+        .join(keep.select(F.col("n").alias("m")), "m", "left_semi")
+    )
+    cdeg = capped.groupBy("n").agg(F.count("*").alias("deg"))
+    # wedge expansion through each center: one row per (neighbor1 < neighbor2)
+    l = capped.select(F.col("n").alias("c"), F.col("m").alias("x"))
+    r = capped.select(F.col("n").alias("c"), F.col("m").alias("y"))
+    common = (
+        l.join(r, "c")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("node_a"), F.col("y").alias("node_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # drop already-adjacent pairs: predict NEW links only
+    cand = common.join(
+        und.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    da = cdeg.select(F.col("n").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = cdeg.select(F.col("n").alias("node_b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

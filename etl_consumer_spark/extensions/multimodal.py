@@ -876,13 +876,18 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[int, int, int, list[np.ndarray]]:
     return len(frames), w, h, frames
 
 
-def synthesize_avi_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Video leg of the media synthesis family: a real 2-frame MJPEG AVI
-    per row. Frame f's raster is constant-per-8x8-block from md5 hex chars
-    8*f..8*f+7 (the JPEG codec's exact-roundtrip class), so a SQL oracle
-    can value-check per-frame statistics through the full container-walk +
-    entropy-decode path."""
+def synthesize_avi_media_table(
+    df: DataFrame, id_col: str, payload_col: str, n_frames: int = 2
+) -> DataFrame:
+    """Video leg of the media synthesis family: a real MJPEG AVI with
+    ``n_frames`` frames (<= 4 — md5's 32 hex chars) per row. Frame f's
+    raster is constant-per-8x8-block from md5 hex chars 8*f..8*f+7 (the
+    JPEG codec's exact-roundtrip class), so a SQL oracle can value-check
+    per-frame statistics through the full container-walk + entropy-decode
+    path."""
     from etl_consumer_spark.extensions.jpeg import encode_jpeg  # noqa: F401
+
+    assert 1 <= n_frames <= 4, "md5 hex supplies at most 4 x 8 block chars"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -892,7 +897,7 @@ def synthesize_avi_media_table(df: DataFrame, id_col: str, payload_col: str) -> 
             for _, row in pdf.iterrows():
                 hexes = hashlib.md5(row["_payload"].encode()).hexdigest()
                 frames = []
-                for f in range(2):
+                for f in range(n_frames):
                     blocks = np.frombuffer(
                         hexes[8 * f : 8 * f + 8].encode("ascii"), dtype=np.uint8
                     )

@@ -462,3 +462,90 @@ def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
         F.count("*").cast("long").alias("n_fingerprints"),
         F.md5(F.array_join(ordered, ",").cast("binary")).alias("fp_md5"),
     )
+
+
+def bpe_learn(
+    docs,
+    n_merges: int = 4,
+    text_col: str = "text",
+    min_word_len: int = 2,
+):
+    """Distributed BPE merge learning (Sennrich, Haddow & Birch, ACL'16):
+    the tokenizer-training half of the subword stack (inference half:
+    ``subword_tokenize``). Words become space-separated symbol sequences;
+    each round counts adjacent symbol pairs corpus-wide (weighted by word
+    frequency, overlapping occurrences counted — the reference
+    ``get_stats`` convention), merges the most frequent pair everywhere,
+    and repeats. Ties break lexicographically on (left, right) so the
+    learned merge table is bit-reproducible on any engine — which is what
+    lets a SQL oracle replay the ENTIRE unrolled loop.
+
+    Scale shape: the word-frequency table is vocabulary-bounded (Heaps'
+    law — millions of rows at 100 TB, not corpus-sized) and is
+    localCheckpointed once; each round is one map-side-combined
+    groupBy(pair) shuffle over symbol adjacencies plus a TakeOrdered(1)
+    (distributed partial top-1 — exactly ONE row reaches the driver per
+    merge, the kmeans-centroid contract). The merge rewrite is a literal
+    string replace, map-only. Returns the learned merge table
+    (merge_rank, merge_left, merge_right, merged, pair_count).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+        )
+        .filter(F.length("word") >= min_word_len)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        # ' w o r d ' — spaces delimit symbols; leading/trailing spaces make
+        # every symbol boundary (incl. first/last) a literal-replace anchor
+        .withColumn(
+            "seq",
+            F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.expr(
+        "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))"
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.withColumn("syms", F.split(F.trim(F.col("seq")), " "))
+            .filter(F.size("syms") >= 2)
+            .select(F.explode(pair_expr).alias("pr"), "freq")
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b["l"], b["r"], b["l"] + b["r"], int(b["cnt"])))
+        # greedy left-to-right merge fold (the reference merge_vocab scan):
+        # a literal string replace would NOT work — consecutive matches
+        # share their delimiting space, so runs like 'a a a a' merge only
+        # every other pair. The fold keeps the exact semantics: a merged
+        # symbol is never re-consumed as the LEFT side within the same pass
+        # (endswith sees ' aa ', not ' a '). Symbols are [a-z]+ so embedding
+        # them as SQL literals is injection-safe.
+        left, right = b["l"], b["r"]
+        words = words.withColumn(
+            "seq",
+            F.expr(
+                "aggregate(split(trim(seq), ' '), ' ', (acc, s) -> "
+                f"CASE WHEN s = '{right}' AND endswith(acc, ' {left} ') "
+                f"THEN concat(substring(acc, 1, length(acc) - {len(left) + 1}), "
+                f"'{left}{right} ') "
+                "ELSE concat(acc, s, ' ') END)"
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, "
+        "merged string, pair_count long",
+    )

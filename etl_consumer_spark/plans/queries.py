@@ -9677,6 +9677,486 @@ def f_decode_tz_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich ACL'16): the tokenizer-TRAINING half of the
+# subword stack (text_subword_tokenize is inference). Deterministic by
+# construction (exact integer pair counts, lexicographic tie-break), so the
+# oracle replays the entire unrolled merge loop — the kmeans/k-center
+# unrolled-oracle pattern applied to tokenizer training.
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    parts = [
+        r"""w0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS freq,
+             ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+      FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+            FROM documents) t
+      WHERE length(word) >= 2 GROUP BY word
+    )"""
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"w{i-1}"
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT pr['l'] AS l, pr['r'] AS r, sum(freq)::BIGINT AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(syms)-1),
+                      j -> {{'l': syms[j], 'r': syms[j+1]}})) AS pr, freq
+        FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM {prev}) s
+      ) x GROUP BY 1, 2
+    )""")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if i < n_merges:
+            # greedy left-to-right merge fold (NOT a literal replace:
+            # consecutive matches share their delimiting space, so runs
+            # like 'a a a a' would merge only every other pair)
+            parts.append(f"""w{i} AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(list_prepend(' ', string_split(trim(seq), ' ')),
+               (acc, s) -> CASE
+                 WHEN s = b.r AND ends_with(acc, ' ' || b.l || ' ')
+                 THEN substr(acc, 1, len(acc) - len(b.l) - 1) || b.l || b.r || ' '
+                 ELSE acc || s || ' ' END) AS seq
+      FROM {prev}, b{i} b
+    )""")
+        selects.append(
+            f"SELECT {i} AS merge_rank, l AS merge_left, r AS merge_right, "
+            f"l || r AS merged, cnt AS pair_count FROM b{i}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register(
+    "text_bpe_learn",
+    _bpe_oracle_sql(4),
+    doc="distributed BPE merge learning (Sennrich ACL'16), 4 merges over the "
+        "documents corpus: word-frequency table (vocabulary-bounded, Heaps' "
+        "law), per-round overlap-counted adjacent-pair counts with map-side "
+        "combine, lexicographic tie-break, literal-replace merge rewrite. "
+        "Bit-reproducible, so the oracle replays the ENTIRE unrolled loop "
+        "(MATERIALIZED CTE chain). Driver traffic: exactly one row per "
+        "merge (TakeOrdered(1) — the kmeans-centroid contract)",
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.text_analysis import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn(docs, n_merges=4)
+
+
+# ---------------------------------------------------------------------------
+# Parquet compression codecs (the 100 TB storage decision): the same corpus
+# written under snappy/gzip/zstd/lz4 must read back bit-identical — content
+# preservation proved per codec by the order-insensitive md5-XOR fingerprint
+# (the layout_compaction device), recomputed by the oracle from the ORIGINAL
+# table. Codec choice changes bytes on disk, never values.
+# ---------------------------------------------------------------------------
+
+_CODECS = ("snappy", "gzip", "zstd", "lz4")
+
+@register(
+    "source_compression_codecs",
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS codec, count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT)
+             AS content_fp
+    FROM documents"""
+        for c in _CODECS
+    ),
+    doc="parquet codec roundtrip (snappy/gzip/zstd/lz4 — the 100 TB "
+        "storage-footprint decision): per codec, the corpus is written, "
+        "re-read, and fingerprinted with the order-insensitive per-row "
+        "md5-XOR; the oracle recomputes the fingerprint from the ORIGINAL "
+        "table, so any codec that lost/mutated/duplicated a row flips the "
+        "hash. Compressed sizes are logged as files, not oracle-compared "
+        "(they are codec-version-dependent); values never are",
+)
+def source_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="codecs_")
+    outs = []
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    for codec in _CODECS:
+        path = f"{base}/{codec}"
+        docs.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.select(h.alias("fp")).agg(
+                F.lit(codec).alias("codec"),
+                F.count("*").alias("n_rows"),
+                F.expr("bit_xor(fp)").alias("content_fp"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-epoch shuffle: every epoch reshuffles the corpus
+# into a different order with ZERO RNG (hash of epoch:doc_id), so data
+# loading is reproducible run-to-run and resumable mid-epoch — the
+# dataloader contract of a multi-epoch LLM training run. Shard-partitioned
+# windows only (no global sort).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_epoch_shuffle",
+    """
+    WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    x AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hkey
+      FROM documents d, e
+    ),
+    s AS (
+      SELECT epoch, doc_id, hkey,
+             ('0x' || substr(hkey, 1, 12))::BIGINT % 8 AS shard
+      FROM x
+    )
+    SELECT epoch, shard, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hkey) AS INT) AS pos
+    FROM s
+    """,
+    doc="deterministic epoch-wise training shuffle (3 epochs x 8 shards): "
+        "shard and in-shard position both derive from md5(epoch:doc_id), so "
+        "each epoch is a DIFFERENT pseudo-random permutation, reproducible "
+        "with zero RNG and resumable at any (epoch, shard, pos). Windows "
+        "are (epoch, shard)-partitioned — each is 1/8 of one epoch, never a "
+        "global sort; md5 keys are unique so ordering has no ties",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    hkey = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    x = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", hkey.alias("hkey")
+    )
+    shard = (F.conv(F.substring("hkey", 1, 12), 16, 10).cast("long") % 8).alias("shard")
+    w = Window.partitionBy("epoch", "shard").orderBy("hkey")
+    return (
+        x.select("epoch", "doc_id", "hkey", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("epoch", "shard", "doc_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test between two event groups (the A/B-test /
+# data-drift significance primitive): exact integer-quantized power sums in
+# ONE conditional-aggregate pass, every derived float from a SHARED
+# expression string (the sketch_moments device) so both engines run the
+# identical tree — one source of truth, zero drift.
+# ---------------------------------------------------------------------------
+
+_TTEST_EXPRS: tuple[tuple[str, str], ...] = (
+    ("mean_a", "CAST(s1a AS DOUBLE) / 1000.0 / CAST(na AS DOUBLE)"),
+    ("mean_b", "CAST(s1b AS DOUBLE) / 1000.0 / CAST(nb AS DOUBLE)"),
+    ("var_a",
+     "(CAST(s2a AS DOUBLE) / 1000000.0 - CAST(na AS DOUBLE) * mean_a * mean_a)"
+     " / (CAST(na AS DOUBLE) - 1)"),
+    ("var_b",
+     "(CAST(s2b AS DOUBLE) / 1000000.0 - CAST(nb AS DOUBLE) * mean_b * mean_b)"
+     " / (CAST(nb AS DOUBLE) - 1)"),
+    ("se2", "var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE)"),
+    ("t_stat", "(mean_a - mean_b) / sqrt(se2)"),
+    ("welch_df",
+     "se2 * se2 / ("
+     "(var_a / CAST(na AS DOUBLE)) * (var_a / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)"
+     " + (var_b / CAST(nb AS DOUBLE)) * (var_b / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1))"),
+)
+
+
+@register(
+    "analytic_welch_ttest",
+    f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    s AS (
+      SELECT
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS na,
+        sum(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END)::BIGINT AS s1a,
+        sum(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END)::BIGINT AS s2a,
+        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        sum(CASE WHEN event_type = 'error' THEN x ELSE 0 END)::BIGINT AS s1b,
+        sum(CASE WHEN event_type = 'error' THEN x * x ELSE 0 END)::BIGINT AS s2b
+      FROM v
+    ),
+    m AS (SELECT *, {_TTEST_EXPRS[0][1]} AS mean_a, {_TTEST_EXPRS[1][1]} AS mean_b FROM s),
+    vv AS (SELECT *, {_TTEST_EXPRS[2][1]} AS var_a, {_TTEST_EXPRS[3][1]} AS var_b FROM m),
+    se AS (SELECT *, {_TTEST_EXPRS[4][1]} AS se2 FROM vv)
+    SELECT na AS n_a, nb AS n_b, mean_a, mean_b,
+           {_TTEST_EXPRS[5][1]} AS t_stat,
+           {_TTEST_EXPRS[6][1]} AS welch_df
+    FROM se
+    """,
+    doc="Welch's unequal-variance t-test (purchase vs error event values): "
+        "the A/B-test / distribution-drift significance primitive. ONE "
+        "conditional-aggregate pass produces exact integer-quantized power "
+        "sums (map-side combinable, mergeable across batches); mean/var/"
+        "t/df derive from shared expression strings both engines run "
+        "verbatim (the sketch_moments device), so doubles are bit-identical."
+        " Welch-Satterthwaite df; sample (n-1) variances",
+)
+def analytic_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 1000).cast("long")
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "error"
+    s = (
+        events.filter(F.col("event_type").isin("purchase", "error"))
+        .select("event_type", x.alias("x"))
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(is_a, F.col("x")).otherwise(0)).cast("long").alias("s1a"),
+            F.sum(F.when(is_a, F.expr("x * x")).otherwise(0)).cast("long").alias("s2a"),
+            F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("nb"),
+            F.sum(F.when(is_b, F.col("x")).otherwise(0)).cast("long").alias("s1b"),
+            F.sum(F.when(is_b, F.expr("x * x")).otherwise(0)).cast("long").alias("s2b"),
+        )
+    )
+    for name, expr in _TTEST_EXPRS:
+        s = s.withColumn(name, F.expr(expr))
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "mean_a",
+        "mean_b",
+        "t_stat",
+        "welch_df",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction (Liben-Nowell & Kleinberg CIKM'03) over the same
+# key-derived graph as graph_triangle_count: the related-item/"you may know"
+# primitive, with the wedge expansion degree-capped (the capped-LSH
+# discipline) so hub nodes can never explode sum(degree^2).
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_jaccard_linkpred",
+    """
+    WITH und AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    adj AS (SELECT a AS n, b AS m FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+    keep AS (SELECT n FROM deg WHERE deg <= 100),
+    capped AS (
+      SELECT adj.n, adj.m FROM adj
+      JOIN keep k1 ON k1.n = adj.n
+      JOIN keep k2 ON k2.n = adj.m
+    ),
+    cdeg AS (SELECT n, count(*) AS deg FROM capped GROUP BY n),
+    common AS (
+      SELECT l.m AS node_a, r.m AS node_b, count(*)::BIGINT AS n_common
+      FROM capped l JOIN capped r ON l.n = r.n AND l.m < r.m
+      GROUP BY l.m, r.m HAVING count(*) >= 2
+    ),
+    cand AS (
+      SELECT c.* FROM common c
+      LEFT JOIN und ON und.a = c.node_a AND und.b = c.node_b
+      WHERE und.a IS NULL
+    )
+    SELECT c.node_a, c.node_b, c.n_common,
+           c.n_common / (da.deg + db.deg - c.n_common) AS jaccard
+    FROM cand c
+    JOIN cdeg da ON da.n = c.node_a
+    JOIN cdeg db ON db.n = c.node_b
+    """,
+    doc="Jaccard link prediction over the key-derived graph: non-adjacent "
+        "pairs scored by |N(a) n N(b)| / |N(a) u N(b)| (>= 2 common "
+        "neighbors). Wedge expansion is degree-capped at 100 (hubs removed "
+        "from the subgraph BEFORE expansion, degrees recomputed on the "
+        "capped world so denominators stay consistent) — sum(degree^2) is "
+        "bounded at any scale, the same discipline as the capped-LSH dedup "
+        "paths",
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import jaccard_link_prediction
+
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_custkey") % 400).alias("src"),
+        (F.col("o_orderkey") % 400).alias("dst"),
+    )
+    return jaccard_link_prediction(edges, max_degree=100, min_common=2)
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data semantics, value-checked: append-mode tumbling windows
+# finalize when the watermark passes their end; a replay that arrives AFTER
+# finalization must be dropped, not double-counted. Batch 1 (forced via
+# maxFilesPerTrigger=1) advances the watermark; batch 2 replays half the
+# corpus with event times BELOW it (dropped) plus an on-time slice and a
+# far-future sentinel that flushes every real window before availableNow
+# terminates (the stream_outer_interval_join device). The oracle counts
+# exactly the surviving rows — if the engine failed to drop the late
+# replays, the h1 window would double-count and hash-mismatch.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_late_data_metrics",
+    """
+    WITH b1 AS (SELECT event_id % 4 AS h, event_type FROM events),
+    b2_ontime AS (SELECT 5 AS h, event_type FROM events WHERE event_id % 2 = 1),
+    survived AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2_ontime)
+    SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 HOUR * h AS window_start,
+           event_type, count(*) AS n
+    FROM survived GROUP BY 1, 2
+    """,
+    doc="append-mode watermark late-data accounting: batch 1 places every "
+        "event at T0+(id%4)h (watermark advances to T0+2.5h with a 30min "
+        "delay); batch 2 sends odd ids on time at T0+5h (and gives the "
+        "lagged watermark a batch to take effect — Spark's late-row filter "
+        "in batch N uses the watermark computed from batches <= N-2, "
+        "measured on 4.1.2 via numRowsDroppedByWatermark); batch 3 replays "
+        "all even ids LATE at T0+1h — their window [1h,2h) is finalized, so "
+        "they are DROPPED — plus a far-future sentinel that flushes every "
+        "real window before availableNow terminates. The oracle counts only "
+        "the survivors: any double-count of the 5000-row late replay flips "
+        "the h1 window. This is the exactly-once-per-window contract a "
+        "100 TB streaming aggregation runs on",
+)
+def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    b1 = ev.select(
+        "event_id",
+        "event_type",
+        (t0 + F.make_interval(hours=(F.col("event_id") % 4).cast("int"))).alias("ts"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(f"{base}/in")
+    ontime = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", (t0 + F.make_interval(hours=F.lit(5))).alias("ts")
+    )
+    ontime.coalesce(1).write.mode("append").parquet(f"{base}/in")
+    late = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", (t0 + F.make_interval(hours=F.lit(1))).alias("ts")
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("zz_sentinel").alias("event_type"),
+        (t0 + F.make_interval(hours=F.lit(1000))).alias("ts"),
+    )
+    late.unionByName(sentinel).coalesce(1).write.mode("append").parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .filter(F.col("event_type") != "zz_sentinel")
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection: the shot-boundary pass of a video-curation
+# pipeline (sample frames per shot, not per file). Python only for the real
+# RIFF/MJPEG decode (Arrow kernel); the detection itself is a JVM-side lag
+# window over per-frame means — cut when consecutive means jump > threshold.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_video_scene_cuts",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    fr AS (SELECT unnest([0, 1, 2, 3]) AS f),
+    m AS (
+      SELECT doc_id, fr.f,
+             sum(ascii(substr(hx, fr.f * 8 + u.i, 1))) / 8.0 AS mean_px
+      FROM d, fr, unnest(generate_series(1, 8)) AS u(i)
+      GROUP BY doc_id, fr.f
+    ),
+    dd AS (
+      SELECT doc_id, f,
+             abs(mean_px - lag(mean_px) OVER (PARTITION BY doc_id ORDER BY f)) AS jump
+      FROM m
+    )
+    SELECT doc_id AS media_id, count(*)::INT AS n_frames,
+           sum(CASE WHEN jump > 8.0 THEN 1 ELSE 0 END)::INT AS n_cuts,
+           CAST(coalesce(min(CASE WHEN jump > 8.0 THEN f END), -1) AS INT) AS first_cut_idx
+    FROM dd GROUP BY doc_id
+    """,
+    doc="video scene-cut detection through the REAL container+codec path "
+        "(RIFF walk -> 4 MJPEG frames -> baseline JPEG decode): per-frame "
+        "brightness means from the Arrow kernel, then a JVM-side "
+        "media-partitioned lag window flags frame-to-frame jumps > 8 gray "
+        "levels — shot boundaries for per-shot frame sampling. Means are "
+        "integer-sums/8 (exact eighths), so the threshold compare is "
+        "bit-identical in both engines; window is per-media, never global",
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_avi_media_table(docs, "doc_id", "text", n_frames=4)
+    feats = M.extract_video_frame_features(media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    jump = F.abs(F.col("mean_px") - F.lag("mean_px").over(w))
+    return (
+        feats.withColumn("jump", jump)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("int").alias("n_frames"),
+            F.sum(F.when(F.col("jump") > 8.0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("jump") > 8.0, F.col("frame_idx"))), F.lit(-1)
+            ).cast("int").alias("first_cut_idx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 6).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
