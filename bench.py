@@ -116,6 +116,9 @@ HEADLINE = [
     "mm_video_scene_cuts",        # RIFF/MJPEG decode + lag-window shot bounds
     "sample_epoch_shuffle",       # zero-RNG per-epoch training permutations
     "analytic_welch_ttest",       # one-pass A/B significance (shared exprs)
+    "mm_audio_vad",               # WAV decode + energy gate + islands
+    "stream_cdc_snapshot_bootstrap",  # op='r' snapshot seeds an EMPTY store
+    "analytic_ewma_smoothing",    # ordered-fold sequential smoothing
 ]
 
 

@@ -585,6 +585,41 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
+AUDIO_FRAME_SCHEMA = "media_id long, frame_idx int, energy_sum long"
+
+
+def extract_audio_frames(media: DataFrame, frame_size: int = 8) -> DataFrame:
+    """Per-frame energy through the real WAV decode: the RIFF chunk walk +
+    PCM decode runs in the Arrow kernel, emitting one row per
+    ``frame_size``-sample frame with the EXACT integer energy sum
+    (sum of squared samples) — everything downstream (thresholding,
+    segmentation) stays JVM-side and SQL-checkable. Ragged tails are
+    dropped (whole frames only), matching the usual hop-aligned framing."""
+    from etl_consumer_spark.extensions.audio import decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, samples = decode_wav(bytes(row["blob"]))
+                n = (len(samples) // frame_size) * frame_size
+                fr = samples[:n].astype(np.int64).reshape(-1, frame_size)
+                for i, e in enumerate((fr * fr).sum(axis=1)):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "energy_sum": int(e),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "energy_sum"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, AUDIO_FRAME_SCHEMA
+    )
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401

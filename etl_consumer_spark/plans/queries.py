@@ -10157,6 +10157,238 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio VAD segmentation: the speech-curation pass (keep voiced segments,
+# drop silence/noise) — frame energies through the real WAV decode, then a
+# JVM-side energy gate + gaps-and-islands segmentation. PCM is lossless and
+# energies are exact integer sums, so the oracle replays the whole chain.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_audio_vad",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    fr AS (SELECT unnest([0, 1, 2, 3]) AS f),
+    e AS (
+      SELECT doc_id, fr.f,
+             sum((ascii(substr(hx, fr.f * 8 + u.i, 1)) - 77)
+                 * (ascii(substr(hx, fr.f * 8 + u.i, 1)) - 77)) AS energy
+      FROM d, fr, unnest(generate_series(1, 8)) AS u(i)
+      GROUP BY doc_id, fr.f
+    ),
+    act AS (SELECT doc_id, f FROM e WHERE energy > 4400),
+    isl AS (
+      SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM act
+    ),
+    runs AS (SELECT doc_id, grp, count(*) AS run_len FROM isl GROUP BY doc_id, grp)
+    SELECT d.doc_id AS media_id, 4::INT AS n_frames,
+           coalesce(sum(r.run_len), 0)::INT AS n_active,
+           count(r.grp)::INT AS n_segments,
+           coalesce(max(r.run_len), 0)::INT AS longest_run
+    FROM d LEFT JOIN runs r ON r.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="audio VAD segmentation through the REAL RIFF/WAVE decode: per-frame "
+        "EXACT integer energy sums (8-sample frames) from the Arrow kernel, "
+        "then a JVM-side energy gate (> 4400) and gaps-and-islands "
+        "segmentation (media-partitioned windows) — voiced-segment counts "
+        "and longest run per clip, the keep/drop pass of a speech-data "
+        "pipeline. Python touches bytes only inside the decode kernel",
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_wav_media_table(docs, "doc_id", "text")
+    frames = M.extract_audio_frames(media, frame_size=8)
+    act = frames.filter(F.col("energy_sum") > 4400)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = (
+        act.withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    per = runs.groupBy("media_id").agg(
+        F.sum("run_len").cast("int").alias("n_active"),
+        F.count("*").cast("int").alias("n_segments"),
+        F.max("run_len").cast("int").alias("longest_run"),
+    )
+    return base.join(per, "media_id", "left").select(
+        "media_id",
+        F.lit(4).cast("int").alias("n_frames"),
+        F.coalesce("n_active", F.lit(0)).cast("int").alias("n_active"),
+        F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+        F.coalesce("longest_run", F.lit(0)).cast("int").alias("longest_run"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot bootstrap -> incremental switch: Debezium's initial-snapshot
+# phase emits op='r' read events (before NULL, after = row, snapshot=true)
+# before the binlog stream begins. The pipeline classifies by before/after
+# nullness exactly like the reference (main.go:139-168 — op is never
+# consulted), so the SAME code path bootstraps an EMPTY store from the
+# snapshot and then applies the incremental tail — no separate backfill job.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_cdc_snapshot_bootstrap",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 1
+    """,
+    doc="Debezium initial-snapshot bootstrap e2e: batch 1 streams op='r' "
+        "snapshot envelopes (snapshot=true) into an EMPTY partitioned store "
+        "— no seeding, the snapshot IS the seed; batch 2 streams the "
+        "incremental binlog tail (updates %3==0, deletes %3==1) through the "
+        "same pipeline. Final state value-checked. Classification is by "
+        "before/after nullness (the reference ignores op, main.go:139-168), "
+        "so snapshot reads apply as inserts with zero special-casing",
+)
+def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    img_t = "struct<o_orderkey:long,o_totalprice:double>"
+    row_img = F.struct("o_orderkey", "o_totalprice")
+    upd_img = F.struct(
+        F.col("o_orderkey"), (F.col("o_totalprice") + 500.0).alias("o_totalprice")
+    )
+
+    def env(before, after, op, pos, snapshot):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.struct(
+                        F.lit("srv").alias("name"),
+                        F.lit("db0").alias("db"),
+                        F.lit("orders").alias("table"),
+                        pos.alias("pos"),
+                        F.lit(0).alias("row"),
+                        F.lit(snapshot).alias("snapshot"),
+                    ).alias("source"),
+                    F.lit(op).alias("op"),
+                    F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("payload")
+            )
+        )
+
+    def transport(value):
+        return F.struct(
+            F.lit("srv.db0.orders").alias("topic"),
+            value.cast("binary").alias("value"),
+            F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_snap_")
+    # batch 1: the initial snapshot — op='r', before NULL, every row
+    snap = orders.select(
+        transport(
+            env(F.lit(None).cast(img_t), row_img, "r", F.lit(0), "true")
+        ).alias("r")
+    ).select("r.*")
+    snap.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    # batch 2: the incremental tail — updates and deletes
+    upd = orders.filter(k % 3 == 0).select(
+        transport(env(row_img, upd_img, "u", k, "false")).alias("r")
+    ).select("r.*")
+    dele = orders.filter(k % 3 == 1).select(
+        transport(env(row_img, F.lit(None).cast(img_t), "d", k, "false")).alias("r")
+    ).select("r.*")
+    upd.unionByName(dele).coalesce(1).write.mode("append").parquet(f"{base}/transport")
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
+    fields = [
+        WireField("o_orderkey", "int64"),
+        WireField("o_totalprice", "float64"),
+    ]
+    store = PartitionedParquetStateStore(spark, f"{base}/state")
+    # EMPTY init: schema only — the snapshot itself is the bootstrap
+    store.init("orders", orders.limit(0), ["o_orderkey"])
+    pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
+    q = pipe.start(
+        file_envelope_stream(spark, f"{base}/transport", max_files_per_trigger=1),
+        checkpoint_dir=f"{base}/ckpt",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    return store.read("orders").select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# EWMA per series via ORDERED folds: exponential smoothing is inherently
+# sequential (s_i = a*v_i + (1-a)*s_{i-1}), so both engines run the
+# IDENTICAL left fold over the identically-ordered per-user series — Spark
+# aggregate() seeded with the first element, DuckDB list_reduce (which
+# seeds with the first element by definition). alpha = 0.25 is an exact
+# binary fraction, so the only float ops are identically-ordered mul/add.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_ewma_smoothing",
+    """
+    WITH s AS (
+      SELECT user_id, count(*) AS n_events,
+             list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           list_reduce(vs, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma_final
+    FROM s
+    """,
+    doc="per-user EWMA (alpha=0.25) over the event-value series: the "
+        "sequential smoothing recurrence as an ORDERED in-memory fold per "
+        "series — one shuffle on user_id, series sorted by (ts, event_id) "
+        "for a total order, fold runs inside the executor. The "
+        "trend-following smoother of monitoring/forecasting pipelines; at "
+        "100 TB the per-series state is one double, mergeable by "
+        "re-folding window tails",
+)
+def analytic_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), arr.alias("a")
+    )
+    return (
+        g.withColumn("vs", F.expr("transform(a, x -> x.v)"))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), "
+                "(acc, v) -> 0.25D * v + 0.75D * acc)"
+            ).alias("ewma_final"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 6).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

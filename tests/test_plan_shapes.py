@@ -271,3 +271,67 @@ def test_entropy_mi_broadcasts_marginals(spark):
     plan = _plan(spark, "analytic_entropy_mi")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_windows_are_shard_partitioned(spark):
+    """Every epoch-shuffle window must partition by (epoch, shard): an
+    unpartitioned hkey window would serialize the whole corpus through one
+    task at 100 TB."""
+    import re
+
+    plan = _plan(spark, "sample_epoch_shuffle")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in spec and "epoch" in spec, f"unpartitioned window: {spec}"
+
+
+def test_bpe_pair_counts_have_map_side_partials(spark):
+    """BPE pair counting must plan partial aggregation (map-side combine)
+    before the (l, r) shuffle: symbol adjacencies collapse to the
+    pair-vocabulary per partition before any data moves."""
+    from etl_consumer_spark.extensions.text_analysis import bpe_learn  # noqa: F401
+    from etl_consumer_spark.sources.tables import load_table
+    from pyspark.sql import functions as SF
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = (
+        docs.select(SF.explode(SF.split(SF.lower(SF.col("text")), "[^a-z]+")).alias("word"))
+        .filter(SF.length("word") >= 2)
+        .groupBy("word")
+        .agg(SF.count("*").cast("long").alias("freq"))
+        .withColumn("seq", SF.concat(SF.lit(" "), SF.regexp_replace(SF.col("word"), "(.)", "$1 ")))
+        .withColumn("syms", SF.split(SF.trim(SF.col("seq")), " "))
+        .filter(SF.size("syms") >= 2)
+        .select(
+            SF.explode(
+                SF.expr("transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS l, syms[i+1] AS r))")
+            ).alias("pr"),
+            "freq",
+        )
+        .groupBy(SF.col("pr.l").alias("l"), SF.col("pr.r").alias("r"))
+        .agg(SF.sum("freq").alias("cnt"))
+    )
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), (
+        "pair counting must combine map-side before the shuffle"
+    )
+
+
+def test_linkpred_no_cartesian_and_vad_windows_partitioned(spark):
+    """Link prediction must never plan a cartesian product (the wedge join
+    is an equi-join on the capped center); VAD segmentation windows must be
+    media-partitioned."""
+    import re
+
+    plan = _plan(spark, "graph_jaccard_linkpred")
+    assert "CartesianProduct" not in plan
+    plan = _plan(spark, "mm_audio_vad")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "media_id" in spec, f"unpartitioned VAD window: {spec}"
+
+
+def test_scene_cut_windows_media_partitioned(spark):
+    import re
+
+    plan = _plan(spark, "mm_video_scene_cuts")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "media_id" in spec, f"unpartitioned scene-cut window: {spec}"

