@@ -119,6 +119,13 @@ HEADLINE = [
     "mm_audio_vad",               # WAV decode + energy gate + islands
     "stream_cdc_snapshot_bootstrap",  # op='r' snapshot seeds an EMPTY store
     "analytic_ewma_smoothing",    # ordered-fold sequential smoothing
+    "analytic_cusum_changepoint", # integer CUSUM drift alarms (struct fold)
+    "dedup_lsh_band_sweep",       # b/r tuning: one signature build, 3 bandings
+    "text_sentence_split",        # RE2-safe sentence segmentation stats
+    "mm_image_hist_equalize",     # exact integer CDF remap through PPM decode
+    "sample_weighted_reservoir",  # A-Res zero-RNG weighted sampling
+    "graph_kcore_peel",           # bounded k-core density filter
+    "cdc_log_compaction",         # compacted-topic view, tombstones kept
 ]
 
 

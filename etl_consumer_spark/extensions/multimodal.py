@@ -620,6 +620,55 @@ def extract_audio_frames(media: DataFrame, frame_size: int = 8) -> DataFrame:
     )
 
 
+EQUALIZE_SCHEMA = "media_id long, n_px long, n_levels int, sum_eq long, eq_md5 string"
+
+
+def equalize_images(media: DataFrame) -> DataFrame:
+    """Histogram equalization through the real decode: the classic exact
+    integer mapping h(v) = (cdf(v) - cdf_min) * 255 // (n - cdf_min)
+    (floor division — no floats anywhere), applied per image. Returns the
+    equalized pixel SUM and an md5 over the equalized sequence in pixel
+    order, so a SQL oracle can verify the remap bit-for-bit. Flat images
+    (one level) map to 0 by convention."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, flat = _decode_gray_and_flat(row)
+                flat = flat.astype(np.int64)
+                vals, counts = np.unique(flat, return_counts=True)
+                cdf = counts.cumsum()
+                n = int(flat.size)
+                cdf_min = int(cdf[0])
+                if n == cdf_min:
+                    eq_of = {int(vals[0]): 0}
+                else:
+                    eq = (cdf - cdf_min) * 255 // (n - cdf_min)
+                    eq_of = {int(v): int(e) for v, e in zip(vals, eq)}
+                eq_seq = [eq_of[int(v)] for v in flat]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_px": n,
+                        "n_levels": int(len(vals)),
+                        "sum_eq": int(sum(eq_seq)),
+                        "eq_md5": hashlib.md5(
+                            ",".join(str(e) for e in eq_seq).encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_px", "n_levels", "sum_eq", "eq_md5"]
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+        kernel, EQUALIZE_SCHEMA
+    )
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401

@@ -174,3 +174,166 @@ def test_ewma_matches_recurrence(spark):
         F.expr("aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), (acc, v) -> 0.25D * v + 0.75D * acc)").alias("s")
     ).collect()[0]["s"]
     assert out2 == 5.0
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """A series that jumps from ~0 to a sustained high level must alarm;
+    the statistic must match a direct Python replay of the recurrence."""
+    vals = [0.0] * 20 + [10.0] * 10  # shift at i=20
+    ev = spark.createDataFrame(
+        [(i, 1, f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts_s string, value double",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    x = F.round(F.col("value") * 1000).cast("long")
+    arr = F.array_sort(F.collect_list(F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"), x.alias("v"))))
+    g = ev.groupBy("user_id").agg(arr.alias("a"), F.floor(F.sum(x) / F.count("*").cast("double")).cast("long").alias("mu"))
+    fold = (
+        "aggregate(vs, struct(0L AS s, 0L AS m), "
+        "(acc, x) -> struct(greatest(0L, acc.s + x - mu - 500L), "
+        "greatest(acc.m, greatest(0L, acc.s + x - mu - 500L))), acc -> acc.m)"
+    )
+    got = g.withColumn("vs", F.expr("transform(a, p -> p.v)")).select(F.expr(fold).alias("m"), "mu").collect()[0]
+    # python replay
+    xs = [round(v * 1000) for v in vals]
+    mu = int(np.floor(sum(xs) / len(xs)))
+    s = m = 0
+    for v in xs:
+        s = max(0, s + v - mu - 500)
+        m = max(m, s)
+    assert got["mu"] == mu and got["m"] == m
+    assert m > 5000  # the planted shift alarms
+
+
+def test_band_sweep_recall_monotone(spark):
+    """More bands (shorter rows) must capture at least as many candidate
+    pairs before the cap, and the theoretical capture probability at s=0.8
+    must be monotone increasing in b."""
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    rows = {
+        r["bands"]: r
+        for r in QUERIES["dedup_lsh_band_sweep"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows[2]["p_capture_at_08"] < rows[4]["p_capture_at_08"] < rows[8]["p_capture_at_08"]
+    # measured candidates grow with band count on the synthetic near-dup corpus
+    assert rows[2]["n_candidates"] <= rows[4]["n_candidates"] <= rows[8]["n_candidates"]
+
+
+def test_sentence_split_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "One two. Three four five! Six?  Seven eight nine ten."),
+         (2, "No terminal punctuation here")],
+        "doc_id long, text string",
+    )
+    from etl_consumer_spark.plans import queries as Q
+
+    sents = F.expr(r"filter(split(text, '[.!?]+\\s+'), x -> length(trim(x)) > 0)")
+    out = {r["doc_id"]: r for r in docs.select("doc_id", sents.alias("s")).collect()}
+    assert [s.strip() for s in out[1]["s"]][:3] == ["One two", "Three four five", "Six"]
+    assert len(out[1]["s"]) == 4
+    assert len(out[2]["s"]) == 1
+
+
+def test_hist_equalize_matches_numpy(spark):
+    """The registered query's kernel vs a direct numpy equalization on the
+    same synthesized rasters."""
+    import hashlib
+
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    got = {
+        r["media_id"]: r
+        for r in QUERIES["mm_image_hist_equalize"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for _, d in docs.head(25).iterrows():
+        hx = hashlib.md5(d.text.encode()).hexdigest()
+        w = 8 + len(d.text) % 8
+        ras = (hx * 6)[: w * 12]
+        flat = np.array([ord(c) for c in ras], dtype=np.int64)
+        vals, counts = np.unique(flat, return_counts=True)
+        cdf = counts.cumsum()
+        n, cdf_min = flat.size, int(cdf[0])
+        eq = (cdf - cdf_min) * 255 // (n - cdf_min)
+        eq_of = {int(v): int(e) for v, e in zip(vals, eq)}
+        seq = [eq_of[int(v)] for v in flat]
+        r = got[d.doc_id]
+        assert r["n_px"] == n and r["sum_eq"] == sum(seq)
+        assert r["eq_md5"] == hashlib.md5(",".join(map(str, seq)).encode()).hexdigest()
+
+
+def test_kcore_peel_matches_reference(spark):
+    """3-round peel toward the 4-core vs a direct Python peel on a crafted
+    graph: a 5-clique (degree 4 everywhere — survives) with a pendant path
+    (peels away)."""
+    import itertools
+    from collections import defaultdict
+
+    E = list(itertools.combinations(range(5), 2))  # 5-clique survives
+    E += [(4, 5), (5, 6), (6, 7)]  # pendant path peels
+    edges = spark.createDataFrame(E, "a long, b long")
+    und = edges.selectExpr("a AS n", "b AS m").unionAll(edges.selectExpr("b", "a"))
+    cur = und.localCheckpoint(eager=True)
+    for _ in range(3):
+        deg = cur.groupBy("n").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= 4).select("n")
+        cur = (
+            cur.join(keep, "n", "left_semi")
+            .join(keep.selectExpr("n AS m"), "m", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    got = {r["n"]: r["cnt"] for r in cur.groupBy("n").agg(F.count("*").alias("cnt")).collect()}
+    # python peel
+    adj = defaultdict(set)
+    for a, b in E:
+        adj[a].add(b); adj[b].add(a)
+    for _ in range(3):
+        keep = {n for n, ns in adj.items() if len(ns) >= 4}
+        adj = {n: ns & keep for n, ns in adj.items() if n in keep}
+    want = {n: len(ns) for n, ns in adj.items() if ns}
+    assert got == want
+    assert set(got) == set(range(5))  # exactly the clique survives
+
+
+def test_weighted_reservoir_favors_heavy_items(spark):
+    """A-Res inclusion must skew toward heavy weights: give one item a
+    weight 1000x the rest and it must always be selected; selection is
+    deterministic across runs."""
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    a = QUERIES["sample_weighted_reservoir"].fn(spark, "/root/testdata/sf0.01").collect()
+    b = QUERIES["sample_weighted_reservoir"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert a == b  # zero RNG
+    assert len(a) == 32
+    # statistical skew: the selected docs' mean weight exceeds the corpus mean
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    sel_mean = sum(r["weight"] for r in a) / len(a)
+    assert sel_mean > docs.n_chars.mean()
+
+
+def test_log_compaction_preserves_tombstones(spark):
+    """Compaction keeps the LATEST record per key including delete markers
+    — the state apply's materialized view must equal compaction with
+    tombstones dropped."""
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    comp = QUERIES["cdc_log_compaction"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    # %2==1 keys whose delete is the last event -> tombstone preserved
+    tomb = comp[comp.last_op == "delete"]
+    assert len(tomb) > 0
+    assert tomb.o_totalprice.isna().all()
+    # every key appears exactly once
+    assert comp.o_orderkey.is_unique
+    # keys hit by the late re-upsert (%8==1) end as upserts with +77
+    import pandas as pd
+
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    re_ups = comp[comp.o_orderkey % 8 == 1]
+    assert (re_ups.last_op == "upsert").all()
+    merged = re_ups.merge(orders, on="o_orderkey")
+    assert ((merged.o_totalprice_x - merged.o_totalprice_y - 77.0).abs() < 1e-9).all()
