@@ -10842,6 +10842,170 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DDL-completeness e2e records (complementing stream_cdc_add_column): DROP
+# COLUMN and CHANGE/RENAME COLUMN mid-stream through the full pipeline —
+# the remaining C7 shapes, each verifying state evolution + wire-field
+# re-binding + post-DDL DML landing, value-exact.
+# ---------------------------------------------------------------------------
+
+def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_cols):
+    """Shared harness for mid-stream-DDL e2e records: batch 1 inserts on the
+    OLD 3-column schema (o_orderkey, o_totalprice, o_note); batch 2 opens
+    with ``ddl_sql`` (applied first within the batch, the reference's
+    pause->exec->resume) and then streams updates shaped by
+    ``b2_after_builder`` on the NEW schema for keys %3==0 and %2==0."""
+    import json
+    import tempfile
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    old_t = "struct<o_orderkey:long,o_totalprice:double,o_note:string>"
+    note = F.concat(F.lit("n"), k.cast("string"))
+    old_row = F.struct(F.col("o_orderkey"), F.col("o_totalprice"), note.alias("o_note"))
+
+    def env(before, after, pos):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    before.alias("before"),
+                    after.alias("after"),
+                    F.struct(
+                        F.lit("srv").alias("name"), F.lit("db0").alias("db"),
+                        F.lit("orders").alias("table"), pos.alias("pos"),
+                        F.lit(0).alias("row"),
+                    ).alias("source"),
+                    F.lit("c").alias("op"), F.lit(0).cast("long").alias("ts_ms"),
+                ).alias("payload")
+            )
+        )
+
+    def transport(topic, value):
+        return F.struct(
+            topic.alias("topic"),
+            value.cast("binary").alias("value"),
+            F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_ddl_e2e_")
+    b1 = orders.filter(k % 3 == 0).select(
+        transport(F.lit("srv.db0.orders"), env(F.lit(None).cast(old_t), old_row, F.lit(1))).alias("r")
+    ).select("r.*")
+    b1.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    ddl_json = json.dumps(
+        {
+            "payload": {
+                "source": {"name": "srv", "db": "db0", "table": "orders"},
+                "databaseName": "db0",
+                "ddl": ddl_sql,
+            }
+        }
+    )
+    ddl_row = spark.range(1).select(
+        transport(F.lit("srv"), F.lit(ddl_json)).alias("r")
+    ).select("r.*")
+    new_before, new_after = b2_after_builder(k, note)
+    upd2 = orders.filter((k % 3 == 0) & (k % 2 == 0)).select(
+        transport(F.lit("srv.db0.orders"), env(new_before, new_after, F.lit(2))).alias("r")
+    ).select("r.*")
+    ddl_row.unionByName(upd2).coalesce(1).write.mode("append").parquet(f"{base}/transport")
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
+    fields = [
+        WireField("o_orderkey", "int64"),
+        WireField("o_totalprice", "float64"),
+        WireField("o_note", "string"),
+    ]
+    store = PartitionedParquetStateStore(spark, f"{base}/state")
+    store.init(
+        "orders",
+        spark.createDataFrame([], "o_orderkey long, o_totalprice double, o_note string"),
+        ["o_orderkey"],
+    )
+    pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
+    q = pipe.start(
+        file_envelope_stream(spark, f"{base}/transport", max_files_per_trigger=1),
+        checkpoint_dir=f"{base}/ckpt",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    return store.read("orders").select(*select_cols)
+
+
+@register(
+    "stream_cdc_drop_column",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="mid-stream DROP COLUMN e2e: batch 1 inserts on the 3-column "
+        "schema; batch 2 opens with ALTER TABLE DROP COLUMN o_note (applied "
+        "first, the reference's pause->exec->resume) and streams updates on "
+        "the NARROWED schema — state rewritten without the column, "
+        "wire-field binding re-bound (a stale binding would decode a "
+        "now-absent field), post-DDL DML lands value-exact",
+)
+def stream_cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def b2(k, note):
+        t = "struct<o_orderkey:long,o_totalprice:double>"
+        before = F.struct(F.col("o_orderkey"), F.col("o_totalprice")).cast(t)
+        after = F.struct(
+            F.col("o_orderkey"), (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+        ).cast(t)
+        return before, after
+
+    return _cdc_ddl_e2e(
+        spark, sf_dir,
+        "ALTER TABLE `db0`.`orders` DROP COLUMN o_note",
+        None, b2, ["o_orderkey", "o_totalprice"],
+    )
+
+
+@register(
+    "stream_cdc_rename_column",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_amount,
+           'n' || CAST(o_orderkey AS VARCHAR) AS o_note
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="mid-stream CHANGE/RENAME COLUMN e2e: batch 2 opens with MySQL "
+        "ALTER TABLE CHANGE COLUMN o_totalprice o_amount DOUBLE (translated "
+        "to RENAME COLUMN — same-name CHANGE would be a type alter) and "
+        "streams updates carrying the NEW field name — state column "
+        "renamed, wire binding follows the rename, post-DDL DML lands",
+)
+def stream_cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def b2(k, note):
+        t = "struct<o_orderkey:long,o_amount:double,o_note:string>"
+        before = F.struct(
+            F.col("o_orderkey"), F.col("o_totalprice").alias("o_amount"), note.alias("o_note")
+        ).cast(t)
+        after = F.struct(
+            F.col("o_orderkey"),
+            (F.col("o_totalprice") + 1000.0).alias("o_amount"),
+            note.alias("o_note"),
+        ).cast(t)
+        return before, after
+
+    return _cdc_ddl_e2e(
+        spark, sf_dir,
+        "ALTER TABLE `db0`.`orders` CHANGE COLUMN o_totalprice o_amount DOUBLE",
+        None, b2, ["o_orderkey", "o_amount", "o_note"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 6).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
