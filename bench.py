@@ -126,6 +126,9 @@ HEADLINE = [
     "sample_weighted_reservoir",  # A-Res zero-RNG weighted sampling
     "graph_kcore_peel",           # bounded k-core density filter
     "cdc_log_compaction",         # compacted-topic view, tombstones kept
+    "sim_binary_hamming_topk",    # 8-byte sign codes, XOR+popcount scan
+    "text_langid_confusion",      # classifier eval vs corpus labels
+    "sample_split_leakage_check", # cross-split near-dup QA gate
 ]
 
 

@@ -11006,6 +11006,207 @@ def stream_cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Binary-embedding Hamming search: sign-binarize each vector into two
+# 32-bit codes (one long fold each), then exhaustive popcount Hamming
+# top-k for a fixed query set — the memory end-point of embedding
+# compression (64 dims -> 8 bytes), where exhaustive search is CHEAP
+# enough that no index is needed until extreme scale.
+# ---------------------------------------------------------------------------
+
+_BINCODE_SQL = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(embedding[{a}:{b}], x -> CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc * 2 + CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+)
+
+
+@register(
+    "sim_binary_hamming_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id, {_BINCODE_SQL.format(a=1, b=32)} AS hi,
+             {_BINCODE_SQL.format(a=33, b=64)} AS lo
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, hi AS qhi, lo AS qlo FROM c WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             bit_count(xor(c.hi, q.qhi)) + bit_count(xor(c.lo, q.qlo)) AS hd
+      FROM c, q WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, hd,
+             row_number() OVER (PARTITION BY q_id ORDER BY hd ASC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id AS query_id, vec_id AS neighbor_id, CAST(hd AS INT) AS hamming, rnk AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="binary-embedding search: sign-binarize 64 dims into two 32-bit "
+        "codes (in-order acc*2+bit folds — every intermediate exact), then "
+        "exhaustive Hamming top-3 via XOR+popcount for a fixed 10-query "
+        "set. 8 bytes/vector in flight: at 1e9 vectors the whole code table "
+        "is 8 GB — scan-search with NO index is the point of binary "
+        "embeddings; ties break on neighbor id",
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def half(start: int):
+        return F.expr(
+            f"aggregate(slice(embedding, {start}, 32), 0L, "
+            "(acc, v) -> acc * 2L + IF(v >= 0, 1L, 0L))"
+        )
+
+    codes = emb.select(
+        "vec_id", half(1).alias("hi"), half(33).alias("lo")
+    )
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("hi").alias("qhi"), F.col("lo").alias("qlo")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+                + F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+            ).alias("hd"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("hd").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("hd").cast("int").alias("hamming"),
+            F.col("rnk").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: the confusion matrix of the registered heuristic
+# against the corpus labels — composed from the registered query on BOTH
+# sides (the sim_ann_recall_eval device), so the eval can never drift from
+# the classifier it measures. On synthetic shuffled-vocabulary text the
+# accuracy is near-chance; the eval MEASURING that honestly is the point.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_langid_confusion",
+    None,  # assigned post-registration from the sibling oracle
+    doc="language-ID confusion matrix + per-cell counts: the registered "
+        "stopword-argmax classifier (text_quality_langid) evaluated against "
+        "the corpus lang labels — composed from the registered query on "
+        "both the Spark and oracle side, drift-proof by construction. The "
+        "QA record of a corpus-curation classifier",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = QUERIES["text_quality_langid"].fn(spark, sf_dir)
+    return (
+        g.groupBy(
+            F.col("lang").alias("true_lang"), F.col("lang_guess").alias("pred_lang")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES["text_langid_confusion"].oracle = f"""
+    WITH g AS ({QUERIES['text_quality_langid'].oracle})
+    SELECT lang AS true_lang, lang_guess AS pred_lang, count(*) AS n
+    FROM g GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage check: near-dup candidate pairs that CROSS the
+# deterministic split boundary — the QA gate run before training (a test
+# document with a train-side near-duplicate inflates eval scores). Composed
+# from the registered split rule and the capped-LSH candidate machinery.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_split_leakage_check",
+    f"""{SIG_SQL},
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    bsize AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY band, bucket),
+    kept AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM buckets b JOIN bsize s ON b.band = s.band AND b.bucket = s.bucket
+      WHERE s.n <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    spl AS (
+      SELECT doc_id,
+             CASE WHEN {_HASH_FRac_SQL.format(salt='split', key='doc_id')} < 0.8 THEN 'train'
+                  WHEN {_HASH_FRac_SQL.format(salt='split', key='doc_id')} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*)::BIGINT AS n_candidate_pairs,
+           sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)::BIGINT AS n_leaks
+    FROM cand c
+    JOIN spl sa ON sa.doc_id = c.a
+    JOIN spl sb ON sb.doc_id = c.b
+    GROUP BY 1, 2
+    """,
+    doc="train/test split leakage QA: capped-LSH near-dup candidate pairs "
+        "grouped by the split pair they land in — pairs crossing the "
+        "boundary (train,test / train,val / val,test) are evaluation "
+        "leakage a curation pipeline must resolve (move or drop) before "
+        "training. Composed from the registered deterministic split rule "
+        "and the capped-LSH machinery; same scale shape as the dedup paths",
+)
+def sample_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+    from etl_consumer_spark.extensions.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.exploded_shingles(docs), num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    cand = D.candidate_pairs(buckets, max_bucket_size=3)
+    spl = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    sa = spl.select(F.col("doc_id").alias("a"), F.col("split").alias("split_of_a"))
+    sb = spl.select(F.col("doc_id").alias("b"), F.col("split").alias("split_of_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .groupBy(
+            F.least("split_of_a", "split_of_b").alias("split_a"),
+            F.greatest("split_of_a", "split_of_b").alias("split_b"),
+        )
+        .agg(
+            F.count("*").alias("n_candidate_pairs"),
+            F.sum(
+                F.when(F.col("split_of_a") != F.col("split_of_b"), 1).otherwise(0)
+            ).cast("long").alias("n_leaks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 6).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -337,3 +337,60 @@ def test_log_compaction_preserves_tombstones(spark):
     assert (re_ups.last_op == "upsert").all()
     merged = re_ups.merge(orders, on="o_orderkey")
     assert ((merged.o_totalprice_x - merged.o_totalprice_y - 77.0).abs() < 1e-9).all()
+
+
+def test_binary_hamming_codes_match_numpy(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+    import pandas as pd
+
+    out = QUERIES["sim_binary_hamming_topk"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(r.embedding) for _, r in emb.iterrows()}
+
+    def code(v):
+        bits = (v >= 0).astype(np.int64)
+        hi = int("".join(map(str, bits[:32])), 2)
+        lo = int("".join(map(str, bits[32:64])), 2)
+        return hi, lo
+
+    def ham(a, b):
+        (h1, l1), (h2, l2) = code(a), code(b)
+        return bin(h1 ^ h2).count("1") + bin(l1 ^ l2).count("1")
+
+    for q_id in range(10):
+        want = sorted(
+            ((ham(vecs[q_id], v), i) for i, v in vecs.items() if i != q_id)
+        )[:3]
+        got = out[out.query_id == q_id].sort_values("rank")
+        assert list(got.neighbor_id) == [i for _, i in want]
+        assert list(got.hamming) == [h for h, _ in want]
+
+
+def test_langid_confusion_totals(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    conf = QUERIES["text_langid_confusion"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    base = QUERIES["text_quality_langid"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert conf.n.sum() == len(base)
+    # matrix cells agree with a pandas crosstab of the base predictions
+    import pandas as pd
+
+    want = base.groupby(["lang", "lang_guess"]).size()
+    for _, r in conf.iterrows():
+        assert want[(r.true_lang, r.pred_lang)] == r.n
+
+
+def test_split_leakage_counts_consistent(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    leak = QUERIES["sample_split_leakage_check"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    cand = QUERIES["dedup_lsh_candidates_capped"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert leak.n_candidate_pairs.sum() == len(cand)
+    # same-split rows have zero leaks; cross-split rows count every pair
+    same = leak[leak.split_a == leak.split_b]
+    cross = leak[leak.split_a != leak.split_b]
+    assert (same.n_leaks == 0).all()
+    assert (cross.n_leaks == cross.n_candidate_pairs).all()
+    # on the synthetic near-dup corpus (every 5th doc repeats) SOME pairs
+    # cross the 80/10/10 hash split
+    assert cross.n_leaks.sum() > 0
