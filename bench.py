@@ -129,6 +129,11 @@ HEADLINE = [
     "sim_binary_hamming_topk",    # 8-byte sign codes, XOR+popcount scan
     "text_langid_confusion",      # classifier eval vs corpus labels
     "sample_split_leakage_check", # cross-split near-dup QA gate
+    "analytic_autocorrelation",   # exact integer lag-k cross sums
+    "text_bpe_vocab",             # tokenizer vocab export (chars + merges)
+    "text_pmi_collocations",      # exact-count bigram PMI top-20
+    "analytic_benford_digits",    # first-digit audit + chi-square terms
+    "sample_balanced_classes",    # minority-capped deterministic rebalance
 ]
 
 

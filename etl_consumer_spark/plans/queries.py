@@ -11207,6 +11207,331 @@ def sample_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary export: the deliverable of tokenizer training — base
+# character symbols (by corpus frequency) plus the learned merges with
+# their ranks, one table a tokenizer runtime loads. Composed from the
+# registered text_bpe_learn on BOTH sides (drift-proof).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bpe_vocab",
+    None,  # assigned post-registration (composes the sibling oracle)
+    doc="BPE vocabulary table: base character symbols (corpus frequency, "
+        "merge_rank 0) + the 4 learned merges ranked — what a tokenizer "
+        "runtime loads. Composed from text_bpe_learn on both the Spark and "
+        "oracle side, so the vocab can never drift from the merges it "
+        "serializes",
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .select(F.explode(F.split("word", "")).alias("sym"))
+        .filter(F.length("sym") > 0)
+        .groupBy("sym")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select("sym", F.lit(0).alias("merge_rank"), "freq")
+    )
+    merges = QUERIES["text_bpe_learn"].fn(spark, sf_dir).select(
+        F.col("merged").alias("sym"), F.col("merge_rank"), F.col("pair_count").alias("freq")
+    )
+    return chars.unionByName(merges)
+
+
+QUERIES["text_bpe_vocab"].oracle = f"""
+    WITH m AS ({QUERIES['text_bpe_learn'].oracle}
+    ),
+    chars AS (
+      SELECT sym, 0 AS merge_rank, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(list_transform(generate_series(1, length(word)),
+                      i -> word[i])) AS sym
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+              FROM documents) t
+        WHERE length(word) >= 2
+      ) c GROUP BY sym
+    )
+    SELECT sym, merge_rank, freq FROM chars
+    UNION ALL
+    SELECT merged AS sym, merge_rank, pair_count AS freq FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation per series: the seasonality/persistence diagnostic.
+# All cross-sums are EXACT integers over the identically-ordered series;
+# the mean-adjusted estimator derives from one shared float expression per
+# lag — the sketch_moments device applied to time-series structure.
+# ---------------------------------------------------------------------------
+
+_ACF_NUM = (
+    "(CAST(c{k} AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (CAST(sh{k} AS DOUBLE) "
+    "+ CAST(st{k} AS DOUBLE)) + (n - {k}) * (CAST(s AS DOUBLE) / n) "
+    "* (CAST(s AS DOUBLE) / n))"
+)
+_ACF_DEN = "(CAST(s2 AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+
+
+@register(
+    "analytic_autocorrelation",
+    f"""
+    WITH q AS (
+      SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS x, ts, event_id
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n, list(x ORDER BY ts, event_id) AS vs
+      FROM q GROUP BY user_id
+    ),
+    sums AS (
+      SELECT user_id, n,
+             list_sum(vs) AS s,
+             list_sum(list_transform(vs, v -> v * v)) AS s2,
+             list_sum(list_transform(generate_series(1, len(vs)-1), i -> vs[i] * vs[i+1])) AS c1,
+             list_sum(list_transform(generate_series(1, len(vs)-1), i -> vs[i])) AS sh1,
+             list_sum(list_transform(generate_series(2, len(vs)), i -> vs[i])) AS st1,
+             list_sum(list_transform(generate_series(1, len(vs)-2), i -> vs[i] * vs[i+2])) AS c2,
+             list_sum(list_transform(generate_series(1, len(vs)-2), i -> vs[i])) AS sh2,
+             list_sum(list_transform(generate_series(3, len(vs)), i -> vs[i])) AS st2
+      FROM a WHERE n > 2
+    )
+    SELECT user_id, n::BIGINT AS n_events,
+           {_ACF_NUM.format(k=1)} / {_ACF_DEN} AS acf_lag1,
+           {_ACF_NUM.format(k=2)} / {_ACF_DEN} AS acf_lag2
+    FROM sums
+    """,
+    doc="lag-1/lag-2 autocorrelation per user series (persistence/"
+        "seasonality diagnostic): EXACT integer cross-sums over the "
+        "identically-ordered series, mean-adjusted estimator from one "
+        "shared float expression per lag (the sketch_moments device). One "
+        "shuffle on user_id; per-series work linear, in-executor",
+)
+def analytic_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 1000).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                x.alias("v"),
+            )
+        )
+    )
+    g = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), arr.alias("a"))
+        .filter(F.col("n") > 2)
+        .withColumn("vs", F.expr("transform(a, p -> p.v)"))
+    )
+    sums = g.select(
+        "user_id",
+        "n",
+        F.expr("aggregate(vs, 0L, (acc, v) -> acc + v)").alias("s"),
+        F.expr("aggregate(vs, 0L, (acc, v) -> acc + v * v)").alias("s2"),
+        F.expr(
+            "aggregate(zip_with(slice(vs, 1, size(vs)-1), slice(vs, 2, size(vs)-1),"
+            " (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+        ).alias("c1"),
+        F.expr("aggregate(slice(vs, 1, size(vs)-1), 0L, (acc, v) -> acc + v)").alias("sh1"),
+        F.expr("aggregate(slice(vs, 2, size(vs)-1), 0L, (acc, v) -> acc + v)").alias("st1"),
+        F.expr(
+            "aggregate(zip_with(slice(vs, 1, size(vs)-2), slice(vs, 3, size(vs)-2),"
+            " (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+        ).alias("c2"),
+        F.expr("aggregate(slice(vs, 1, size(vs)-2), 0L, (acc, v) -> acc + v)").alias("sh2"),
+        F.expr("aggregate(slice(vs, 3, size(vs)-2), 0L, (acc, v) -> acc + v)").alias("st2"),
+    )
+    return sums.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        (F.expr(_ACF_NUM.format(k=1)) / F.expr(_ACF_DEN)).alias("acf_lag1"),
+        (F.expr(_ACF_NUM.format(k=2)) / F.expr(_ACF_DEN)).alias("acf_lag2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: adjacent-bigram pointwise mutual information — the
+# collocation extractor of corpus analysis (and the association measure
+# behind phrase-vocabulary induction). Exact integer counts; PMI from one
+# shared float expression; TakeOrdered top-20.
+# ---------------------------------------------------------------------------
+
+_PMI_EXPR = (
+    "ln(CAST(n_pairs AS DOUBLE) * CAST(c_ab AS DOUBLE) "
+    "/ (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))"
+)
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[^a-z]+') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      WHERE length(ws[i]) >= 2 AND length(ws[i + 1]) >= 2
+    ),
+    pc AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM pairs GROUP BY a, b),
+    tot AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+    ua AS (SELECT a, count(*)::BIGINT AS c_a FROM pairs GROUP BY a),
+    ub AS (SELECT b, count(*)::BIGINT AS c_b FROM pairs GROUP BY b),
+    scored AS (
+      SELECT pc.a, pc.b, pc.c_ab, {_PMI_EXPR} AS pmi
+      FROM pc JOIN ua ON ua.a = pc.a JOIN ub ON ub.b = pc.b, tot
+      WHERE pc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, round(pmi, 9) AS pmi
+    FROM scored ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+    doc="adjacent-bigram PMI collocations (min pair count 5, top-20): "
+        "exact integer pair/unigram counts (vocabulary-bounded tables), "
+        "PMI from one shared float expression, global top via TakeOrdered. "
+        "The collocation/phrase-induction measure of corpus analysis; "
+        "counts are map-side-combined groupBys, never a self-join",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), "[^a-z]+").alias("ws")
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(0, size(ws)-2), "
+                    "i -> struct(ws[i] AS a, ws[i+1] AS b)), "
+                    "p -> length(p.a) >= 2 AND length(p.b) >= 2)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # three consumers, no CSE
+    pc = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    tot = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    ua = pairs.groupBy("a").agg(F.count("*").cast("long").alias("c_a"))
+    ub = pairs.groupBy("b").agg(F.count("*").cast("long").alias("c_b"))
+    scored = (
+        pc.filter(F.col("c_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("pmi", F.expr(_PMI_EXPR))
+    )
+    return (
+        scored.select("a", "b", "c_ab", F.round("pmi", 9).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit diagnostic: the fraud/synthetic-data smell test
+# — observed leading-digit distribution of order totals vs the Benford
+# expectation log10(1+1/d), with the chi-square statistic. Exact integer
+# counts; expectation and chi-square from shared float expressions.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS observed_p,
+           log10(1.0 + 1.0 / c.digit) AS benford_p,
+           (CAST(c.n AS DOUBLE) / t.total - log10(1.0 + 1.0 / c.digit))
+             * (CAST(c.n AS DOUBLE) / t.total - log10(1.0 + 1.0 / c.digit))
+             / log10(1.0 + 1.0 / c.digit) * t.total AS chi2_term
+    FROM c, t
+    """,
+    doc="Benford's-law first-digit audit of order totals: observed "
+        "leading-digit frequencies vs log10(1+1/d) with per-digit "
+        "chi-square terms — the data-quality/fraud smell test (synthetic "
+        "uniform data fails it loudly, which the synthetic corpus here "
+        "demonstrates honestly). One groupBy + one broadcast scalar",
+)
+def analytic_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_p"),
+            ben.alias("benford_p"),
+            ((obs - ben) * (obs - ben) / ben * F.col("total")).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling: every class capped at the MINORITY class
+# count, members chosen deterministically (bottom-k by md5) — the
+# class-imbalance fix for classifier training data, zero RNG.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_balanced_classes",
+    """
+    WITH m AS (
+      SELECT min(cnt)::BIGINT AS k FROM (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+      ) c
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM r, m WHERE r.rn <= m.k
+    """,
+    doc="class-balanced downsampling: every lang class capped at the "
+        "minority-class count, members the bottom-k by salted md5 — "
+        "deterministic, reproducible class rebalancing (zero RNG). "
+        "Per-class windows partitioned on the label; the cap is one "
+        "broadcast scalar",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("k"))
+    )
+    h = F.md5(F.concat(F.lit("bal"), F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 6).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

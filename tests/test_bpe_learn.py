@@ -79,3 +79,21 @@ def test_bpe_merged_symbol_participates_in_later_merges(spark):
     assert got == _ref_bpe(texts, 4)
     merged = [m[3] for m in got]
     assert any(len(m) > 2 for m in merged)  # a merge built on a merge
+
+
+def test_bpe_matches_reference_on_random_corpora(spark):
+    """Randomized differential: small random corpora over a 3-letter
+    alphabet (maximizing repeated-pair and tie cases) must match the
+    reference merge-for-merge. Deterministic seeds — reproducible."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("aab") for _ in range(rng.randint(2, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(4)
+        ]
+        assert _run(spark, texts, 5) == _ref_bpe(texts, 5), f"seed {seed}: {texts}"

@@ -394,3 +394,112 @@ def test_split_leakage_counts_consistent(spark):
     # on the synthetic near-dup corpus (every 5th doc repeats) SOME pairs
     # cross the 80/10/10 hash split
     assert cross.n_leaks.sum() > 0
+
+
+def test_autocorrelation_matches_numpy(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+    import pandas as pd
+
+    out = QUERIES["analytic_autocorrelation"].fn(spark, "/root/testdata/sf0.001")
+    rows = {r["user_id"]: r for r in out.collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["x"] = (ev.value * 1000).round().astype(np.int64)
+    ev = ev.sort_values(["ts", "event_id"])
+    for uid, g in list(ev.groupby("user_id"))[:10]:
+        xs = g.x.to_numpy().astype(np.float64) 
+        if len(xs) <= 2:
+            continue
+        m = xs.sum() / len(xs)
+        d = xs - m
+        den = (d * d).sum()
+        for k, col in ((1, "acf_lag1"), (2, "acf_lag2")):
+            num = (d[:-k] * d[k:]).sum()
+            assert abs(rows[uid][col] - num / den) < 1e-9, (uid, k)
+
+
+def test_bpe_vocab_contains_merges_and_chars(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    v = QUERIES["text_bpe_vocab"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    merges = QUERIES["text_bpe_learn"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    base = v[v.merge_rank == 0]
+    assert (base.sym.str.len() == 1).all()
+    got_merges = v[v.merge_rank > 0].sort_values("merge_rank")
+    assert list(got_merges.sym) == list(merges.sort_values("merge_rank").merged)
+
+
+def test_pmi_matches_reference(spark):
+    """PMI on a tiny corpus vs a direct Python computation."""
+    docs = spark.createDataFrame(
+        [(1, "new york new york new york city hall city hall"),
+         (2, "new york city hall new york new car")],
+        "doc_id long, text string",
+    )
+    import math
+    from collections import Counter
+
+    toks = [t.lower().split() for t in ["new york new york new york city hall city hall",
+                                         "new york city hall new york new car"]]
+    pairs = Counter()
+    for ws in toks:
+        for a, b in zip(ws, ws[1:]):
+            if len(a) >= 2 and len(b) >= 2:
+                pairs[(a, b)] += 1
+    n = sum(pairs.values())
+    ca, cb = Counter(), Counter()
+    for (a, b), c in pairs.items():
+        ca[a] += c
+        cb[b] += c
+    want = {
+        (a, b): round(math.log(n * c / (ca[a] * cb[b])), 9)
+        for (a, b), c in pairs.items()
+        if c >= 2
+    }
+    from pyspark.sql import functions as SF
+
+    t = docs.select(SF.split(SF.trim(SF.lower("text")), "[^a-z]+").alias("ws"))
+    p = t.select(SF.explode(SF.expr(
+        "filter(transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, ws[i+1] AS b)),"
+        " p -> length(p.a) >= 2 AND length(p.b) >= 2)")).alias("p")
+    ).select("p.a", "p.b").localCheckpoint()
+    pc = p.groupBy("a", "b").count().filter(SF.col("count") >= 2)
+    ua = p.groupBy("a").agg(SF.count("*").alias("c_a"))
+    ub = p.groupBy("b").agg(SF.count("*").alias("c_b"))
+    tot = p.count()
+    got = {
+        (r["a"], r["b"]): round(
+            math.log(tot * r["count"] / (r["c_a"] * r["c_b"])), 9
+        )
+        for r in pc.join(ua, "a").join(ub, "b").collect()
+    }
+    assert got == want
+    # 'new york' is the dominant collocation
+    assert max(want, key=want.get) in {("new", "york"), ("city", "hall")}
+
+
+def test_benford_chi2_and_probs(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    rows = QUERIES["analytic_benford_digits"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(rows.digit) <= set(range(1, 10))
+    assert abs(rows.observed_p.sum() - 1.0) < 1e-9
+    # Benford expectation sums to 1 over digits 1..9
+    import math
+
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+    assert (rows.chi2_term >= 0).all()
+
+
+def test_balanced_classes_equal_counts(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    out = QUERIES["sample_balanced_classes"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    counts = out.groupby("lang").size()
+    assert counts.nunique() == 1  # every class at exactly the minority count
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    assert counts.iloc[0] == docs.groupby("lang").size().min()
+    # deterministic
+    again = QUERIES["sample_balanced_classes"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
