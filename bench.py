@@ -134,6 +134,8 @@ HEADLINE = [
     "text_pmi_collocations",      # exact-count bigram PMI top-20
     "analytic_benford_digits",    # first-digit audit + chi-square terms
     "sample_balanced_classes",    # minority-capped deterministic rebalance
+    "text_js_divergence_domains", # ordered-fold JSD domain-shift matrix
+    "analytic_pareto_abc",        # integer-cents cumulative ABC classes
 ]
 
 

@@ -503,3 +503,57 @@ def test_balanced_classes_equal_counts(spark):
     # deterministic
     again = QUERIES["sample_balanced_classes"].fn(spark, "/root/testdata/sf0.001").toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_jsd_matches_numpy_and_bounds(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+    import pandas as pd
+    import re
+    from collections import Counter
+
+    out = QUERIES["text_js_divergence_domains"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out.jsd >= 0).all() and (out.jsd <= np.log(2) + 1e-9).all()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def dist(src):
+        cnt = Counter()
+        for t in docs[docs.source == src].text:
+            for w in re.split(r"[^a-z]+", t.lower()):
+                if len(w) >= 2:
+                    cnt[w] += 1
+        tot = sum(cnt.values())
+        return {w: c / tot for w, c in cnt.items()}
+
+    checked = 0
+    for _, r in out.head(5).iterrows():
+        p, q = dist(r.source_a), dist(r.source_b)
+        vocab = set(p) | set(q)
+        jsd = 0.0
+        for w in sorted(vocab):
+            pi, qi = p.get(w, 0.0), q.get(w, 0.0)
+            m = (pi + qi) / 2
+            if pi > 0:
+                jsd += 0.5 * pi * np.log(pi / m)
+            if qi > 0:
+                jsd += 0.5 * qi * np.log(qi / m)
+        assert abs(r.jsd - jsd) < 1e-8
+        checked += 1
+    assert checked == 5
+
+
+def test_pareto_abc_partitions_revenue(spark):
+    from etl_consumer_spark.plans.queries import QUERIES
+
+    out = QUERIES["analytic_pareto_abc"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(out.abc) == {"A", "B", "C"}
+    total = out.revenue_cents.sum()
+    byc = out.set_index("abc")
+    # class boundaries respected: A's share is <= 0.5 (+ at most one
+    # customer's worth of overshoot-free rounding), A+B <= 0.8 likewise,
+    # and A customers average more revenue than C customers (true even on
+    # the near-uniform synthetic data, since A collects the largest)
+    assert byc.loc["A"].revenue_cents / total <= 0.5 + 1e-9
+    assert (byc.loc["A"].revenue_cents + byc.loc["B"].revenue_cents) / total <= 0.8 + 1e-9
+    avg_a = byc.loc["A"].revenue_cents / byc.loc["A"].n_customers
+    avg_c = byc.loc["C"].revenue_cents / byc.loc["C"].n_customers
+    assert avg_a > avg_c
