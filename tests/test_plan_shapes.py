@@ -335,3 +335,16 @@ def test_scene_cut_windows_media_partitioned(spark):
     plan = _plan(spark, "mm_video_scene_cuts")
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "media_id" in spec, f"unpartitioned scene-cut window: {spec}"
+
+
+def test_round6_wave_tops_and_windows(spark):
+    """PMI and the weighted reservoir must plan as TakeOrdered (partial
+    per-partition top-k), and class-balancing windows must stay partitioned
+    on the label."""
+    import re
+
+    for name in ("text_pmi_collocations", "sample_weighted_reservoir"):
+        assert "TakeOrdered" in _plan(spark, name), f"{name}: global sort planned"
+    plan = _plan(spark, "sample_balanced_classes")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in spec, f"unpartitioned class window: {spec}"
