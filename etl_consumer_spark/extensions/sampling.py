@@ -68,6 +68,68 @@ def per_group_quota(
     return df.withColumn("_qrank", F.row_number().over(w)).filter(F.col("_qrank") <= quota).drop("_qrank")
 
 
+def two_level_order(
+    df: DataFrame,
+    key_col: str,
+    tie_col: str,
+    val_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global ``row_number`` (column ``rk``) — and, when ``val_col`` is
+    given, global running sum (column ``cum``) — over the total order
+    ``(key_col DESC, tie_col ASC)`` WITHOUT a single-partition window.
+
+    The distributed prefix-sum device (same shape as
+    :func:`pack_contexts`): rows are range-bucketed on the integer order
+    key so bucket index increases along the global order; the rank /
+    running sum is windowed WITHIN each bucket partition; the per-bucket
+    totals (``n_buckets`` rows, bounded) take the only unpartitioned
+    window; bucket offsets broadcast-join back. Ties cannot straddle
+    buckets because the bucket is a pure function of the order key.
+
+    At 100 TB this is the difference between one task sorting the corpus
+    (Spark's own "Moving all data to a single partition" warning) and an
+    ordinary partitioned window plus an ``n_buckets``-row side table.
+    """
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key_col):
+        raise ValueError(f"key_col must be a plain identifier: {key_col!r}")
+    key, tie = F.col(key_col), F.col(tie_col)
+    bounds = df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        # exact integer floor division — a float/decimal quotient could
+        # round a boundary key into the wrong bucket and split a tie group
+        F.expr(
+            f"((_hi - {key_col}) * {n_buckets}) div (_hi - _lo + 1)"
+        ).cast("long"),
+    ).drop("_lo", "_hi")
+    w_in = Window.partitionBy("_bkt").orderBy(key.desc(), tie.asc())
+    within = b.withColumn("_rk_in", F.row_number().over(w_in))
+    agg_cols = [F.count("*").alias("_cnt")]
+    if val_col is not None:
+        within = within.withColumn("_cum_in", F.sum(val_col).over(w_in))
+        agg_cols.append(F.sum(val_col).alias("_tot"))
+    bkt = b.groupBy("_bkt").agg(*agg_cols)
+    w_bkt = Window.orderBy("_bkt")  # n_buckets rows — bounded single partition
+    off_cols = [
+        "_bkt",
+        (F.sum("_cnt").over(w_bkt) - F.col("_cnt")).alias("_rk_off"),
+    ]
+    if val_col is not None:
+        off_cols.append((F.sum("_tot").over(w_bkt) - F.col("_tot")).alias("_cum_off"))
+    offsets = bkt.select(*off_cols)
+    out = within.join(F.broadcast(offsets), "_bkt").withColumn(
+        "rk", F.col("_rk_off") + F.col("_rk_in")
+    )
+    drop = ["_bkt", "_rk_in", "_rk_off"]
+    if val_col is not None:
+        out = out.withColumn("cum", F.col("_cum_off") + F.col("_cum_in"))
+        drop += ["_cum_in", "_cum_off"]
+    return out.drop(*drop)
+
+
 def pack_contexts(
     docs: DataFrame,
     id_col: str = "doc_id",

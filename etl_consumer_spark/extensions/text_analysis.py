@@ -8,6 +8,8 @@ plumbing (no shuffles except explicit aggregations, no Python UDFs).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd  # noqa: F401 — pandas_udf resolves postponed type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -532,8 +534,16 @@ def bpe_learn(
         # every other pair. The fold keeps the exact semantics: a merged
         # symbol is never re-consumed as the LEFT side within the same pass
         # (endswith sees ' aa ', not ' a '). Symbols are [a-z]+ so embedding
-        # them as SQL literals is injection-safe.
+        # them as SQL literals is injection-safe — ENFORCED here, next to
+        # the interpolation, not left to the distant tokenizer regex: a
+        # future split-pattern change (apostrophes, unicode) must fail loud
+        # rather than silently emit malformed SQL.
         left, right = b["l"], b["r"]
+        if not (re.fullmatch(r"[a-z]+", left) and re.fullmatch(r"[a-z]+", right)):
+            raise ValueError(
+                f"bpe_learn merge symbols must be [a-z]+ to embed as SQL "
+                f"literals, got {left!r}, {right!r}"
+            )
         words = words.withColumn(
             "seq",
             F.expr(

@@ -43,6 +43,23 @@ class QueryDef:
     scale_safe: bool = True
 
 
+def _pin_batch_order(path: str, seen: set[str], batch_no: int) -> None:
+    """Stamp the files a multi-batch harness just appended with a strictly
+    increasing mtime, so FileStreamSource's modification-time ordering
+    replays batches in WRITE order even on filesystems with coarse or tied
+    timestamps (ADVICE r6: the watermark-dependent oracles are only correct
+    if batch order is explicit, not an mtime accident). Files from earlier
+    batches (tracked in ``seen``) keep their earlier stamp."""
+    import os as _os
+
+    epoch = 1_700_000_000 + 60 * batch_no
+    for name in sorted(_os.listdir(path)):
+        p = _os.path.join(path, name)
+        if name not in seen and _os.path.isfile(p):
+            _os.utime(p, (epoch, epoch))
+            seen.add(name)
+
+
 QUERIES: dict[str, QueryDef] = {}
 # Correctness baselines NOT exposed through queries()/oracle_sql(): the
 # deliberately-naive formulations (uncapped self-joins) kept solely to
@@ -7626,12 +7643,15 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_scd2_")
     # two appends -> two files -> two sequential micro-batches: batch 2
     # carries the later versions that must close batch 1's current rows
+    seen: set[str] = set()
     ev.filter(F.col("version") == 0).coalesce(1).write.mode("append").parquet(
         f"{base}/events"
     )
+    _pin_batch_order(f"{base}/events", seen, 1)
     ev.filter(F.col("version") >= 1).coalesce(1).write.mode("append").parquet(
         f"{base}/events"
     )
+    _pin_batch_order(f"{base}/events", seen, 2)
     store = PartitionedParquetStateStore(spark, f"{base}/state")
     m = SCD2StreamMaintainer(
         store, "orders_hist", "o_orderkey", "ts_ms",
@@ -8056,8 +8076,11 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     base = tempfile.mkdtemp(prefix="stream_scd2_pipe_")
+    seen: set[str] = set()
     b1.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 1)
     b2.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 2)
 
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
@@ -9156,9 +9179,11 @@ def stream_sliding_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Size-balanced shard assignment — the training-data packaging step: docs
 # ranked by size (ties by id) are dealt round-robin across 8 shards, so
 # shard totals differ by at most a few large-item sizes and every engine
-# reproduces the identical assignment. One global rank (TakeOrdered-free:
-# row_number over a single ordered pass — at 100 TB this would switch to
-# the two-level bucket rank sample_pack_contexts uses) + one groupBy.
+# reproduces the identical assignment. The global rank is computed by the
+# two-level bucket prefix sum (extensions/sampling.two_level_order — the
+# same device sample_pack_contexts uses): range-bucket on n_chars,
+# partitioned within-bucket row_number, broadcast bucket offsets. NO
+# single-partition window over the corpus; identical ranks.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -9181,11 +9206,14 @@ def stream_sliding_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-shard totals verified exactly",
 )
 def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
     docs = load_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+    ranked = two_level_order(
+        docs.select("doc_id", "n_chars"), key_col="n_chars", tie_col="doc_id"
+    )
     return (
-        docs.select("doc_id", "n_chars", rk.alias("rk"))
-        .select(
+        ranked.select(
             ((F.col("rk") - 1) % 8).cast("long").alias("shard"),
             "doc_id",
             "n_chars",
@@ -9369,10 +9397,13 @@ def stream_cdc_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     base = tempfile.mkdtemp(prefix="stream_addcol_")
+    seen: set[str] = set()
     b1.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 1)
     ddl_row.unionByName(ins2).unionByName(upd2).coalesce(1).write.mode("append").parquet(
         f"{base}/transport"
     )
+    _pin_batch_order(f"{base}/transport", seen, 2)
 
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
@@ -10056,11 +10087,14 @@ def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (t0 + F.make_interval(hours=(F.col("event_id") % 4).cast("int"))).alias("ts"),
     )
+    seen: set[str] = set()
     b1.coalesce(1).write.mode("append").parquet(f"{base}/in")
+    _pin_batch_order(f"{base}/in", seen, 1)
     ontime = ev.filter(F.col("event_id") % 2 == 1).select(
         "event_id", "event_type", (t0 + F.make_interval(hours=F.lit(5))).alias("ts")
     )
     ontime.coalesce(1).write.mode("append").parquet(f"{base}/in")
+    _pin_batch_order(f"{base}/in", seen, 2)
     late = ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "event_type", (t0 + F.make_interval(hours=F.lit(1))).alias("ts")
     )
@@ -10070,6 +10104,7 @@ def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t0 + F.make_interval(hours=F.lit(1000))).alias("ts"),
     )
     late.unionByName(sentinel).coalesce(1).write.mode("append").parquet(f"{base}/in")
+    _pin_batch_order(f"{base}/in", seen, 3)
     stream = (
         spark.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", 1)
@@ -10303,7 +10338,9 @@ def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame
             env(F.lit(None).cast(img_t), row_img, "r", F.lit(0), "true")
         ).alias("r")
     ).select("r.*")
+    seen: set[str] = set()
     snap.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 1)
     # batch 2: the incremental tail — updates and deletes
     upd = orders.filter(k % 3 == 0).select(
         transport(env(row_img, upd_img, "u", k, "false")).alias("r")
@@ -10312,6 +10349,7 @@ def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame
         transport(env(row_img, F.lit(None).cast(img_t), "d", k, "false")).alias("r")
     ).select("r.*")
     upd.unionByName(dele).coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 2)
 
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
@@ -10897,7 +10935,9 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
     b1 = orders.filter(k % 3 == 0).select(
         transport(F.lit("srv.db0.orders"), env(F.lit(None).cast(old_t), old_row, F.lit(1))).alias("r")
     ).select("r.*")
+    seen: set[str] = set()
     b1.coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 1)
     ddl_json = json.dumps(
         {
             "payload": {
@@ -10915,6 +10955,7 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
         transport(F.lit("srv.db0.orders"), env(new_before, new_after, F.lit(2))).alias("r")
     ).select("r.*")
     ddl_row.unionByName(upd2).coalesce(1).write.mode("append").parquet(f"{base}/transport")
+    _pin_batch_order(f"{base}/transport", seen, 2)
 
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
@@ -11635,9 +11676,10 @@ def text_js_divergence_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Pareto / ABC classification: cumulative revenue share per customer
 # (A < 50%, B < 80%, C rest) — the 80/20 analysis of inventory/customer
-# management. Integer-cents exact revenue; the cumulative window is a
-# single global ordered pass (at 100 TB the two-level bucket prefix sum of
-# sample_pack_contexts replaces it — same results, documented tradeoff).
+# management. Integer-cents exact revenue; the cumulative sum runs through
+# the two-level bucket prefix sum (extensions/sampling.two_level_order) —
+# partitioned within-bucket windows + broadcast bucket offsets, never a
+# single-partition global window over the customer dimension.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -11669,21 +11711,21 @@ def text_js_divergence_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pareto/ABC classification of customers by cumulative revenue "
         "share (A: first 50%, B: to 80%, C: tail) — the 80/20 analysis. "
         "Revenue in exact integer cents; deterministic total order "
-        "(cents desc, custkey). The cumulative window is one global "
-        "ordered pass here; at 100 TB the two-level bucket prefix sum "
-        "(sample_pack_contexts) computes the same cum values without a "
-        "global sort — documented tradeoff, same classification",
+        "(cents desc, custkey). The cumulative sum is the two-level "
+        "bucket prefix sum (two_level_order): per-bucket partitioned "
+        "windows + a bounded n_buckets-row offset table — no global "
+        "single-partition sort at any scale",
 )
 def analytic_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
     orders = load_table(spark, sf_dir, "orders")
     r = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
     t = r.agg(F.sum("cents").cast("long").alias("total"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = r.crossJoin(F.broadcast(t)).withColumn("cum", F.sum("cents").over(w))
+    ranked = two_level_order(r, key_col="cents", tie_col="o_custkey", val_col="cents")
+    c = ranked.crossJoin(F.broadcast(t))
     share = F.col("cum").cast("double") / F.col("total")
     cls = c.withColumn(
         "abc",

@@ -210,7 +210,15 @@ class CDCPipeline:
             # (new column silently omitted), and a restarted maintainer
             # would bind the new column against the stale on-disk __history
             # schema and dead-letter slices already applied to the base
-            if name in self.scd2_tables and self.store.exists(f"{name}__history"):
+            # guard locally, not via the distant constructor invariant that
+            # scd2_tables implies the partitioned store: a future store
+            # gaining evolve() without exists() must not AttributeError
+            # mid-stream on the DDL path
+            if (
+                name in self.scd2_tables
+                and hasattr(self.store, "exists")
+                and self.store.exists(f"{name}__history")
+            ):
                 self.store.evolve(f"{name}__history", statement)
         # drop the cached maintainer so the next batch rebuilds it from the
         # refreshed spec.fields (payload list includes/excludes the column)
