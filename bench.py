@@ -258,10 +258,31 @@ def _measure(spark, sf_dir):
     return result, drift > 1.5
 
 
+def _wait_for_quiet(
+    threshold: float = 2.0, max_wait_sec: float = 300.0, poll_sec: float = 5.0
+) -> float:
+    """Block until 1-min loadavg drops below ``threshold`` or ``max_wait_sec``
+    elapses; return seconds waited. BENCH_r06 started at loadavg 5.8 and
+    published degraded (calib_drift 2.66) — starting a 32-thread Spark pass
+    on an already-loaded box guarantees a contended measurement, so the
+    cheap fix is to not start. Bounded so a permanently-noisy neighbor can
+    only delay the bench, never hang the driver."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_sec:
+        if os.getloadavg()[0] < threshold:
+            break
+        time.sleep(poll_sec)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    quiet_wait = _wait_for_quiet(
+        threshold=float(os.environ.get("BENCH_QUIET_LOADAVG", "2.0")),
+        max_wait_sec=float(os.environ.get("BENCH_QUIET_MAX_WAIT", "300")),
+    )
     spark = get_spark(
         app_name="etl_consumer_spark_bench",
         master=f"local[{cpus}]",
@@ -270,16 +291,27 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Contention protocol (VERDICT r5 #5): if the 16-process CPU probe
-    # drifts >1.5x across the pass (the box changed UNDER the run — the
-    # BENCH_r03/r05 phantom-regression mode), retry the whole pass once;
-    # if the retry is also contended, publish with degraded=true so the
-    # number is never silently trusted.
+    # Contention protocol (VERDICT r5 #5, hardened per r6 #5): if the
+    # 16-process CPU probe drifts >1.5x across the pass (the box changed
+    # UNDER the run — the BENCH_r03/r05 phantom-regression mode), retry the
+    # whole pass up to BENCH_MAX_RETRIES more times, waiting for quiet
+    # between attempts; keep the best clean pass, else the fastest
+    # contended one, published with degraded=true so the number is never
+    # silently trusted.
+    max_retries = int(os.environ.get("BENCH_MAX_RETRIES", "3"))
     result, degraded = _measure(spark, sf_dir)
-    if degraded:
+    attempts = 1
+    while degraded and attempts <= max_retries:
+        quiet_wait += _wait_for_quiet(
+            threshold=float(os.environ.get("BENCH_QUIET_LOADAVG", "2.0")),
+            max_wait_sec=float(os.environ.get("BENCH_QUIET_MAX_WAIT", "300")),
+        )
         retry, still_degraded = _measure(spark, sf_dir)
+        attempts += 1
         if not still_degraded or retry["value"] < result["value"]:
             result, degraded = retry, still_degraded
+    result["bench_attempts"] = attempts
+    result["quiet_wait_sec"] = quiet_wait
 
     # derived throughput: CDC events applied per second in the batch apply
     # (3/4 of orders become events, replayed 2x in the query)

@@ -282,3 +282,103 @@ def test_pipeline_scd2_history_evolves_through_mid_stream_ddl(spark, tmp_path):
     # no slice dead-lettered or scd2-error'd along the way
     assert all(not r.scd2_errors for r in pipe.results)
     assert sum(r.dead_letters for r in pipe.results) == 0
+
+
+def test_pipeline_scd2_history_evolves_through_drop_and_rename(spark, tmp_path):
+    """VERDICT r6 #6: round 6 proved ADD COLUMN propagates to
+    <table>__history; this covers the other two reference DDL forms
+    (collection.json:121, main.go:382-424) on an SCD2 table — a mid-stream
+    MySQL ``DROP COLUMN`` then ``CHANGE COLUMN`` (rename) must evolve the
+    history in lockstep with the base table, keep the version chain intact
+    across both, and dead-letter nothing."""
+    import json as _json
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+    from tests.test_streaming import (
+        FIELDS, PK, SERVER, DB, TOPIC, b64dec, envelope, make_transport, row,
+    )
+
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+    store = PartitionedParquetStateStore(spark, str(tmp_path / "state"))
+    empty = spark.createDataFrame(
+        [], "id long, province_id long, seq long, amount double, created_day date"
+    )
+    store.init("batch_seq", empty, PK)
+    pipe = CDCPipeline(
+        spark, cfg, [TableSpec("batch_seq", list(FIELDS), PK)], store,
+        scd2_tables={"batch_seq"},
+    )
+    transport = str(tmp_path / "transport")
+
+    def _ddl(stmt):
+        return _json.dumps(
+            {
+                "payload": {
+                    "source": {"name": SERVER, "db": DB, "table": "batch_seq"},
+                    "databaseName": DB,
+                    "ddl": stmt,
+                }
+            }
+        )
+
+    # batch 1: insert on the full original schema
+    make_transport(
+        spark,
+        [(TOPIC, envelope(None, row(1, 10, 0, 1000, 18993), pos=200))],
+        transport,
+    )
+    # batch 2: DROP created_day, then an update WITHOUT that column
+    slim = {"id": 1, "province_id": 11, "seq": 1, "amount": b64dec(1500)}
+    make_transport(
+        spark,
+        [
+            (SERVER, _ddl(f"ALTER TABLE `{DB}`.`batch_seq` DROP COLUMN created_day")),
+            (TOPIC, envelope({**slim, "province_id": 10, "seq": 0}, slim, pos=202)),
+        ],
+        transport,
+    )
+    # batch 3: CHANGE seq -> seq_no (rename), then an update carrying seq_no
+    renamed = {"id": 1, "province_id": 12, "seq_no": 2, "amount": b64dec(1700)}
+    make_transport(
+        spark,
+        [
+            (SERVER, _ddl(f"ALTER TABLE `{DB}`.`batch_seq` CHANGE COLUMN `seq` `seq_no` BIGINT")),
+            (TOPIC, envelope({**renamed, "province_id": 11, "seq_no": 1}, renamed, pos=204)),
+        ],
+        transport,
+    )
+    q = pipe.start(
+        file_envelope_stream(spark, transport, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(240)
+
+    # base table: both DDLs applied, final image current
+    base = store.read("batch_seq")
+    assert "created_day" not in base.columns
+    assert "seq" not in base.columns and "seq_no" in base.columns
+    got = {r.id: (r.province_id, r.seq_no, float(r.amount)) for r in base.collect()}
+    assert got == {1: (12, 2, 17.00)}
+
+    # history evolved in lockstep: same columns, full three-version chain
+    hist_df = store.read("batch_seq__history")
+    assert "created_day" not in hist_df.columns
+    assert "seq" not in hist_df.columns and "seq_no" in hist_df.columns
+    hist = sorted(
+        (r.valid_from, r.valid_to, r.is_current, r.province_id, r.seq_no,
+         float(r.amount))
+        for r in hist_df.collect()
+    )
+    assert hist == [
+        (200, 202, False, 10, 0, 10.00),
+        (202, 204, False, 11, 1, 15.00),
+        (204, None, True, 12, 2, 17.00),
+    ]
+    # no slice dead-lettered or scd2-error'd through either DDL
+    assert all(not r.scd2_errors for r in pipe.results)
+    assert sum(r.dead_letters for r in pipe.results) == 0
