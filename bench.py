@@ -136,6 +136,17 @@ HEADLINE = [
     "sample_balanced_classes",    # minority-capped deterministic rebalance
     "text_js_divergence_domains", # ordered-fold JSD domain-shift matrix
     "analytic_pareto_abc",        # integer-cents cumulative ABC classes
+    # round-7 additions: full F8 char-map parity, the MODIFY-COLUMN DDL
+    # e2e completing the mid-stream DDL matrix, mixture feasibility solver,
+    # Holt trend smoothing, streaming top-k heavy hitters
+    "f8_clean_text_charmap_full", # full 54-entry char map through clean_text
+    "stream_cdc_type_change",     # mid-stream MODIFY COLUMN type change e2e
+    "sample_mixture_solver",      # exact-proportion mixture feasibility LP
+    "analytic_holt_winters",      # level+trend ordered struct fold
+    "stream_topk_heavy_hitters",  # streamed counts + ranked heavy hitters
+    "analytic_kaplan_meier",      # right-censored survival, ordered fold
+    "graph_modularity",           # Newman-Girvan Q of a given labeling
+    "analytic_seasonal_decompose",  # dow seasonal means + residuals
 ]
 
 
