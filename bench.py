@@ -147,6 +147,9 @@ HEADLINE = [
     "analytic_kaplan_meier",      # right-censored survival, ordered fold
     "graph_modularity",           # Newman-Girvan Q of a given labeling
     "analytic_seasonal_decompose",  # dow seasonal means + residuals
+    "mm_image_sobel_edges",       # integer Sobel |Gx|+|Gy| through real decode
+    "source_jsonl_corrupt_records",  # PERMISSIVE JSONL quarantine ingest
+    "graph_assortativity",        # degree-mixing Pearson r, integer sums
 ]
 
 

@@ -669,6 +669,57 @@ def equalize_images(media: DataFrame) -> DataFrame:
     )
 
 
+SOBEL_SCHEMA = "media_id long, n_interior long, grad_sum long, grad_md5 string"
+
+
+def sobel_edges(media: DataFrame) -> DataFrame:
+    """Sobel gradient magnitude (|Gx| + |Gy|, the integer L1 form) over the
+    interior pixels of the grayscale plane, through the real decode — the
+    edge-energy/blur-detection feature of a vision-data QA pass. All
+    arithmetic exact integers; returns the interior gradient SUM and an
+    md5 over the row-major gradient sequence so a SQL oracle can verify
+    the convolution value-for-value."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                g = gray.astype(np.int64)
+                # valid 3x3 interior; Gx/Gy via shifted slices, no float path
+                c = g[1:-1, 1:-1]  # noqa: F841 — center unused by Sobel
+                gx = (
+                    -g[:-2, :-2] + g[:-2, 2:]
+                    - 2 * g[1:-1, :-2] + 2 * g[1:-1, 2:]
+                    - g[2:, :-2] + g[2:, 2:]
+                )
+                gy = (
+                    -g[:-2, :-2] - 2 * g[:-2, 1:-1] - g[:-2, 2:]
+                    + g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                seq = mag.reshape(-1)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_interior": int(seq.size),
+                        "grad_sum": int(seq.sum()),
+                        "grad_md5": hashlib.md5(
+                            ",".join(str(int(v)) for v in seq).encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_interior", "grad_sum", "grad_md5"]
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+        kernel, SOBEL_SCHEMA
+    )
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401

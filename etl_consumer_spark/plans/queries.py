@@ -9192,6 +9192,140 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSONL quarantine twin of the CSV corrupt-record path: every 7th line is
+# truncated mid-object; the PERMISSIVE typed read captures exactly those
+# in _corrupt_record and the good rows aggregate to the oracle's totals —
+# the malformed-crawl-shard reality of corpus ingest, never a crash.
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_jsonl_corrupt_records",
+    """
+    SELECT CAST(sum(CASE WHEN doc_id % 7 <> 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN doc_id % 7 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 7 <> 6 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS good_chars
+    FROM documents
+    """,
+    doc="PERMISSIVE JSONL read with corrupt-record quarantine: every 7th "
+        "line truncated mid-object, captured in _corrupt_record, good "
+        "rows aggregate exactly — completes the quarantine story across "
+        "ingest formats (csv twin: source_csv_corrupt_records)",
+)
+def source_jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    good = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    broken = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang": "')
+    )
+    line = F.when(F.col("doc_id") % 7 == 6, broken).otherwise(good)
+    base = tempfile.mkdtemp(prefix="src_jsonl_corrupt_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(f"{base}/in")
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, source string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(f"{base}/in")
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars")).otherwise(0)).cast("long").alias("good_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): Pearson correlation of endpoint
+# degrees over the directed edge list — do hubs attach to hubs? The
+# structural prior that decides whether degree-capped dedup/linkpred
+# heuristics are safe on this graph. Exact integer sums; the coefficient
+# from one shared float expression.
+# ---------------------------------------------------------------------------
+
+_ASSORT_R = (
+    "(CAST(mm AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) / "
+    "(CAST(mm AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+)
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH und AS (
+      SELECT DISTINCT
+             least(o_custkey % 2000, o_orderkey % 2000) AS a,
+             greatest(o_custkey % 2000, o_orderkey % 2000) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+        AND least(o_custkey % 2000, o_orderkey % 2000)
+            <> greatest(o_custkey % 2000, o_orderkey % 2000)
+    ),
+    dir AS (
+      SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT s AS n, count(*)::BIGINT AS deg FROM dir GROUP BY s),
+    j AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM dir JOIN deg da ON dir.s = da.n JOIN deg db ON dir.t = db.n
+    ),
+    sums AS (
+      SELECT count(*)::BIGINT AS mm,
+             sum(x)::BIGINT AS sx,
+             sum(x * x)::BIGINT AS sxx,
+             sum(x * y)::BIGINT AS sxy
+      FROM j
+    )
+    SELECT mm AS n_directed_edges, sx AS sum_deg, sxx AS sum_deg_sq,
+           sxy AS sum_deg_prod, {_ASSORT_R} AS assortativity
+    FROM sums
+    """,
+    doc="degree assortativity (Newman 2002) of the undirected orders "
+        "graph: Pearson r of endpoint degrees over the symmetrized edge "
+        "list — exact integer power sums (symmetry makes the x and y "
+        "marginals identical), coefficient from one shared float "
+        "expression; the hub-mixing prior for degree-capped heuristics",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    und = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.least(F.col("o_custkey") % 2000, F.col("o_orderkey") % 2000).alias("a"),
+            F.greatest(F.col("o_custkey") % 2000, F.col("o_orderkey") % 2000).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dirs = und.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = dirs.groupBy(F.col("s").alias("n")).agg(F.count("*").cast("long").alias("deg"))
+    j = (
+        dirs.join(deg.select(F.col("n").alias("s"), F.col("deg").alias("x")), "s")
+        .join(deg.select(F.col("n").alias("t"), F.col("deg").alias("y")), "t")
+    )
+    sums = j.agg(
+        F.count("*").cast("long").alias("mm"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    md = F.col("mm").cast("double")
+    sxd = F.col("sx").cast("double")
+    return sums.select(
+        F.col("mm").alias("n_directed_edges"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxx").alias("sum_deg_sq"),
+        F.col("sxy").alias("sum_deg_prod"),
+        ((md * F.col("sxy") - sxd * F.col("sx")) / (md * F.col("sxx") - sxd * F.col("sx"))).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SLIDING (overlapping) streaming windows — the tumbling/session surface
 # exists; this is the third window kind: 2h windows sliding every 1h, so
 # every event lands in exactly TWO windows. The oracle materializes the
@@ -11094,6 +11228,60 @@ def mm_image_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sobel edge energy through the REAL PPM decode: integer |Gx|+|Gy| over
+# the 3x3-valid interior of the grayscale plane — the edge/blur QA
+# feature of a vision-data pipeline. The oracle replays the convolution
+# in SQL with 12 generated neighbor taps per pixel; gradient sum AND an
+# md5 over the row-major gradient sequence are verified bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _sobel_tap(dr: int, dc: int) -> str:
+    return f"ascii(substr(ras, ((rr.r + {dr}) * w + cc.c + {dc}) * 3 + 1, 1))"
+
+
+_SOBEL_GX = (
+    f"(-{_sobel_tap(-1, -1)} + {_sobel_tap(-1, 1)}"
+    f" - 2 * {_sobel_tap(0, -1)} + 2 * {_sobel_tap(0, 1)}"
+    f" - {_sobel_tap(1, -1)} + {_sobel_tap(1, 1)})"
+)
+_SOBEL_GY = (
+    f"(-{_sobel_tap(-1, -1)} - 2 * {_sobel_tap(-1, 0)} - {_sobel_tap(-1, 1)}"
+    f" + {_sobel_tap(1, -1)} + 2 * {_sobel_tap(1, 0)} + {_sobel_tap(1, 1)})"
+)
+
+
+@register(
+    "mm_image_sobel_edges",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    grad AS (
+      SELECT doc_id, rr.r, cc.c,
+             abs({_SOBEL_GX}) + abs({_SOBEL_GY}) AS mag
+      FROM r, (VALUES (1), (2)) rr(r),
+           unnest(generate_series(1, w - 2)) AS cc(c)
+    )
+    SELECT doc_id AS media_id,
+           count(*)::BIGINT AS n_interior,
+           sum(mag)::BIGINT AS grad_sum,
+           md5(string_agg(mag::VARCHAR, ',' ORDER BY r, c)) AS grad_md5
+    FROM grad GROUP BY doc_id
+    """,
+    doc="Sobel edge energy through the real PPM decode: exact integer "
+        "|Gx|+|Gy| over the 3x3-valid interior (rows 1-2, cols 1..w-2 of "
+        "the w x 4 gray plane), Arrow mapInPandas kernel; oracle replays "
+        "the convolution with 12 neighbor taps per pixel and checks the "
+        "gradient sum + row-major sequence md5 bit-for-bit. Map-only at "
+        "any scale",
+)
+def mm_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    return M.sobel_edges(media)
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling without replacement, zero RNG (Efraimidis & Spirakis
 # 2006, A-Res): each item draws u from its OWN md5 hash and ranks by
 # ln(u)/w — the top-k under that key is a weighted sample without
@@ -12201,11 +12389,11 @@ _MIX_WEIGHTS = [("en", 4), ("zh", 2), ("de", 2), ("fr", 1), ("es", 1)]  # /10
     WITH w(lang, wt) AS (VALUES {", ".join(f"('{l}', {w})" for l, w in _MIX_WEIGHTS)}),
     sz AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang),
     t AS (
-      SELECT min(cnt * 10 / wt)::BIGINT AS total
+      SELECT CAST(min(floor(cnt * 10.0 / wt)) AS BIGINT) AS total
       FROM sz JOIN w USING (lang)
     ),
     keep AS (
-      SELECT sz.lang, (w.wt * t.total / 10)::BIGINT AS k
+      SELECT sz.lang, CAST(floor(w.wt * t.total / 10.0) AS BIGINT) AS k
       FROM sz JOIN w USING (lang) CROSS JOIN t
     ),
     r AS (
@@ -12232,13 +12420,13 @@ def sample_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = docs.groupBy("lang").agg(F.count("*").cast("long").alias("cnt"))
     t = (
         sz.join(w, "lang")
-        .select((F.col("cnt") * 10 / F.col("wt")).cast("long").alias("q"))
+        .select(F.floor(F.col("cnt") * 10.0 / F.col("wt")).cast("long").alias("q"))
         .agg(F.min("q").alias("total"))
     )
     keep = (
         sz.join(w, "lang")
         .crossJoin(F.broadcast(t))
-        .select("lang", (F.col("wt") * F.col("total") / 10).cast("long").alias("k"))
+        .select("lang", F.floor(F.col("wt") * F.col("total") / 10.0).cast("long").alias("k"))
     )
     h = F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string")))
     rw = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
