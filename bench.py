@@ -150,6 +150,8 @@ HEADLINE = [
     "mm_image_sobel_edges",       # integer Sobel |Gx|+|Gy| through real decode
     "source_jsonl_corrupt_records",  # PERMISSIVE JSONL quarantine ingest
     "graph_assortativity",        # degree-mixing Pearson r, integer sums
+    "mm_audio_downsample",        # integer 2-tap decimation through WAV decode
+    "sample_dsir_resample",       # DSIR selection: A-Res over exp(score/T)
 ]
 
 

@@ -215,18 +215,35 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs (or for every pair
     sharing >= 1 shingle when ``pairs`` is None — n-gram Jaccard dedup).
 
-    |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| − |A∩B|."""
+    |A ∩ B| from the shingle join; |A ∪ B| = |A| + |B| − |A∩B|.
+
+    With ``pairs`` given, the intersection is CANDIDATE-ANCHORED: expand
+    each pair by its left doc's shingles, then equi-join on (right doc,
+    shingle) — cost Σ_pairs |A|, linear in candidate-pair shingle mass.
+    The alternative (full shingle self-join, then semi-join candidates)
+    costs Σ_shingles df(s)², which is quadratic in the duplication
+    factor: the 10x adversarial probe (every base doc a 10-clique) put
+    the self-join form at 62x wall for 10x data; this form is linear."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = shingles.select(F.col("shingle"), F.col(id_col).alias("a"))
-    b = shingles.select(F.col("shingle"), F.col(id_col).alias("b"))
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["a", "b"], "left_semi")
+        a_sh = shingles.select(F.col(id_col).alias("a"), "shingle")
+        b_sh = shingles.select(F.col(id_col).alias("b"), "shingle")
+        inter = (
+            pairs.select("a", "b")
+            .join(a_sh, "a")
+            .join(b_sh, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = shingles.select(F.col("shingle"), F.col(id_col).alias("a"))
+        b = shingles.select(F.col("shingle"), F.col(id_col).alias("b"))
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     out = (

@@ -585,6 +585,53 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
+DOWNSAMPLE_SCHEMA = (
+    "media_id long, out_rate int, n_out long, sum_abs long, peak long, ds_md5 string"
+)
+
+
+def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer 2-tap box-filter decimation through the real WAV decode:
+    out[k] = sum of each ``factor``-sample block (exact integer — the
+    anti-alias accumulate WITHOUT the divide, so no rounding policy can
+    diverge between engines); tail samples short of a full block are
+    dropped. The sample-rate-normalization pass of a speech pipeline.
+    Returns exact integer stats and an md5 over the decimated sequence so
+    a SQL oracle verifies the resample bit-for-bit."""
+    import hashlib
+
+    from etl_consumer_spark.extensions.audio import decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rate, samples = decode_wav(bytes(row["blob"]))
+                n = (len(samples) // factor) * factor
+                blocks = samples[:n].astype(np.int64).reshape(-1, factor).sum(axis=1)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "out_rate": int(rate // factor),
+                        "n_out": int(blocks.size),
+                        "sum_abs": int(np.abs(blocks).sum()),
+                        "peak": int(np.abs(blocks).max()) if blocks.size else 0,
+                        "ds_md5": hashlib.md5(
+                            ",".join(str(int(v)) for v in blocks).encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "out_rate", "n_out", "sum_abs", "peak", "ds_md5"],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, DOWNSAMPLE_SCHEMA
+    )
+
+
 AUDIO_FRAME_SCHEMA = "media_id long, frame_idx int, energy_sum long"
 
 

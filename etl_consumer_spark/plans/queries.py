@@ -3884,6 +3884,118 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio downsampling through the real WAV decode: integer 2-tap box-filter
+# decimation (block sums WITHOUT the divide — no rounding policy to
+# diverge), the sample-rate-normalization pass of a speech pipeline; the
+# decimated sequence md5-verified bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_audio_downsample",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id, u.i AS i, ascii(substr(hx, u.i, 1)) - 77 AS v
+      FROM d, unnest(generate_series(1, 32)) AS u(i)
+    ),
+    b AS (
+      SELECT doc_id, (i - 1) // 2 AS k, sum(v)::BIGINT AS bv
+      FROM s GROUP BY doc_id, (i - 1) // 2
+    )
+    SELECT doc_id AS media_id, 8000::INT AS out_rate,
+           count(*)::BIGINT AS n_out,
+           sum(abs(bv))::BIGINT AS sum_abs,
+           max(abs(bv))::BIGINT AS peak,
+           md5(string_agg(bv::VARCHAR, ',' ORDER BY k)) AS ds_md5
+    FROM b GROUP BY doc_id
+    """,
+    doc="audio downsampling (16 kHz -> 8 kHz) through the real RIFF/WAVE "
+        "decode: exact integer 2-tap block sums as the anti-alias "
+        "decimation, stats + decimated-sequence md5 oracle-verified "
+        "bit-for-bit — map-only at any scale",
+)
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_wav_media_table(docs, "doc_id", "text")
+    return M.downsample_audio(media, factor=2)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance RESAMPLING — the second half of Xie et al. NeurIPS'23:
+# the registered importance scores become Efraimidis-Spirakis A-Res
+# weights (w = exp(score)), selecting a without-replacement sample tilted
+# toward the target domain. Composed from text_dsir_importance on BOTH
+# sides, so the pair cannot drift; zero RNG, TakeOrdered top-64.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_dsir_resample",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(word), 1, 8))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang, unnest(w) AS word FROM tok)
+    ),
+    ct AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+    tt AS (SELECT count(*) AS t FROM f WHERE lang = 'en'),
+    tr AS (SELECT count(*) AS r FROM f),
+    scored AS (
+      SELECT f.doc_id,
+             ln((coalesce(ct.c, 0) + 1)::DOUBLE / (tt.t + 256)) -
+             ln((cr.c + 1)::DOUBLE / (tr.r + 256)) AS lw
+      FROM f LEFT JOIN ct USING (b) JOIN cr USING (b)
+      CROSS JOIN tt CROSS JOIN tr
+    ),
+    imp AS (
+      SELECT doc_id, round(avg(lw), 6) AS avg_importance
+      FROM scored GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, avg_importance,
+             ln((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                / 281474976710657.0) / exp(avg_importance * 200.0) AS akey
+      FROM imp
+    )
+    SELECT doc_id, avg_importance, round(akey, 9) AS akey
+    FROM keyed ORDER BY akey DESC, doc_id LIMIT 64
+    """,
+    doc="DSIR importance resampling (Xie et al. NeurIPS'23, selection "
+        "step): A-Res weighted sampling without replacement with weight "
+        "exp(importance / T), temperature T = 0.005 matching the synthetic "
+        "score spread so the tilt is material — u from md5('dsir'||doc_id), "
+        "rank ln(u)/w, "
+        "top-64 — tilts the kept corpus toward the target domain, zero "
+        "RNG, TakeOrdered; composed from the registered "
+        "text_dsir_importance on both sides so score and sampler cannot "
+        "drift",
+)
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imp = QUERIES["text_dsir_importance"].fn(spark, sf_dir).select(
+        "doc_id", "avg_importance"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))), 1, 12),
+            16, 10,
+        ).cast("long") + 1
+    ) / F.lit(281474976710657.0)
+    akey = F.log(u) / F.exp(F.col("avg_importance") * 200.0)
+    return (
+        imp.withColumn("akey", F.round(akey, 9))
+        .orderBy(F.desc("akey"), "doc_id")
+        .limit(64)
+        .select("doc_id", "avg_importance", "akey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round 4: the nine TPC-H plan shapes not yet covered (Q8, Q9, Q11, Q12,
 # Q15, Q16, Q20, Q21, Q22) — with them, all 22 TPC-H query shapes exist in
 # the registry. The driver testdata has no partsupp table and no

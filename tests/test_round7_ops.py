@@ -148,6 +148,42 @@ def test_f8_full_charmap_literal_covers_every_entry():
     assert _F8_FULL_CHAIN.count("replace(") == n_entries
 
 
+def test_audio_downsample_matches_numpy(spark):
+    """Kernel decimation vs direct numpy block sums on the md5 signal."""
+    import pandas as pd
+
+    got = {
+        r["media_id"]: r
+        for r in QUERIES["mm_audio_downsample"].fn(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, d in docs.head(25).iterrows():
+        hx = hashlib.md5(d.text.encode()).hexdigest()
+        v = np.array([ord(c) - 77 for c in hx], dtype=np.int64)
+        blocks = v.reshape(-1, 2).sum(axis=1)
+        r = got[d.doc_id]
+        assert r["out_rate"] == 8000 and r["n_out"] == 16
+        assert r["sum_abs"] == int(np.abs(blocks).sum())
+        assert r["peak"] == int(np.abs(blocks).max())
+        assert r["ds_md5"] == hashlib.md5(
+            ",".join(str(int(x)) for x in blocks).encode()
+        ).hexdigest()
+
+
+def test_dsir_resample_favors_target_lang(spark):
+    """The resample keys derive from exp(importance): the kept set's mean
+    importance must exceed the corpus mean (the whole point of DSIR)."""
+    imp = {
+        r.doc_id: r.avg_importance
+        for r in QUERIES["text_dsir_importance"].fn(spark, SF).collect()
+    }
+    kept = QUERIES["sample_dsir_resample"].fn(spark, SF).collect()
+    assert len(kept) == 64
+    corpus_mean = sum(imp.values()) / len(imp)
+    kept_mean = sum(r.avg_importance for r in kept) / len(kept)
+    assert kept_mean > corpus_mean
+
+
 def test_jsonl_corrupt_counts(spark):
     row = QUERIES["source_jsonl_corrupt_records"].fn(spark, SF).collect()[0]
     assert row.n_good > 0 and row.n_corrupt > 0
