@@ -152,6 +152,16 @@ HEADLINE = [
     "graph_assortativity",        # degree-mixing Pearson r, integer sums
     "mm_audio_downsample",        # integer 2-tap decimation through WAV decode
     "sample_dsir_resample",       # DSIR selection: A-Res over exp(score/T)
+    "sample_interleave_datasets", # closed-form weighted round-robin mix order
+    "text_ngram_novelty",         # first-occurrence 3-gram novelty per doc
+    "analytic_ols_regression",    # integer normal equations + Cramer solve
+    "layout_hilbert_key",         # Hilbert xy2d fold clustering key
+    "graph_hits",                 # integer fixed-point hubs/authorities
+    "text_hash_features",         # signed feature hashing, 64 buckets
+    "analytic_bootstrap_ci",      # deterministic Poisson bootstrap CI
+    "dedup_bloom_prefilter",      # broadcast-Bloom incremental dedup probe
+    "analytic_srm_chi2",          # sample-ratio-mismatch chi-square guard
+    "layout_file_skipping_stats", # zone-map prune/scan accounting
 ]
 
 

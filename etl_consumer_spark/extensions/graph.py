@@ -197,6 +197,70 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return ranks.select("node", F.col("r").cast("long").alias("pagerank"))
 
 
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed_point(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM'99) over a (src, dst) edge
+    list; returns (node, hub_score, auth_score) for nodes holding either
+    score after ``iterations`` rounds.
+
+    Fixed-point integer arithmetic for cross-engine reproducibility: the
+    classic L2 normalization is replaced by max-normalization back to
+    ``HITS_SCALE`` using only integer multiply / floor-divide, so every
+    update is order-insensitive and a SQL oracle can replay the unrolled
+    rounds bit-for-bit (same device as :func:`pagerank_fixed_point`).
+
+        a_{i+1}(v) = max-norm( sum_{u->v} h_i(u) )
+        h_{i+1}(u) = max-norm( sum_{u->v} a_{i+1}(v) )
+
+    Scale design: each half-step is one join shuffled on the edge key plus
+    one map-side-combinable groupBy — the distributed PageRank shape, twice
+    per round. The global max is a broadcast 1-row aggregate. Overflow
+    bound: raw * HITS_SCALE must stay under 2^63, so max in-degree must be
+    below 2^63 / HITS_SCALE^2 ~ 9.2e6 — comfortably above any real host
+    graph's in-degree after the usual hub capping."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("score"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"raw * {HITS_SCALE} div mx").cast("long").alias("score"),
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("score").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("node"),
+            F.expr(f"raw * {HITS_SCALE} div mx").cast("long").alias("score"),
+        )
+    hubs = h.select("node", F.col("score").alias("hub_score"))
+    auths = a.select("node", F.col("score").alias("auth_score"))
+    return (
+        hubs.join(auths, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("hub_score", F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce("auth_score", F.lit(0)).cast("long").alias("auth_score"),
+        )
+    )
+
+
 def jaccard_link_prediction(
     edges: DataFrame,
     max_degree: int = 100,

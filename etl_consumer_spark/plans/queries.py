@@ -12631,6 +12631,768 @@ def analytic_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic weighted dataset interleaving (the `interleave_datasets`
+# training-mix op): each source s gets an integer weight w_s; one "cycle"
+# takes w_s consecutive items from each source in lexicographic source
+# order, repeated for C = min_s floor(n_s / w_s) cycles. The j-th item of
+# source s therefore lands at the CLOSED-FORM global position
+# ((j-1) div w_s) * W + offset_s + ((j-1) mod w_s) + 1 — no global window,
+# no sort: per-source ordering is a source-partitioned row_number, the
+# offset table is #sources rows computed by a tiny self-join. This is the
+# "produce the epoch's read order for a weighted source mix" step a
+# dataloader shards on; positions are a bijection onto 1..W*C by
+# construction.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_interleave_datasets",
+    """
+    WITH w AS (
+      SELECT source, count(*)::BIGINT AS cnt,
+             (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS wt
+      FROM documents GROUP BY source
+    ),
+    c AS (SELECT min(cnt // wt) AS cycles, sum(wt) AS big_w FROM w),
+    off AS (
+      SELECT a.source, a.wt, coalesce(sum(b.wt), 0)::BIGINT AS off
+      FROM w a LEFT JOIN w b ON b.source < a.source
+      GROUP BY a.source, a.wt
+    ),
+    r AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('il' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) - 1 AS j0
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source,
+           CAST((r.j0 // off.wt) * c.big_w + off.off + (r.j0 % off.wt) + 1
+                AS BIGINT) AS global_pos
+    FROM r JOIN off USING (source) CROSS JOIN c
+    WHERE r.j0 < off.wt * c.cycles
+    """,
+    doc="deterministic weighted round-robin dataset interleaving (the "
+        "interleave_datasets training-mix op): weight w_s from the source "
+        "name, C = min_s floor(n_s/w_s) full cycles, global position in "
+        "closed form (j-1 div w)*W + offset + (j-1 mod w) + 1 — a bijection "
+        "onto 1..W*C with zero global windows; per-source row_number is "
+        "source-partitioned, the offset table is #sources rows (broadcast)",
+)
+def sample_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (F.substring("source", 4, 10).cast("long") % 3 + 1).alias("wt")
+    w = docs.groupBy("source").agg(F.count("*").cast("long").alias("cnt")).select(
+        "source", "cnt", wt
+    )
+    c = w.agg(
+        F.min(F.expr("cnt div wt")).alias("cycles"),
+        F.sum("wt").alias("big_w"),
+    )
+    a = w.select(F.col("source").alias("s_a"), F.col("wt").alias("wt_a"))
+    b = w.select(F.col("source").alias("s_b"), F.col("wt").alias("wt_b"))
+    off = (
+        a.join(F.broadcast(b), F.col("s_b") < F.col("s_a"), "left")
+        .groupBy("s_a", "wt_a")
+        .agg(F.coalesce(F.sum("wt_b"), F.lit(0)).cast("long").alias("off"))
+        .select(F.col("s_a").alias("source"), F.col("wt_a").alias("wt"), "off")
+    )
+    h = F.md5(F.concat(F.lit("il"), F.col("doc_id").cast("string")))
+    rw = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("j0", F.row_number().over(rw) - 1)
+        .join(F.broadcast(off), "source")
+        .crossJoin(F.broadcast(c))
+        .filter(F.col("j0") < F.col("wt") * F.col("cycles"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr("j0 div wt") * F.col("big_w")
+                + F.col("off")
+                + F.col("j0") % F.col("wt")
+                + F.lit(1)
+            ).alias("global_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-document n-gram novelty: for each doc, the fraction of its DISTINCT
+# word 3-grams whose corpus-wide first occurrence (min doc_id) is this doc.
+# The corpus-QA signal behind "how much of this crawl slice is boilerplate
+# we already have" — near-zero novelty flags syndication/mirrors that
+# pairwise near-dup misses when the copying is many-to-one. Plan: distinct
+# grams per doc (one shuffle), min(doc_id) per gram (second shuffle,
+# map-side combinable), join back on the gram and re-aggregate per doc —
+# all linear in corpus gram mass, no windows at all.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             g.gram
+      FROM toks, unnest(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(gram)
+      WHERE len(t) >= 3
+    ),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+    FROM grams g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="inter-document n-gram novelty: per doc, the share of its distinct "
+        "word 3-grams first seen (min doc_id) in this doc — the "
+        "boilerplate/syndication corpus-QA signal; two linear shuffles "
+        "(distinct grams, min-per-gram with map-side combine) + a join "
+        "back, integer ppm ratio, zero windows",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), i -> "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                    "element_at(t, i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias("novelty_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature OLS by exact normal equations: regress event value (cents)
+# on hour-of-day and a purchase indicator. Every X'X / X'y entry is an
+# EXACT integer sum (one aggregation, map-side combinable — the 100 TB
+# plan is a single reduce of 9 longs); the 3x3 solve is Cramer's rule as
+# a SHARED float expression over those integers, evaluated with the same
+# textual formula on both engines so the IEEE doubles are bit-identical.
+# The trend/feature-attribution primitive behind "does quality correlate
+# with time-of-day / doc source" corpus questions.
+# ---------------------------------------------------------------------------
+
+# shared Cramer expressions over the double-cast sums (nd, a1, a2 = first
+# row/col; c11, c12, c22 = X'X body; b0, b1, b2 = X'y) — identical text on
+# both engines keeps the float arithmetic bit-deterministic
+_OLS_DET = "(nd*(c11*c22 - c12*c12) - a1*(a1*c22 - c12*a2) + a2*(a1*c12 - c11*a2))"
+_OLS_DET0 = "(b0*(c11*c22 - c12*c12) - a1*(b1*c22 - c12*b2) + a2*(b1*c12 - c11*b2))"
+_OLS_DET1 = "(nd*(b1*c22 - c12*b2) - b0*(a1*c22 - c12*a2) + a2*(a1*b2 - b1*a2))"
+_OLS_DET2 = "(nd*(c11*b2 - b1*c12) - a1*(a1*b2 - b1*a2) + b0*(a1*c12 - c11*a2))"
+
+
+@register(
+    "analytic_ols_regression",
+    f"""
+    WITH x AS (
+      SELECT hour(ts)::BIGINT AS x1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS x2,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+             sum(x2)::BIGINT AS sx2, sum(x1*x1)::BIGINT AS s11,
+             sum(x1*x2)::BIGINT AS s12, sum(x2*x2)::BIGINT AS s22,
+             sum(y)::BIGINT AS sy, sum(x1*y)::BIGINT AS s1y,
+             sum(x2*y)::BIGINT AS s2y
+      FROM x
+    ),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx1 AS DOUBLE) AS a1,
+             CAST(sx2 AS DOUBLE) AS a2, CAST(s11 AS DOUBLE) AS c11,
+             CAST(s12 AS DOUBLE) AS c12, CAST(s22 AS DOUBLE) AS c22,
+             CAST(sy AS DOUBLE) AS b0, CAST(s1y AS DOUBLE) AS b1,
+             CAST(s2y AS DOUBLE) AS b2
+      FROM s
+    )
+    SELECT n AS n_rows,
+           {_OLS_DET0} / {_OLS_DET} AS beta0_cents,
+           {_OLS_DET1} / {_OLS_DET} AS beta1_cents,
+           {_OLS_DET2} / {_OLS_DET} AS beta2_cents
+    FROM d
+    """,
+    doc="multi-feature OLS via exact integer normal equations: value-cents "
+        "on (hour-of-day, purchase indicator) — X'X and X'y are 9 exact "
+        "long sums in ONE map-side-combinable aggregation, the 3x3 Cramer "
+        "solve is a shared float expression over them (bit-identical on "
+        "both engines); numpy-lstsq differential in tests",
+)
+def analytic_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x1 = F.hour("ts").cast("long")
+    x2 = F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = ev.select(x1.alias("x1"), x2.alias("x2"), y.alias("y")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    d = s.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx1").cast("double").alias("a1"),
+        F.col("sx2").cast("double").alias("a2"),
+        F.col("s11").cast("double").alias("c11"),
+        F.col("s12").cast("double").alias("c12"),
+        F.col("s22").cast("double").alias("c22"),
+        F.col("sy").cast("double").alias("b0"),
+        F.col("s1y").cast("double").alias("b1"),
+        F.col("s2y").cast("double").alias("b2"),
+    )
+    return d.select(
+        F.col("n").alias("n_rows"),
+        F.expr(f"{_OLS_DET0} / {_OLS_DET}").alias("beta0_cents"),
+        F.expr(f"{_OLS_DET1} / {_OLS_DET}").alias("beta1_cents"),
+        F.expr(f"{_OLS_DET2} / {_OLS_DET}").alias("beta2_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key: the locality-preserving upgrade of
+# layout_zorder_key. Every unit step along the Hilbert index moves exactly
+# one grid cell (Morton jumps across the plane at power-of-two seams), so
+# sorting files by hkey gives tighter (A, B) rectangles per file and
+# better min/max pruning for range predicates on either column — the
+# reason newer table formats ship Hilbert clustering beside Z-order. The
+# public iterative xy2d algorithm (quadrant digit + reflect/swap per
+# level) runs as ONE aggregate fold with an (x, y, d) accumulator: pure
+# integer arithmetic, linear expression size, no UDF; the oracle replays
+# the identical fold via list_reduce with a LIST accumulator (the DuckDB
+# struct-accumulator pitfall documented at analytic_holt_winters).
+# ---------------------------------------------------------------------------
+
+_HILBERT_STEP_SQL = """[
+      CASE WHEN (acc[2] & e[1]) > 0 THEN acc[1]
+           ELSE CASE WHEN (acc[1] & e[1]) > 0 THEN 32767 - acc[2] ELSE acc[2] END END,
+      CASE WHEN (acc[2] & e[1]) > 0 THEN acc[2]
+           ELSE CASE WHEN (acc[1] & e[1]) > 0 THEN 32767 - acc[1] ELSE acc[1] END END,
+      acc[3] + e[1] * e[1] *
+        (3 * (CASE WHEN (acc[1] & e[1]) > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN (acc[2] & e[1]) > 0 THEN 1 ELSE 0 END)
+           * (1 - 2 * (CASE WHEN (acc[1] & e[1]) > 0 THEN 1 ELSE 0 END)))
+    ]"""
+
+
+@register(
+    "layout_hilbert_key",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           list_reduce(
+             list_prepend(
+               [CAST(o_custkey % 32768 AS BIGINT),
+                CAST(o_orderkey % 32768 AS BIGINT), 0::BIGINT],
+               list_transform(generate_series(1, 15),
+                              i -> [CAST(1::BIGINT << (15 - i) AS BIGINT),
+                                    0::BIGINT, 0::BIGINT])),
+             (acc, e) -> {_HILBERT_STEP_SQL}
+           )[3] AS hkey
+    FROM orders
+    """,
+    doc="Hilbert-curve clustering key over (custkey, orderkey): the public "
+        "xy2d fold (quadrant digit + reflect/swap rotation per level) as "
+        "one aggregate() with an (x,y,d) integer accumulator — strictly "
+        "better locality than the Morton twin layout_zorder_key (every "
+        "unit d-step is one grid cell), so files sorted by hkey prune "
+        "tighter on range predicates over either column; zero UDFs, "
+        "adjacency property + independent Python replay in tests",
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.operators.layout import hilbert_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        hilbert_key(F.col("o_custkey"), F.col("o_orderkey"), bits=15).alias("hkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg JACM'99) on the supplier->part-class
+# graph — the second classic link-analysis prior beside PageRank, and the
+# one that separates "links to many good things" (hub) from "linked by
+# many good things" (authority); crawl frontier scoring uses both. Integer
+# fixed point with max-normalization back to HITS_SCALE (multiply +
+# floor-divide only), so the 2-round iteration is order-insensitive and
+# the oracle replays it as unrolled CTEs, value-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_hits",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem
+    ),
+    a1r AS (SELECT dst, count(*)::BIGINT * 1000000 AS raw FROM e GROUP BY dst),
+    a1 AS (SELECT dst AS node,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM a1r) AS BIGINT) AS score
+           FROM a1r),
+    h1r AS (SELECT e.src, sum(a1.score)::BIGINT AS raw
+            FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+    h1 AS (SELECT src AS node,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM h1r) AS BIGINT) AS score
+           FROM h1r),
+    a2r AS (SELECT e.dst, sum(h1.score)::BIGINT AS raw
+            FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+    a2 AS (SELECT dst AS node,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM a2r) AS BIGINT) AS score
+           FROM a2r),
+    h2r AS (SELECT e.src, sum(a2.score)::BIGINT AS raw
+            FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+    h2 AS (SELECT src AS node,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM h2r) AS BIGINT) AS score
+           FROM h2r)
+    SELECT coalesce(h2.node, a2.node) AS node,
+           coalesce(h2.score, 0)::BIGINT AS hub_score,
+           coalesce(a2.score, 0)::BIGINT AS auth_score
+    FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node
+    """,
+    doc="HITS hubs & authorities (Kleinberg JACM'99), 2 rounds of integer "
+        "fixed point with max-normalization to 1e6 (multiply + floor-div "
+        "only, order-insensitive): each half-step is one edge-key join + "
+        "one map-side-combinable groupBy, the max a broadcast scalar — "
+        "the link-quality prior pair crawl scoring uses beside PageRank; "
+        "oracle replays the unrolled rounds value-exact",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import hits_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    return hits_fixed_point(edges, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick, Weinberger et al. ICML'09): hashed
+# signed bag-of-words into 64 buckets — the fixed-width, vocabulary-free
+# featurizer for shallow quality/topic classifiers over a corpus whose
+# vocabulary would not fit a dictionary. Sign bit debiases collisions
+# (E[collision contribution] = 0). Sparse (doc, bucket, weight) output;
+# the plan is explode -> map-side-combinable groupBy — one linear shuffle,
+# no vocabulary table, no windows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_hash_features",
+    """
+    WITH tok AS (
+      SELECT doc_id, u.t AS t
+      FROM documents,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('fh' || t), 1, 8))::BIGINT AS hv
+      FROM tok WHERE t <> ''
+    )
+    SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bucket,
+           CAST(sum(1 - 2 * ((hv // 64) % 2)) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, CAST(hv % 64 AS BIGINT)
+    """,
+    doc="feature hashing (Weinberger ICML'09): signed hashed bag-of-words "
+        "into 64 buckets, sparse (doc, bucket, weight) rows — the "
+        "vocabulary-free featurizer for corpus-scale shallow classifiers; "
+        "one explode + one map-side-combinable groupBy, zero windows, "
+        "zero vocabulary state",
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh"), F.col("t"))), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        tok.select("doc_id", hv.alias("hv"))
+        .groupBy("doc_id", F.expr("CAST(hv % 64 AS BIGINT)").alias("bucket"))
+        .agg(
+            F.sum(F.expr("1 - 2 * ((hv div 64) % 2)")).cast("long").alias("weight")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI (the distributed bootstrap: each
+# resample gives every row an independent Poisson(1) multiplicity, so no
+# resample ever needs a global n-with-replacement draw). Multiplicities
+# come from the salted-md5 uniform via the exact Poisson(1) inverse CDF
+# (thresholds as shared literals) — zero RNG, replayable on both engines.
+# B=32 resample means are exact-integer sums with ONE double division
+# each; the CI is the 2nd/31st order statistic of those 32 doubles (a
+# bounded 32-element sort in an array, never a global window).
+# ---------------------------------------------------------------------------
+
+_POIS_W_SQL = """(CASE WHEN {u} < 0.36787944117144233 THEN 0
+          WHEN {u} < 0.7357588823428847 THEN 1
+          WHEN {u} < 0.9196986029286058 THEN 2
+          WHEN {u} < 0.9810118431238462 THEN 3
+          ELSE 4 END)"""
+
+
+@register(
+    "analytic_bootstrap_ci",
+    f"""
+    WITH x AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS y FROM events
+    ),
+    r AS (
+      SELECT b.b, x.y,
+             {_POIS_W_SQL.format(u="(('0x' || substr(md5('boot' || CAST(b.b AS VARCHAR) || ':' || CAST(x.event_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)")} AS w
+      FROM x CROSS JOIN generate_series(1, 32) AS b(b)
+    ),
+    m AS (
+      SELECT b, CAST(sum(w * y) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+      FROM r GROUP BY b
+    ),
+    s AS (SELECT list(mean_b ORDER BY mean_b) AS l FROM m),
+    t AS (
+      SELECT CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c FROM x
+    )
+    SELECT 32::BIGINT AS n_resamples, t.mean_c AS mean_cents,
+           s.l[2] AS ci_lo_cents, s.l[31] AS ci_hi_cents
+    FROM s CROSS JOIN t
+    """,
+    doc="deterministic Poisson bootstrap CI for mean event value: B=32 "
+        "resamples give each row a Poisson(1) multiplicity from the "
+        "salted-md5 uniform via the exact inverse CDF (zero RNG, shared "
+        "literals) — the distributed bootstrap that never materializes an "
+        "n-with-replacement draw; resample means are exact integer sums + "
+        "one double division, CI = 2nd/31st order statistic of 32 doubles "
+        "(bounded in-array sort, no global window)",
+)
+def analytic_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .otherwise(4)
+    )
+    r = x.select(
+        "event_id", "y", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b")
+    ).select("b", "y", w.alias("w"))
+    m = r.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("y")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    s = m.agg(F.array_sort(F.collect_list("mean_b")).alias("l"))
+    t = x.agg(
+        (F.sum("y").cast("double") / F.count("*").cast("double")).alias("mean_c")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            F.lit(32).cast("long").alias("n_resamples"),
+            F.col("mean_c").alias("mean_cents"),
+            F.element_at("l", 2).alias("ci_lo_cents"),
+            F.element_at("l", 31).alias("ci_hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter for INCREMENTAL dedup: probing a new crawl batch against
+# an existing corpus without joining the corpus. The corpus's normalized-
+# text fingerprints build the portable 1024-bit Bloom (same k=4 md5 scheme
+# as sketch_bloom_filter — register-exact, bit_or-mergeable, so the
+# production filter is maintained incrementally batch over batch); the new
+# batch (doc_id % 5 == 0 here) probes the BROADCAST filter — per-batch
+# cost independent of corpus size, which is the whole point at 100 TB
+# (the exact-join twin rescans the corpus every batch). maybe_dup has no
+# false negatives; the exact flag beside it measures the FP rate honestly
+# (m=1024 is demo-sized; production m scales with corpus cardinality).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_bloom_prefilter",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+             doc_id % 5 = 0 AS is_new
+      FROM documents
+    ),
+    corpus AS (SELECT f FROM fp WHERE NOT is_new),
+    pos AS (
+      SELECT DISTINCT
+             (('0x' || substr(md5(f), 1 + 8*j.j, 8))::BIGINT % 1024) AS p
+      FROM corpus, unnest([0, 1, 2, 3]) AS j(j)
+    ),
+    words AS (
+      SELECT CAST(p // 32 AS INT) AS word_idx,
+             CAST(bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS BIGINT) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT fp.doc_id, fp.f,
+             (('0x' || substr(md5(fp.f), 1 + 8*j.j, 8))::BIGINT % 1024) AS p
+      FROM fp, unnest([0, 1, 2, 3]) AS j(j) WHERE fp.is_new
+    ),
+    hit AS (
+      SELECT probe.doc_id, probe.f,
+             min(CASE WHEN ((coalesce(w.bits, 0) >> CAST(probe.p % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM probe LEFT JOIN words w ON w.word_idx = CAST(probe.p // 32 AS INT)
+      GROUP BY probe.doc_id, probe.f
+    )
+    SELECT h.doc_id, CAST(h.all_set AS BIGINT) AS maybe_dup,
+           CAST(CASE WHEN c.f IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM hit h
+    LEFT JOIN (SELECT DISTINCT f FROM corpus) c ON h.f = c.f
+    """,
+    doc="incremental-dedup Bloom prefilter: corpus fingerprints build the "
+        "portable 1024-bit k=4 Bloom (bit_or-mergeable, maintained batch "
+        "over batch), the new batch probes the BROADCAST filter — "
+        "per-batch cost independent of corpus size; no false negatives by "
+        "construction, FP rate measured honestly by the exact flag beside "
+        "the probe",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import bloom_bits, bloom_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("f"),
+        (F.col("doc_id") % 5 == 0).alias("is_new"),
+    )
+    corpus = fp.filter(~F.col("is_new")).select("f")
+    words = bloom_bits(corpus.select(F.col("f").alias("key")))
+    probe = fp.filter("is_new").select(
+        "doc_id", "f", F.explode(bloom_positions(F.col("f"))).alias("p")
+    )
+    hit = (
+        probe.join(
+            F.broadcast(words),
+            F.expr("cast(p div 32 as int)") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "f",
+            F.expr(
+                "CASE WHEN ((coalesce(bits, 0L) >> cast(p % 32 as int)) & 1) = 1 "
+                "THEN 1 ELSE 0 END"
+            ).alias("set_"),
+        )
+        .groupBy("doc_id", "f")
+        .agg(F.min("set_").alias("all_set"))
+    )
+    return (
+        hit.join(corpus.distinct().withColumnRenamed("f", "cf"),
+                 F.col("f") == F.col("cf"), "left")
+        .select(
+            "doc_id",
+            F.col("all_set").cast("long").alias("maybe_dup"),
+            F.when(F.col("cf").isNotNull(), 1).otherwise(0).cast("long").alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch chi-square guard: the first QA gate on any hashed
+# A/B assignment (and on this repo's own md5 split device). Per stratum,
+# the 50/50 chi-square statistic collapses to (n_a - n_b)^2 / n — exact
+# integer counts, one shared float expression, flag at the 3.841 critical
+# value (chi^2_1, alpha=0.05). One map-side-combinable aggregation.
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = "(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n AS DOUBLE))"
+
+
+@register(
+    "analytic_srm_chi2",
+    f"""
+    WITH a AS (
+      SELECT event_type,
+             CASE WHEN (('0x' || substr(md5('ab' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, count(*)::BIGINT AS n, sum(in_a)::BIGINT AS n_a,
+             (count(*) - sum(in_a))::BIGINT AS n_b
+      FROM a GROUP BY event_type
+    )
+    SELECT event_type, n, n_a, n_b,
+           {_CHI2_SQL} AS chi2,
+           CAST(CASE WHEN {_CHI2_SQL} > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM c
+    """,
+    doc="sample-ratio-mismatch guard per stratum: hashed 50/50 assignment, "
+        "chi-square = (n_a - n_b)^2 / n from exact integer counts (shared "
+        "float expression), flagged at the 3.841 critical value — the QA "
+        "gate run before trusting any experiment readout or hashed split; "
+        "one map-side-combinable aggregation",
+)
+def analytic_srm_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.when(hash_fraction(F.col("event_id"), "ab") < 0.5, 1).otherwise(0)
+    c = (
+        ev.select("event_type", in_a.alias("in_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("in_a").cast("long").alias("n_a"),
+            (F.count("*") - F.sum("in_a")).cast("long").alias("n_b"),
+        )
+    )
+    return c.select(
+        "event_type", "n", "n_a", "n_b",
+        F.expr(_CHI2_SQL).alias("chi2"),
+        F.expr(f"CAST(CASE WHEN {_CHI2_SQL} > 3.841 THEN 1 ELSE 0 END AS BIGINT)").alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file skipping as data: per-"file" min/max stats (files simulated
+# as orderkey div 1000 row groups) and the prune/scan accounting a scan
+# planner would do for a date-range predicate — the observability behind
+# every layout decision in this repo (zorder/hilbert/partitioning): how
+# many files does the predicate actually skip, and how many rows does the
+# survivor set over-scan. Date strings keep min/max portable; everything
+# else is exact integer counts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "layout_file_skipping_stats",
+    """
+    WITH f AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d
+      FROM orders
+    ),
+    z AS (
+      SELECT file_id, count(*)::BIGINT AS n_rows, min(d) AS min_d, max(d) AS max_d
+      FROM f GROUP BY file_id
+    ),
+    p AS (
+      SELECT n_rows,
+             CASE WHEN max_d < '1994-01-01' OR min_d > '1994-12-31'
+                  THEN 1 ELSE 0 END AS pruned
+      FROM z
+    )
+    SELECT count(*)::BIGINT AS n_files,
+           sum(pruned)::BIGINT AS n_pruned,
+           sum(CASE WHEN pruned = 0 THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+           (SELECT count(*)::BIGINT FROM f
+            WHERE d BETWEEN '1994-01-01' AND '1994-12-31') AS rows_matching
+    FROM p
+    """,
+    doc="zone-map file-skipping accounting: per-file (orderkey div 1000) "
+        "min/max date stats, then the scan planner's arithmetic for a "
+        "1994 date-range predicate — files pruned, rows scanned by the "
+        "survivors, rows actually matching; the measurement that justifies "
+        "(or indicts) a clustering choice before rewriting 100 TB",
+)
+def layout_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        F.expr("o_orderkey div 1000").alias("file_id"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("d"),
+    )
+    z = f.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    p = z.select(
+        "n_rows",
+        F.when(
+            (F.col("max_d") < "1994-01-01") | (F.col("min_d") > "1994-12-31"), 1
+        ).otherwise(0).alias("pruned"),
+    )
+    matching = f.filter(F.col("d").between("1994-01-01", "1994-12-31")).agg(
+        F.count("*").cast("long").alias("rows_matching")
+    )
+    summary = p.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("pruned").cast("long").alias("n_pruned"),
+        F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    return summary.crossJoin(F.broadcast(matching)).select(
+        "n_files", "n_pruned", "rows_scanned", "rows_matching"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

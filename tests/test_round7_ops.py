@@ -193,3 +193,254 @@ def test_jsonl_corrupt_counts(spark):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     assert row.n_corrupt == int((docs.doc_id % 7 == 6).sum())
     assert row.n_good == len(docs) - row.n_corrupt
+
+
+def test_interleave_positions_are_a_bijection(spark):
+    """Global positions must be exactly {1..W*C}, each source must
+    contribute exactly wt*C items, and within every cycle each source's
+    slot block must sit at its lexicographic offset."""
+    rows = QUERIES["sample_interleave_datasets"].fn(spark, SF).collect()
+    assert rows
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    wt = {s: int(s[3:]) % 3 + 1 for s in docs.source.unique()}
+    cnt = docs.source.value_counts().to_dict()
+    cycles = min(cnt[s] // wt[s] for s in wt)
+    big_w = sum(wt.values())
+    assert sorted(r.global_pos for r in rows) == list(range(1, big_w * cycles + 1))
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.global_pos)
+    offs, acc = {}, 0
+    for s in sorted(wt):
+        offs[s] = acc
+        acc += wt[s]
+    for s, poss in per_src.items():
+        assert len(poss) == wt[s] * cycles
+        for p in poss:
+            slot = (p - 1) % big_w
+            assert offs[s] <= slot < offs[s] + wt[s]
+
+
+def test_ngram_novelty_matches_python(spark):
+    """Pure-Python dict replay of first-occurrence 3-gram novelty."""
+    import pandas as pd
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    grams_by_doc = {}
+    for _, d in docs.iterrows():
+        toks = re.split(r"\s+", d.text.strip().lower())
+        if len(toks) < 3:
+            continue
+        grams_by_doc[d.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    first = {}
+    for doc_id in sorted(grams_by_doc):
+        for g in grams_by_doc[doc_id]:
+            first.setdefault(g, doc_id)
+    got = {r.doc_id: r for r in QUERIES["text_ngram_novelty"].fn(spark, SF).collect()}
+    assert set(got) == set(grams_by_doc)
+    for doc_id, grams in grams_by_doc.items():
+        novel = sum(1 for g in grams if first[g] == doc_id)
+        r = got[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_novel == novel
+        assert r.novelty_ppm == novel * 1000000 // len(grams)
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Cramer-over-integer-sums vs numpy least squares on the raw rows."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    x1 = pd.to_datetime(ev.ts).dt.hour.to_numpy(dtype=np.float64)
+    x2 = (ev.event_type == "purchase").to_numpy(dtype=np.float64)
+    y = np.round(ev.value.to_numpy() * 100.0)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    row = QUERIES["analytic_ols_regression"].fn(spark, SF).collect()[0]
+    assert row.n_rows == len(ev)
+    got = np.array([row.beta0_cents, row.beta1_cents, row.beta2_cents])
+    assert np.allclose(got, beta, rtol=1e-8, atol=1e-6)
+
+
+def test_hilbert_key_matches_python_and_is_a_curve(spark):
+    """(a) adjacency property of the independent python xy2d on a small
+    grid proves the algorithm variant is a true Hilbert curve; (b) the
+    engine column matches that python replay on real keys."""
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16
+    pos = {xy2d(n, x, y): (x, y) for x in range(n) for y in range(n)}
+    assert sorted(pos) == list(range(n * n))
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = pos[d - 1], pos[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    rows = QUERIES["layout_hilbert_key"].fn(spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.hkey == xy2d(32768, r.o_custkey % 32768, r.o_orderkey % 32768)
+
+
+def test_hits_matches_python_replay(spark):
+    """Independent python/numpy replay of the 2-round integer HITS spec,
+    plus normalization invariants (max of each score family == SCALE)."""
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    edges = sorted({(int(s), int(p) % 100) for s, p in zip(li.l_suppkey, li.l_partkey)})
+    SCALE = 1_000_000
+    h = {u: SCALE for u in {e[0] for e in edges} | {e[1] for e in edges}}
+    a = {}
+    for _ in range(2):
+        a_raw = {}
+        for u, v in edges:
+            a_raw[v] = a_raw.get(v, 0) + h.get(u, 0)
+        mx = max(a_raw.values())
+        a = {v: r * SCALE // mx for v, r in a_raw.items()}
+        h_raw = {}
+        for u, v in edges:
+            h_raw[u] = h_raw.get(u, 0) + a.get(v, 0)
+        mx = max(h_raw.values())
+        h = {u: r * SCALE // mx for u, r in h_raw.items()}
+    got = {r.node: r for r in QUERIES["graph_hits"].fn(spark, SF).collect()}
+    assert set(got) == set(h) | set(a)
+    for node, r in got.items():
+        assert r.hub_score == h.get(node, 0)
+        assert r.auth_score == a.get(node, 0)
+    assert max(r.hub_score for r in got.values()) == SCALE
+    assert max(r.auth_score for r in got.values()) == SCALE
+
+
+def test_hash_features_match_python(spark):
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    exp = {}
+    for _, d in docs.iterrows():
+        for t in re.split(r"\s+", d.text.strip().lower()):
+            if not t:
+                continue
+            hv = int(hashlib.md5(("fh" + t).encode()).hexdigest()[:8], 16)
+            k = (d.doc_id, hv % 64)
+            exp[k] = exp.get(k, 0) + (1 - 2 * ((hv // 64) % 2))
+    got = {
+        (r.doc_id, r.bucket): r.weight
+        for r in QUERIES["text_hash_features"].fn(spark, SF).collect()
+    }
+    assert got == exp
+
+
+def test_bootstrap_ci_matches_python(spark):
+    """Exact replay: Poisson(1) multiplicities from the same md5 inverse
+    CDF, integer sums, one double division — values must be identical."""
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ys = {int(r.event_id): int(round(r.value * 100)) for _, r in ev.iterrows()}
+    means = []
+    for b in range(1, 33):
+        swy = sw = 0
+        for eid, y in ys.items():
+            u = int(hashlib.md5(f"boot{b}:{eid}".encode()).hexdigest()[:8], 16) / 4294967296.0
+            w = 0 if u < 0.36787944117144233 else (
+                1 if u < 0.7357588823428847 else (
+                    2 if u < 0.9196986029286058 else (
+                        3 if u < 0.9810118431238462 else 4)))
+            swy += w * y
+            sw += w
+        means.append(swy / sw)
+    means.sort()
+    row = QUERIES["analytic_bootstrap_ci"].fn(spark, SF).collect()[0]
+    assert row.n_resamples == 32
+    assert row.mean_cents == sum(ys.values()) / len(ys)
+    assert row.ci_lo_cents == means[1]
+    assert row.ci_hi_cents == means[30]
+    assert row.ci_lo_cents < row.mean_cents < row.ci_hi_cents
+
+
+def test_bloom_prefilter_no_false_negatives_and_python_replay(spark):
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    fp = {
+        int(d.doc_id): hashlib.md5(
+            re.sub(r"\s+", " ", d.text.strip().lower()).encode()
+        ).hexdigest()
+        for _, d in docs.iterrows()
+    }
+    corpus = {f for i, f in fp.items() if i % 5 != 0}
+
+    def positions(key):
+        h = hashlib.md5(key.encode()).hexdigest()
+        return [int(h[8 * j : 8 * j + 8], 16) % 1024 for j in range(4)]
+
+    bits = set()
+    for f in corpus:
+        bits.update(positions(f))
+    got = {r.doc_id: r for r in QUERIES["dedup_bloom_prefilter"].fn(spark, SF).collect()}
+    assert set(got) == {i for i in fp if i % 5 == 0}
+    for i, r in got.items():
+        exp_maybe = 1 if all(p in bits for p in positions(fp[i])) else 0
+        exp_is = 1 if fp[i] in corpus else 0
+        assert (r.maybe_dup, r.is_dup) == (exp_maybe, exp_is)
+        # a Bloom filter never produces false negatives
+        assert not (r.is_dup == 1 and r.maybe_dup == 0)
+
+
+def test_srm_chi2_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    rows = {r.event_type: r for r in QUERIES["analytic_srm_chi2"].fn(spark, SF).collect()}
+    for et, g in ev.groupby("event_type"):
+        n_a = sum(
+            1
+            for eid in g.event_id
+            if int(hashlib.md5(f"ab{eid}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+        )
+        r = rows[et]
+        assert (r.n, r.n_a, r.n_b) == (len(g), n_a, len(g) - n_a)
+        assert r.chi2 == (r.n_a - r.n_b) ** 2 / r.n
+        assert r.srm_flag == (1 if r.chi2 > 3.841 else 0)
+
+
+def test_file_skipping_stats_match_pandas(spark):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    d = pd.to_datetime(o.o_orderdate).dt.strftime("%Y-%m-%d")
+    g = pd.DataFrame({"file_id": o.o_orderkey // 1000, "d": d}).groupby("file_id")
+    z = g.agg(n_rows=("d", "size"), min_d=("d", "min"), max_d=("d", "max"))
+    pruned = (z.max_d < "1994-01-01") | (z.min_d > "1994-12-31")
+    r = QUERIES["layout_file_skipping_stats"].fn(spark, SF).collect()[0]
+    assert r.n_files == len(z)
+    assert r.n_pruned == int(pruned.sum())
+    assert r.rows_scanned == int(z.n_rows[~pruned].sum())
+    assert r.rows_matching == int(((d >= "1994-01-01") & (d <= "1994-12-31")).sum())
