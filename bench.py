@@ -162,6 +162,11 @@ HEADLINE = [
     "dedup_bloom_prefilter",      # broadcast-Bloom incremental dedup probe
     "analytic_srm_chi2",          # sample-ratio-mismatch chi-square guard
     "layout_file_skipping_stats", # zone-map prune/scan accounting
+    "mm_image_phash",             # fixed-point DCT perceptual hash dedup
+    "graph_label_propagation",    # 2-round deterministic LPA communities
+    "analytic_did",               # difference-in-differences readout
+    "sketch_hll_union",           # mergeable HLL set algebra + overlap
+    "sample_group_kfold",         # group-integrity CV fold assignment
 ]
 
 

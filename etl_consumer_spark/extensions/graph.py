@@ -197,6 +197,49 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return ranks.select("node", F.col("r").cast("long").alias("pagerank"))
 
 
+LPA_B = 1_000_000_000
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007)
+    over an undirected edge list; returns (node, community) after
+    ``rounds`` rounds.
+
+    Deterministic variant: every node starts labeled with its own id; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label. The argmax-with-tiebreak is computed
+    without any window: the pair (count, label) is packed into one integer
+    key ``count * LPA_B - label`` (valid while labels < LPA_B and
+    count * LPA_B < 2^63, i.e. degree < ~9.2e9), so ``max(key)`` is a
+    map-side-combinable aggregate and the label unpacks exactly on any
+    engine — ceil-div for the count, subtraction for the label. Each round
+    is one join shuffled on the edge key + two combinable groupBys; the
+    synchronous update makes the rounds order-insensitive, so a SQL oracle
+    replays them as unrolled CTEs, value-exact."""
+    a = F.least("src", "dst").alias("a")
+    b = F.greatest("src", "dst").alias("b")
+    und = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").cast("long").alias("l"))
+    for _ in range(rounds):
+        cnt = (
+            sym.join(lab.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "l")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = cnt.groupBy("node").agg(
+            F.max(F.col("c") * LPA_B - F.col("l")).alias("k")
+        )
+        lab = pick.select(
+            "node",
+            (
+                F.expr(f"((k + {LPA_B - 1}) div {LPA_B}) * {LPA_B}") - F.col("k")
+            ).cast("long").alias("l"),
+        )
+    return lab.select("node", F.col("l").alias("community"))
+
+
 HITS_SCALE = 1_000_000
 
 

@@ -935,6 +935,65 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
 
 AHASH_SCHEMA = "media_id long, ahash string"
 
+# fixed-point DCT-II cosine table for the pHash kernel: C[u][i] =
+# round(cos((2i+1)*u*pi/16) * 10000). Integer taps make the transform
+# order-insensitive and bit-reproducible, so a SQL oracle can replay it
+# from the same literal table. Computed once at import from the same
+# formula the oracle generator uses.
+import math as _math
+
+PHASH_DCT = [
+    [int(round(_math.cos((2 * i + 1) * u * _math.pi / 16) * 10000)) for i in range(8)]
+    for u in range(8)
+]
+
+PHASH_SCHEMA = "media_id long, phash string"
+
+
+def phash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual DCT-hash (pHash) per image: grayscale, nearest-neighbor
+    ``grid``x``grid`` cells (same downsample as :func:`ahash_images`),
+    then a 2-D fixed-point DCT-II — F[u][v] = sum_ij cell[i][j] *
+    C[u][i] * C[v][j] with the integer tap table ``PHASH_DCT`` — and one
+    bit per low-frequency coefficient: the 15 coefficients with
+    u, v < 4 excluding DC, set iff the coefficient exceeds their 8th
+    smallest (the exact-median threshold). Robust to the uniform
+    brightness/contrast shifts that flip aHash bits, because the
+    comparison is against the coefficients' own median, not a pixel mean.
+
+    All-integer arithmetic end to end (cells <= 255, taps <= 1e4, sums
+    <= 64 * 255 * 1e8 < 2^62), so the hash is bit-reproducible and the
+    SQL oracle replays transform + threshold value-exactly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctab = np.array(PHASH_DCT, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                h, w = gray.shape
+                ys = (np.arange(grid) * h // grid).clip(0, h - 1)
+                xs = (np.arange(grid) * w // grid).clip(0, w - 1)
+                cells = gray[np.ix_(ys, xs)].astype(np.int64)
+                coef = ctab @ cells @ ctab.T  # F[u][v], exact int64
+                lows = [
+                    int(coef[u, v])
+                    for u in range(4)
+                    for v in range(4)
+                    if not (u == 0 and v == 0)
+                ]
+                m = sorted(lows)[7]  # 8th smallest of 15
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "phash": "".join("1" if c > m else "0" for c in lows),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, PHASH_SCHEMA)
+
 
 def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual average-hash (aHash) per image: the decoded grayscale

@@ -13393,6 +13393,371 @@ def layout_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual DCT-hash (pHash) image dedup: the frequency-domain upgrade of
+# mm_image_ahash. The 8x8 cell grid (same real-decode + nearest-neighbor
+# path) goes through a 2-D FIXED-POINT DCT-II — integer tap table
+# C[u][i] = round(cos((2i+1)u*pi/16)*1e4), imported from the kernel module
+# so oracle and engine cannot drift — and each of the 15 low-frequency
+# coefficients (u,v < 4, DC excluded) becomes one bit against their exact
+# 8th-smallest threshold. Median-of-coefficients thresholding makes the
+# hash invariant to the uniform brightness/contrast shifts that flip
+# aHash bits. All-integer end to end, so the oracle replays transform +
+# threshold value-exactly from the synthesis rule.
+# ---------------------------------------------------------------------------
+
+from etl_consumer_spark.extensions.multimodal import PHASH_DCT as _PHASH_DCT
+
+_PHASH_C_VALUES = ", ".join(
+    f"({u}, {i}, {_PHASH_DCT[u][i]})" for u in range(4) for i in range(8)
+)
+
+
+@register(
+    "mm_image_phash",
+    f"""
+    WITH d2 AS (
+      SELECT d1.doc_id,
+             CASE WHEN d1.doc_id % 5 = 4 AND prev.text IS NOT NULL
+                  THEN prev.text ELSE d1.text END AS text
+      FROM documents d1 LEFT JOIN documents prev ON prev.doc_id = d1.doc_id - 1
+    ),
+    r AS (
+      SELECT doc_id, (8 + length(text) % 8) AS w,
+             substr(repeat(md5(text), 6), 1, (8 + length(text) % 8) * 12) AS ras
+      FROM d2
+    ),
+    cell AS (
+      SELECT doc_id, u.k AS k,
+             ascii(substr(ras, (((u.k // 8) // 2) * w + ((u.k % 8) * w) // 8) * 3 + 1, 1)) AS v
+      FROM r, unnest(generate_series(0, 63)) AS u(k)
+    ),
+    c AS (SELECT u, i, CAST(cc AS BIGINT) AS cc
+          FROM (VALUES {_PHASH_C_VALUES}) t(u, i, cc)),
+    f AS (
+      SELECT cell.doc_id, cu.u AS fu, cv.u AS fv,
+             sum(cell.v * cu.cc * cv.cc)::BIGINT AS coef
+      FROM cell
+      JOIN c cu ON cu.i = cell.k // 8
+      JOIN c cv ON cv.i = cell.k % 8
+      WHERE NOT (cu.u = 0 AND cv.u = 0)
+      GROUP BY cell.doc_id, cu.u, cv.u
+    ),
+    med AS (
+      SELECT doc_id, (list(coef ORDER BY coef))[8] AS m FROM f GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT f.doc_id,
+             string_agg(CASE WHEN f.coef > med.m THEN '1' ELSE '0' END,
+                        '' ORDER BY f.fu, f.fv) AS phash
+      FROM f JOIN med USING (doc_id) GROUP BY f.doc_id
+    )
+    SELECT phash, count(*) AS n_images, min(doc_id) AS keeper_id
+    FROM bits GROUP BY phash
+    """,
+    doc="image dedup via perceptual DCT-hash (pHash): real decode -> 8x8 "
+        "cells -> fixed-point 2-D DCT-II (integer taps round(cos*1e4), "
+        "one table shared by kernel and oracle) -> 15 low-frequency bits "
+        "against their exact median — invariant to the uniform "
+        "brightness/contrast shifts that flip aHash bits; the Arrow "
+        "kernel only decodes+transforms, the shuffle key is the 15-bit "
+        "hash string; numpy-DCT differential in tests",
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("prev_text"))
+    with_dups = (
+        docs.join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 5 == 4) & F.col("prev_text").isNotNull(),
+                F.col("prev_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    media = M.synthesize_media_table(with_dups, "doc_id", "text")
+    return (
+        M.phash_images(media)
+        .groupBy("phash")
+        .agg(F.count("*").alias("n_images"), F.min("media_id").alias("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (Raghavan et al. 2007) — community
+# detection for corpus/link clustering where connected components
+# over-merge (everything touching is one component) and modularity needs a
+# labeling to score. Deterministic: adopt the most frequent neighbor
+# label, ties to the SMALLEST; the argmax is packed into one integer key
+# (count * 1e9 - label) so each round is just combinable aggregates — no
+# windows anywhere — and the unpack is exact integer arithmetic on any
+# engine. 2 synchronous rounds, replayed unrolled by the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_label_propagation",
+    """
+    WITH eu AS (
+      SELECT DISTINCT least(l_suppkey, 1000 + l_partkey % 100) AS a,
+                      greatest(l_suppkey, 1000 + l_partkey % 100) AS b
+      FROM lineitem WHERE l_suppkey <> 1000 + l_partkey % 100
+    ),
+    sym AS (SELECT a, b FROM eu UNION ALL SELECT b AS a, a AS b FROM eu),
+    l0 AS (SELECT DISTINCT a AS node, a::BIGINT AS l FROM sym),
+    c1 AS (SELECT s.a AS node, l0.l AS l, count(*)::BIGINT AS c
+           FROM sym s JOIN l0 ON s.b = l0.node GROUP BY s.a, l0.l),
+    p1 AS (SELECT node, max(c * 1000000000 - l) AS k FROM c1 GROUP BY node),
+    l1 AS (SELECT node,
+                  CAST(((k + 999999999) // 1000000000) * 1000000000 - k AS BIGINT) AS l
+           FROM p1),
+    c2 AS (SELECT s.a AS node, l1.l AS l, count(*)::BIGINT AS c
+           FROM sym s JOIN l1 ON s.b = l1.node GROUP BY s.a, l1.l),
+    p2 AS (SELECT node, max(c * 1000000000 - l) AS k FROM c2 GROUP BY node),
+    l2 AS (SELECT node,
+                  CAST(((k + 999999999) // 1000000000) * 1000000000 - k AS BIGINT) AS l
+           FROM p2)
+    SELECT node, l AS community FROM l2
+    """,
+    doc="synchronous label propagation (Raghavan 2007), 2 rounds, most "
+        "frequent neighbor label with smallest-label ties: the "
+        "argmax-with-tiebreak packs into one integer key max(c*1e9 - l), "
+        "so every round is one edge join + two map-side-combinable "
+        "groupBys, zero windows; deterministic, oracle replays unrolled "
+        "rounds value-exact — the community layer between connected "
+        "components (over-merges) and modularity (needs a labeling)",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return label_propagation(edges, rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: the causal-effect readout on a hashed
+# treatment assignment with a fixed period boundary — the analysis an
+# experimentation pipeline runs after analytic_srm_chi2 clears the split.
+# All four cell aggregates are exact integer (count, cents-sum) in ONE
+# map-side-combinable aggregation; the four means and the DiD contrast
+# are shared float expressions over them, bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_DID_MEAN = "(CAST(s_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE))"
+_DID_EXPR = (
+    f"(({_DID_MEAN.format(g='t_post')} - {_DID_MEAN.format(g='t_pre')})"
+    f" - ({_DID_MEAN.format(g='c_post')} - {_DID_MEAN.format(g='c_pre')}))"
+)
+
+
+@register(
+    "analytic_did",
+    f"""
+    WITH x AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS y,
+             CASE WHEN (('0x' || substr(md5('did' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16' THEN 1 ELSE 0 END AS post
+      FROM events
+    ),
+    g AS (
+      SELECT sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t_post,
+             sum(CASE WHEN treated = 1 AND post = 1 THEN y ELSE 0 END)::BIGINT AS s_t_post,
+             sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS n_t_pre,
+             sum(CASE WHEN treated = 1 AND post = 0 THEN y ELSE 0 END)::BIGINT AS s_t_pre,
+             sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS n_c_post,
+             sum(CASE WHEN treated = 0 AND post = 1 THEN y ELSE 0 END)::BIGINT AS s_c_post,
+             sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c_pre,
+             sum(CASE WHEN treated = 0 AND post = 0 THEN y ELSE 0 END)::BIGINT AS s_c_pre
+      FROM x
+    )
+    SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
+           {_DID_MEAN.format(g='t_post')} AS mean_t_post_cents,
+           {_DID_MEAN.format(g='t_pre')} AS mean_t_pre_cents,
+           {_DID_MEAN.format(g='c_post')} AS mean_c_post_cents,
+           {_DID_MEAN.format(g='c_pre')} AS mean_c_pre_cents,
+           {_DID_EXPR} AS did_cents
+    FROM g
+    """,
+    doc="difference-in-differences on the hashed user-level treatment "
+        "split with a fixed period boundary: four exact integer "
+        "(count, cents-sum) cells in ONE combinable aggregation, means "
+        "and the DiD contrast as shared float expressions — the causal "
+        "readout run after the SRM gate clears the assignment",
+)
+def analytic_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.when(hash_fraction(F.col("user_id"), "did") < 0.5, 1).otherwise(0).alias("treated"),
+        F.when(F.date_format("ts", "yyyy-MM-dd") >= "2024-01-16", 1).otherwise(0).alias("post"),
+    )
+
+    def cell(t, p, col, name):
+        return F.sum(
+            F.when((F.col("treated") == t) & (F.col("post") == p), col).otherwise(0)
+        ).cast("long").alias(name)
+
+    g = x.agg(
+        cell(1, 1, F.lit(1), "n_t_post"), cell(1, 1, F.col("y"), "s_t_post"),
+        cell(1, 0, F.lit(1), "n_t_pre"), cell(1, 0, F.col("y"), "s_t_pre"),
+        cell(0, 1, F.lit(1), "n_c_post"), cell(0, 1, F.col("y"), "s_c_post"),
+        cell(0, 0, F.lit(1), "n_c_pre"), cell(0, 0, F.col("y"), "s_c_pre"),
+    )
+    return g.select(
+        "n_t_post", "n_t_pre", "n_c_post", "n_c_pre",
+        F.expr(_DID_MEAN.format(g="t_post")).alias("mean_t_post_cents"),
+        F.expr(_DID_MEAN.format(g="t_pre")).alias("mean_t_pre_cents"),
+        F.expr(_DID_MEAN.format(g="c_post")).alias("mean_c_post_cents"),
+        F.expr(_DID_MEAN.format(g="c_pre")).alias("mean_c_pre_cents"),
+        F.expr(_DID_EXPR).alias("did_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: the property that makes HLL the 100 TB distinct-count
+# device is that registers MERGE — union is a per-bucket max, so sketches
+# built per partition / per day / per source combine without re-reading
+# data, and inclusion-exclusion on the merged estimate gives the overlap.
+# Two event slices (purchase vs signup users) each build the register-
+# exact HLL-256; the union merges registers; the intersection estimate is
+# est_a + est_b - est_union. Exact counts alongside expose the error.
+# ---------------------------------------------------------------------------
+
+_HLL_RANKS_SQL = """
+      SELECT ('0x' || substr(hx, 1, 2))::INTEGER AS bucket,
+             CASE WHEN regexp_replace(substr(hx, 3, 13), '^0+', '') = '' THEN 53
+                  ELSE (length(substr(hx, 3, 13))
+                        - length(regexp_replace(substr(hx, 3, 13), '^0+', ''))) * 4
+                       + CASE substr(regexp_replace(substr(hx, 3, 13), '^0+', ''), 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS rank
+      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+            WHERE event_type = '{etype}')"""
+
+_HLL_EST_SQL = (
+    f"round(CASE WHEN {_HLL_ALPHA_M2!r} / (sum_pow_{{s}} + 256 - n_{{s}}) <= 640"
+    f"                AND n_{{s}} < 256"
+    f"           THEN 256 * ln(256.0 / (256 - n_{{s}}))"
+    f"           ELSE {_HLL_ALPHA_M2!r} / (sum_pow_{{s}} + 256 - n_{{s}}) END, 6)"
+)
+
+
+@register(
+    "sketch_hll_union",
+    f"""
+    WITH ra AS (SELECT bucket, max(rank) AS r FROM ({_HLL_RANKS_SQL.format(etype='purchase')}) GROUP BY bucket),
+    rb AS (SELECT bucket, max(rank) AS r FROM ({_HLL_RANKS_SQL.format(etype='signup')}) GROUP BY bucket),
+    ru AS (SELECT bucket, max(r) AS r
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+    agg AS (
+      SELECT (SELECT count(*)::BIGINT FROM ra) AS n_a,
+             (SELECT sum(power(2.0, -r)) FROM ra) AS sum_pow_a,
+             (SELECT count(*)::BIGINT FROM rb) AS n_b,
+             (SELECT sum(power(2.0, -r)) FROM rb) AS sum_pow_b,
+             (SELECT count(*)::BIGINT FROM ru) AS n_u,
+             (SELECT sum(power(2.0, -r)) FROM ru) AS sum_pow_u
+    ),
+    ex AS (
+      SELECT count(DISTINCT user_id)::BIGINT AS exact_union
+      FROM events WHERE event_type IN ('purchase', 'signup')
+    )
+    SELECT {_HLL_EST_SQL.format(s='a')} AS est_a,
+           {_HLL_EST_SQL.format(s='b')} AS est_b,
+           {_HLL_EST_SQL.format(s='u')} AS est_union,
+           round({_HLL_EST_SQL.format(s='a')} + {_HLL_EST_SQL.format(s='b')}
+                 - {_HLL_EST_SQL.format(s='u')}, 6) AS est_intersection,
+           ex.exact_union
+    FROM agg CROSS JOIN ex
+    """,
+    doc="HLL set algebra: purchase-user and signup-user HLL-256 sketches "
+        "merged by per-bucket register max (the mergeability that makes "
+        "HLL the 100 TB distinct-count device — per-partition sketches "
+        "combine without re-reading data), overlap by inclusion-exclusion "
+        "est_a + est_b - est_union; register-exact on both engines, exact "
+        "union count alongside exposes the error",
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import hll_estimate_col, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    ra = hll_registers(ev.filter(F.col("event_type") == "purchase"), F.col("user_id"))
+    rb = hll_registers(ev.filter(F.col("event_type") == "signup"), F.col("user_id"))
+    ru = ra.union(rb).groupBy("bucket").agg(F.max("r").alias("r"))
+
+    def agg1(df, s):
+        return df.agg(
+            F.count("*").cast("long").alias(f"n_{s}"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias(f"sum_pow_{s}"),
+        )
+
+    a, b, u = agg1(ra, "a"), agg1(rb, "b"), agg1(ru, "u")
+    ests = (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            F.round(hll_estimate_col(F.col("n_a"), F.col("sum_pow_a")), 6).alias("est_a"),
+            F.round(hll_estimate_col(F.col("n_b"), F.col("sum_pow_b")), 6).alias("est_b"),
+            F.round(hll_estimate_col(F.col("n_u"), F.col("sum_pow_u")), 6).alias("est_union"),
+            F.round(
+                F.round(hll_estimate_col(F.col("n_a"), F.col("sum_pow_a")), 6)
+                + F.round(hll_estimate_col(F.col("n_b"), F.col("sum_pow_b")), 6)
+                - F.round(hll_estimate_col(F.col("n_u"), F.col("sum_pow_u")), 6),
+                6,
+            ).alias("est_intersection"),
+        )
+    )
+    exact = ev.filter(F.col("event_type").isin("purchase", "signup")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_union")
+    )
+    return ests.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Group-integrity k-fold assignment: cross-validation folds where ALL
+# documents of a group (here: source) land in the same fold — the split
+# that prevents the train/eval leakage a per-document split causes when
+# near-duplicates cluster within groups (the GroupKFold contract). Fold =
+# salted md5 of the GROUP key, so the assignment is stable under corpus
+# growth and repartitioning; map-only, zero shuffles beyond the scan.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_group_kfold",
+    """
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5('kf' || source), 1, 8))::BIGINT % 5 AS BIGINT) AS fold
+    FROM documents
+    """,
+    doc="group-integrity k-fold (the GroupKFold contract): fold = salted "
+        "md5 of the GROUP key (source) % 5, so every doc of a group "
+        "shares a fold and within-group near-dups can never straddle "
+        "train/eval; stable under corpus growth, map-only",
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kf"), F.col("source"))), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return docs.select("doc_id", "source", fold.cast("long").alias("fold"))
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

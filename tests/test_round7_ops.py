@@ -444,3 +444,154 @@ def test_file_skipping_stats_match_pandas(spark):
     assert r.n_pruned == int(pruned.sum())
     assert r.rows_scanned == int(z.n_rows[~pruned].sum())
     assert r.rows_matching == int(((d >= "1994-01-01") & (d <= "1994-12-31")).sum())
+
+
+def test_phash_matches_numpy_dct_and_is_brightness_invariant(spark):
+    """(a) engine hash equals an independent numpy float-DCT replay
+    (quantized taps, so integer and float agree exactly when computed the
+    same way); (b) a uniform brightness shift leaves the pHash unchanged
+    while it flips aHash-style mean bits."""
+    import pandas as pd
+
+    from etl_consumer_spark.extensions.multimodal import PHASH_DCT
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {r.keeper_id: r for r in QUERIES["mm_image_phash"].fn(spark, SF).collect()}
+    C = np.array(PHASH_DCT, dtype=np.int64)
+
+    def cells_for(text):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = 8 + len(text) % 8
+        ras = (hx * 6)[: w * 12]
+        g = np.array([ord(c) for c in ras], dtype=np.int64).reshape(4, w, 3)[:, :, 0]
+        ys = (np.arange(8) * 4 // 8).clip(0, 3)
+        xs = (np.arange(8) * w // 8).clip(0, w - 1)
+        return g[np.ix_(ys, xs)]
+
+    def phash_of(cells):
+        coefs = C @ cells @ C.T
+        lows = [int(coefs[u, v]) for u in range(4) for v in range(4) if (u, v) != (0, 0)]
+        m = sorted(lows)[7]
+        return "".join("1" if c > m else "0" for c in lows)
+
+    checked = 0
+    for _, d in docs.iterrows():
+        if d.doc_id % 5 == 4 or d.doc_id not in got:
+            continue  # dup-overwritten docs hash as their predecessor
+        cells = cells_for(d.text)
+        assert got[d.doc_id].phash == phash_of(cells)
+        # brightness invariance: +10 on every cell shifts every coefficient's
+        # DC-free part identically (row/col tap sums are equal per coeff), so
+        # the median comparison is unchanged
+        assert phash_of(cells + 10) == phash_of(cells)
+        checked += 1
+        if checked >= 30:
+            break
+    assert checked == 30
+
+
+def test_label_propagation_matches_python_replay(spark):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    raw = {(int(s), 1000 + int(p) % 100) for s, p in zip(li.l_suppkey, li.l_partkey)}
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    sym = list(und) + [(b, a) for a, b in und]
+    lab = {n: n for n, _ in sym}
+    for _ in range(2):
+        cnt = {}
+        for a, b in sym:
+            cnt.setdefault(a, {})
+            cnt[a][lab[b]] = cnt[a].get(lab[b], 0) + 1
+        lab = {
+            n: min(ls, key=lambda l: (-ls[l], l))
+            for n, ls in cnt.items()
+        }
+    got = {r.node: r.community for r in QUERIES["graph_label_propagation"].fn(spark, SF).collect()}
+    assert got == lab
+    # communities must be fewer than nodes (propagation actually merged)
+    assert len(set(got.values())) < len(got)
+
+
+def test_did_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cells = {}
+    for _, r in ev.iterrows():
+        u = int(hashlib.md5(f"did{int(r.user_id)}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        t = 1 if u < 0.5 else 0
+        p = 1 if pd.Timestamp(r.ts).strftime("%Y-%m-%d") >= "2024-01-16" else 0
+        n, s = cells.get((t, p), (0, 0))
+        cells[(t, p)] = (n + 1, s + int(round(r.value * 100)))
+    row = QUERIES["analytic_did"].fn(spark, SF).collect()[0]
+    assert (row.n_t_post, row.n_t_pre, row.n_c_post, row.n_c_pre) == (
+        cells[(1, 1)][0], cells[(1, 0)][0], cells[(0, 1)][0], cells[(0, 0)][0])
+    m = {k: s / n for k, (n, s) in cells.items()}
+    assert row.mean_t_post_cents == m[(1, 1)]
+    exp = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert abs(row.did_cents - exp) < 1e-9
+
+
+def test_hll_union_matches_python_registers(spark):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+
+    def regs(users):
+        r = {}
+        for u in sorted(set(users)):
+            h = hashlib.md5(str(u).encode()).hexdigest()
+            bucket = int(h[:2], 16)
+            payload = h[2:15]
+            stripped = payload.lstrip("0")
+            if not stripped:
+                rank = 53
+            else:
+                lead = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+                rank = (len(payload) - len(stripped)) * 4 + lead.get(stripped[0], 0) + 1
+            r[bucket] = max(r.get(bucket, 0), rank)
+        return r
+
+    def est(r):
+        m = 256
+        alpha = 0.7213 / (1 + 1.079 / m) * m * m
+        sum_pow = sum(2.0 ** -v for v in sorted(r.values(), key=lambda *_: 0)) + (m - len(r))
+        e = alpha / sum_pow
+        if e <= 640 and len(r) < m:
+            e = m * math.log(m / (m - len(r)))
+        return round(e, 6)
+
+    ra = regs(ev[ev.event_type == "purchase"].user_id)
+    rb = regs(ev[ev.event_type == "signup"].user_id)
+    ru = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
+    row = QUERIES["sketch_hll_union"].fn(spark, SF).collect()[0]
+    # register merge is exact; estimates agree to the rounding precision
+    # (double sum order differs between python and the engines)
+    assert abs(row.est_a - est(ra)) < 1e-3
+    assert abs(row.est_b - est(rb)) < 1e-3
+    assert abs(row.est_union - est(ru)) < 1e-3
+    assert row.est_union <= row.est_a + row.est_b + 1e-9
+    assert abs(row.est_intersection - (row.est_a + row.est_b - row.est_union)) < 1e-5
+    exact = ev[ev.event_type.isin(["purchase", "signup"])].user_id.nunique()
+    assert row.exact_union == exact
+    # the sketch should be within ~3 standard errors (1.04/sqrt(256) ~ 6.5%)
+    assert abs(row.est_union - exact) / exact < 0.2
+
+
+def test_group_kfold_integrity(spark):
+    import hashlib
+
+    rows = QUERIES["sample_group_kfold"].fn(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.fold < 5
+        exp = int(hashlib.md5(f"kf{r.source}".encode()).hexdigest()[:8], 16) % 5
+        assert r.fold == exp
+        by_src.setdefault(r.source, set()).add(r.fold)
+    assert all(len(f) == 1 for f in by_src.values())
