@@ -13758,6 +13758,331 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. WSDM'13) — the industry-standard
+# experiment readout that uses each unit's PRE-period metric as a control
+# covariate: theta = cov(X,Y)/var(X) from exact integer power sums, then
+# the treatment effect on Y - theta*X. Completes the experimentation
+# trio: analytic_srm_chi2 gates the split, analytic_did reads the naive
+# contrast, CUPED reads the variance-reduced one on the SAME hashed
+# assignment (salt 'did'). One groupBy(user) + one global combinable
+# aggregate; every input to the float expressions is an exact long.
+# ---------------------------------------------------------------------------
+
+_CUPED_THETA = (
+    "((CAST(n_u AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n_u AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_CUPED_RAW = (
+    "(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    " - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))"
+)
+_CUPED_ADJ = (
+    f"((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) - {_CUPED_THETA} * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)))"
+    f" - (CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) - {_CUPED_THETA} * (CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE))))"
+)
+
+
+@register(
+    "analytic_cuped",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS y,
+             CASE WHEN (('0x' || substr(md5('did' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_u, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN treated = 1 THEN x ELSE 0 END)::BIGINT AS sx_t,
+             sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS sy_t,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+             sum(CASE WHEN treated = 0 THEN x ELSE 0 END)::BIGINT AS sx_c,
+             sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS sy_c
+      FROM u
+    )
+    SELECT n_u, n_t, n_c,
+           {_CUPED_THETA} AS theta,
+           {_CUPED_RAW} AS effect_raw_cents,
+           {_CUPED_ADJ} AS effect_cuped_cents
+    FROM s
+    """,
+    doc="CUPED variance-reduced treatment effect (Deng WSDM'13): per-user "
+        "pre/post cents totals, theta = cov(X,Y)/var(X) from exact long "
+        "power sums, adjusted contrast on Y - theta*X — same hashed "
+        "assignment as analytic_did (salt 'did'), completing the "
+        "SRM -> DiD -> CUPED experimentation trio; one groupBy(user) + "
+        "one combinable global aggregate, shared float expressions",
+)
+def analytic_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.when(F.date_format("ts", "yyyy-MM-dd") < "2024-01-16", cents).otherwise(0)
+    post = F.when(F.date_format("ts", "yyyy-MM-dd") >= "2024-01-16", cents).otherwise(0)
+    u = ev.groupBy("user_id").agg(
+        F.sum(pre).cast("long").alias("x"),
+        F.sum(post).cast("long").alias("y"),
+    ).select(
+        "x", "y",
+        F.when(hash_fraction(F.col("user_id"), "did") < 0.5, 1).otherwise(0).alias("treated"),
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n_u"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("x")).otherwise(0)).cast("long").alias("sx_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0)).cast("long").alias("sy_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("x")).otherwise(0)).cast("long").alias("sx_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0)).cast("long").alias("sy_c"),
+    )
+    return s.select(
+        "n_u", "n_t", "n_c",
+        F.expr(_CUPED_THETA).alias("theta"),
+        F.expr(_CUPED_RAW).alias("effect_raw_cents"),
+        F.expr(_CUPED_ADJ).alias("effect_cuped_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. LREC'20): score every document
+# with the corpus bigram LM, then split the corpus into head/middle/tail
+# terciles of LM quality — the binning Common Crawl curation actually
+# ships. Per-bigram log-probs are floored to integer MICRO-units before
+# the per-doc sum, so the per-doc score is an exact long (order-
+# insensitive) and the tercile thresholds come from the shared
+# linear-interpolation percentile over longs (bit-identical cross-engine,
+# the olap_percentiles_exact device). The global percentile is one
+# sort-based aggregate over one row per document — same caveat and same
+# sketch twin (sketch_bottomk_quantiles) as olap_percentiles_exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ccnet_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM tok
+    ),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1
+           FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(w) AS u FROM tok)),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) * 1000000) AS BIGINT) AS lpm
+      FROM bg
+      JOIN c2 USING (bigram)
+      JOIN c1 ON c1.w1 = split_part(bg.bigram, ' ', 1)
+      CROSS JOIN v
+    ),
+    doc AS (
+      SELECT doc_id, CAST(sum(lpm) // count(*) AS BIGINT) AS avg_lp_micro
+      FROM scored GROUP BY doc_id
+    ),
+    thr AS (
+      SELECT quantile_cont(avg_lp_micro, 1.0/3) AS t1,
+             quantile_cont(avg_lp_micro, 2.0/3) AS t2
+      FROM doc
+    )
+    SELECT doc.doc_id, doc.avg_lp_micro,
+           CASE WHEN doc.avg_lp_micro >= thr.t2 THEN 'head'
+                WHEN doc.avg_lp_micro >= thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM doc CROSS JOIN thr
+    """,
+    doc="CCNet perplexity buckets (Wenzek LREC'20): bigram-LM doc scores "
+        "as exact integer micro-units (per-bigram floor before the "
+        "order-insensitive long sum), head/middle/tail terciles from the "
+        "shared linear-interpolation percentile over longs — the LM "
+        "quality binning Common Crawl curation ships; count tables "
+        "vocabulary-bounded and broadcast, one global percentile "
+        "aggregate over one row per doc (sketch twin: "
+        "sketch_bottomk_quantiles)",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    v = tok.select(F.explode("w").alias("u")).agg(F.count_distinct("u").alias("v"))
+    scored = (
+        bg.join(F.broadcast(c2), "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+                * 1000000
+            ).cast("long").alias("lpm"),
+        )
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.expr("CAST(sum(lpm) div count(*) AS BIGINT)").alias("avg_lp_micro")
+    )
+    thr = doc.agg(
+        F.expr("percentile(avg_lp_micro, 1.0/3)").alias("t1"),
+        F.expr("percentile(avg_lp_micro, 2.0/3)").alias("t2"),
+    )
+    return doc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "avg_lp_micro",
+        F.when(F.col("avg_lp_micro") >= F.col("t2"), "head")
+        .when(F.col("avg_lp_micro") >= F.col("t1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b-bit MinHash (Li & Koenig, CACM'11): store only the lowest b=2 bits of
+# each MinHash component — 4x less sketch storage — and recover Jaccard
+# with the collision correction s = (m - C) / (1 - C), C = 2^-b. The
+# audit mirrors dedup_minhash_accuracy_eval: per capped-LSH candidate
+# pair, the 2-bit estimate beside the full-width estimate and the exact
+# shingle Jaccard, so the storage/accuracy trade is measured, not
+# assumed. Same bounded candidate pipeline; exact side joins shingles
+# only for candidate docs.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_minhash_b_bit",
+    f"""{SIG_SQL},
+    buckets AS (
+      SELECT doc_id, 0 AS band, md5(mh0::VARCHAR) AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, md5(mh1::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 2, md5(mh2::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 3, md5(mh3::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 4, md5(mh4::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 5, md5(mh5::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 6, md5(mh6::VARCHAR) FROM sig UNION ALL
+      SELECT doc_id, 7, md5(mh7::VARCHAR) FROM sig
+    ),
+    bsize AS (SELECT band, bucket, count(*) AS n FROM buckets GROUP BY band, bucket),
+    kept AS (
+      SELECT b.doc_id, b.band, b.bucket
+      FROM buckets b JOIN bsize s ON b.band = s.band AND b.bucket = s.bucket
+      WHERE s.n <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+      WHERE l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT c.a, c.b,
+             ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT
+              + (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT
+              + (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT
+              + (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 AS est_full,
+             ((sa.mh0 % 4 = sb.mh0 % 4)::INT + (sa.mh1 % 4 = sb.mh1 % 4)::INT
+              + (sa.mh2 % 4 = sb.mh2 % 4)::INT + (sa.mh3 % 4 = sb.mh3 % 4)::INT
+              + (sa.mh4 % 4 = sb.mh4 % 4)::INT + (sa.mh5 % 4 = sb.mh5 % 4)::INT
+              + (sa.mh6 % 4 = sb.mh6 % 4)::INT + (sa.mh7 % 4 = sb.mh7 % 4)::INT) / 8.0 AS m_bbit
+      FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    exact AS (
+      SELECT c.a, c.b,
+             coalesce(i.n_common, 0)::DOUBLE
+               / (za.sz + zb.sz - coalesce(i.n_common, 0)) AS exact_j
+      FROM cand c
+      LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      JOIN sizes za ON za.doc_id = c.a
+      JOIN sizes zb ON zb.doc_id = c.b
+    )
+    SELECT est.a, est.b,
+           round((est.m_bbit - 0.25) / 0.75, 6) AS est_bbit,
+           round(est.est_full, 6) AS est_full,
+           round(exact.exact_j, 6) AS exact_jaccard,
+           round(abs((est.m_bbit - 0.25) / 0.75 - exact.exact_j), 6) AS abs_err_bbit
+    FROM est JOIN exact ON est.a = exact.a AND est.b = exact.b
+    """,
+    doc="b-bit MinHash audit (Li & Koenig CACM'11, b=2): per capped-LSH "
+        "candidate pair, the collision-corrected 2-bit estimate "
+        "(m - 1/4)/(3/4) beside the full-width estimate and the exact "
+        "shingle Jaccard — 4x sketch-storage saving measured, not "
+        "assumed; same bounded candidate pipeline as the dedup family, "
+        "exact side joins shingles only for candidate docs",
+)
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = D.exploded_shingles(docs)
+    sigs = D.minhash_signatures(shingles, num_hashes=8)
+    buckets = D.lsh_buckets(sigs, num_hashes=8, bands=8)
+    cand = D.candidate_pairs(buckets, max_bucket_size=3)
+    agree_full = sum(
+        (F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}")).cast("int") for j in range(8)
+    )
+    agree_bbit = sum(
+        (F.col(f"sa.mh{j}") % 4 == F.col(f"sb.mh{j}") % 4).cast("int") for j in range(8)
+    )
+    est = (
+        cand.join(sigs.alias("sa"), F.col("sa.doc_id") == cand.a)
+        .join(sigs.alias("sb"), F.col("sb.doc_id") == cand.b)
+        .select(
+            "a", "b",
+            (agree_full / F.lit(8.0)).alias("est_full_raw"),
+            (agree_bbit / F.lit(8.0)).alias("m_bbit"),
+        )
+    )
+    cand_docs = cand.select(F.col("a").alias("doc_id")).union(
+        cand.select(F.col("b").alias("doc_id"))
+    ).distinct()
+    sh_c = shingles.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    exact = D.jaccard_pairs(sh_c, pairs=cand)
+    return (
+        est.join(exact.select("a", "b", F.col("jaccard").alias("exact_j")), ["a", "b"], "left")
+        .select(
+            "a", "b",
+            F.round((F.col("m_bbit") - 0.25) / 0.75, 6).alias("est_bbit"),
+            F.round("est_full_raw", 6).alias("est_full"),
+            F.round(F.coalesce("exact_j", F.lit(0.0)), 6).alias("exact_jaccard"),
+            F.round(
+                F.abs((F.col("m_bbit") - 0.25) / 0.75 - F.coalesce("exact_j", F.lit(0.0))), 6
+            ).alias("abs_err_bbit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -595,3 +595,70 @@ def test_group_kfold_integrity(spark):
         assert r.fold == exp
         by_src.setdefault(r.source, set()).add(r.fold)
     assert all(len(f) == 1 for f in by_src.values())
+
+
+def test_cuped_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per = {}
+    for _, r in ev.iterrows():
+        d = pd.Timestamp(r.ts).strftime("%Y-%m-%d")
+        x, y = per.get(int(r.user_id), (0, 0))
+        c = int(round(r.value * 100))
+        per[int(r.user_id)] = (x + c, y) if d < "2024-01-16" else (x, y + c)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    t = {
+        u: int(hashlib.md5(f"did{u}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+        for u in per
+    }
+    def grp(flag):
+        xs = [per[u] for u in per if t[u] == flag]
+        return len(xs), sum(x for x, _ in xs), sum(y for _, y in xs)
+    n_t, sx_t, sy_t = grp(True)
+    n_c, sx_c, sy_c = grp(False)
+    row = QUERIES["analytic_cuped"].fn(spark, SF).collect()[0]
+    assert (row.n_u, row.n_t, row.n_c) == (n, n_t, n_c)
+    assert abs(row.theta - theta) < 1e-9
+    raw = sy_t / n_t - sy_c / n_c
+    adj = (sy_t / n_t - theta * sx_t / n_t) - (sy_c / n_c - theta * sx_c / n_c)
+    assert abs(row.effect_raw_cents - raw) < 1e-9
+    assert abs(row.effect_cuped_cents - adj) < 1e-6
+
+
+def test_ccnet_buckets_tercile_structure(spark):
+    rows = QUERIES["text_ccnet_buckets"].fn(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    counts = {"head": 0, "middle": 0, "tail": 0}
+    for r in rows:
+        counts[r.bucket] += 1
+    # terciles split roughly evenly (exact thirds up to threshold ties)
+    for b, c in counts.items():
+        assert abs(c - n / 3) <= n * 0.1, (b, c, n)
+    # bucket ordering must follow the score ordering
+    scores = sorted(rows, key=lambda r: r.avg_lp_micro)
+    order = {"tail": 0, "middle": 1, "head": 2}
+    last = 0
+    for r in scores:
+        o = order[r.bucket]
+        assert o >= last
+        last = o
+
+
+def test_bbit_minhash_properties(spark):
+    rows = QUERIES["dedup_minhash_b_bit"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every full-width match is also a b-bit match
+        assert r.est_bbit >= (r.est_full - 0.25) / 0.75 - 1e-6
+        if r.est_full == 1.0:
+            assert r.est_bbit == 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
