@@ -725,3 +725,87 @@ def containment_pairs(
             (F.col("n_common") / F.col("sz_b")).alias("containment_b"),
         )
     )
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 1000,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    clustering embeddings, ranking each cluster's members by distance to
+    the centroid, and flagging a member as a duplicate when its cosine
+    similarity to ANY earlier-ranked (more central) member reaches
+    ``tau`` — the keep-the-most-central greedy the paper ships.
+
+    Determinism: clustering is the quantized Lloyd loop of
+    :func:`~etl_consumer_spark.extensions.similarity.kmeans_lloyd_quantized`
+    (exact integer distances), the rank key is (d2, id), and cosine is
+    CAST(dot AS DOUBLE)/(sqrt(na)*sqrt(nb)) over exact integer dot/norms —
+    every comparison bit-reproducible on any engine.
+
+    Scale shape: the only quadratic piece is the within-cluster pair join,
+    O(m^2/k) for m vectors — the paper's regime (k grows ~sqrt(N), so
+    clusters stay bounded); pairs carry only the two quantized vectors,
+    the dot product is one zip_with fold per pair, and the final argmax is
+    a map-side-combinable groupBy(max). No global windows — the rank is
+    partitioned by cluster.
+
+    Returns (id, cl, rnk, max_cos_earlier, is_dup); rank-1 members (the
+    cluster representatives) carry max_cos_earlier = -1 and is_dup = 0.
+    """
+    from etl_consumer_spark.extensions.similarity import kmeans_lloyd_quantized
+
+    assigned = kmeans_lloyd_quantized(
+        emb, k=k, iterations=iterations, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: F.round(x * scale).cast("long")).alias("qv"),
+    ).withColumn(
+        "nrm",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+    ranked = assigned.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("cl").orderBy("d2", "id")),
+    ).join(q, "id")
+    a = ranked.select(
+        "cl", F.col("rnk").alias("arnk"),
+        F.col("qv").alias("aqv"), F.col("nrm").alias("anrm"),
+    )
+    b = ranked.select(
+        F.col("id").alias("bid"), "cl", F.col("rnk").alias("brnk"),
+        F.col("qv").alias("bqv"), F.col("nrm").alias("bnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("aqv", "bqv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("anrm").cast("double")) * F.sqrt(F.col("bnrm").cast("double"))
+    )
+    mx = (
+        a.join(b, "cl")
+        .where(F.col("arnk") < F.col("brnk"))
+        .select("bid", cos.alias("cs"))
+        .groupBy("bid")
+        .agg(F.max("cs").alias("mx"))
+    )
+    return (
+        ranked.join(mx, ranked.id == mx.bid, "left")
+        .select(
+            ranked.id.alias("id"),
+            "cl",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round(F.coalesce("mx", F.lit(-1.0)), 6).alias("max_cos_earlier"),
+            F.when(F.coalesce("mx", F.lit(-1.0)) >= tau, 1)
+            .otherwise(0).cast("long").alias("is_dup"),
+        )
+    )

@@ -767,6 +767,56 @@ def sobel_edges(media: DataFrame) -> DataFrame:
     )
 
 
+LAPLACIAN_SCHEMA = (
+    "media_id long, n_interior long, lap_sum long, lap_sq_sum long, lap_md5 string"
+)
+
+
+def laplacian_stats(media: DataFrame) -> DataFrame:
+    """4-neighbour Laplacian response over the 3x3-valid interior of the
+    grayscale plane, through the real decode — the variance-of-Laplacian
+    blur detector (Pech-Pacheco et al., ICPR'00) every vision-data QA pass
+    runs before training. All arithmetic exact integers (signed response
+    sum + squared-response sum), so a SQL oracle can replay the 5-tap
+    convolution and the downstream variance is one shared float
+    expression over two exact longs."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                g = gray.astype(np.int64)
+                lap = (
+                    g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+                    - 4 * g[1:-1, 1:-1]
+                )
+                seq = lap.reshape(-1)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_interior": int(seq.size),
+                        "lap_sum": int(seq.sum()),
+                        "lap_sq_sum": int((seq * seq).sum()),
+                        "lap_md5": hashlib.md5(
+                            ",".join(str(int(v)) for v in seq).encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_interior", "lap_sum", "lap_sq_sum", "lap_md5",
+                ],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+        kernel, LAPLACIAN_SCHEMA
+    )
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401

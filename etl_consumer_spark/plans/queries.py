@@ -14083,6 +14083,277 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Variance-of-Laplacian blur detection (Pech-Pacheco et al., ICPR'00)
+# through the REAL PPM decode: the 4-neighbour Laplacian response over the
+# 3x3-valid interior as exact integers (signed sum + squared sum), the
+# variance as ONE shared float expression over those two longs, and the
+# blur flag at a fixed threshold — the image-QA filter every vision-data
+# curation pass runs before training. The oracle replays the 5-tap
+# convolution and checks the response sequence md5 bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_LAP_VAR = (
+    "(CAST(lap_sq_sum AS DOUBLE) / n_interior"
+    " - (CAST(lap_sum AS DOUBLE) / n_interior)"
+    " * (CAST(lap_sum AS DOUBLE) / n_interior))"
+)
+
+_LAP_EXPR = (
+    f"({_sobel_tap(-1, 0)} + {_sobel_tap(1, 0)}"
+    f" + {_sobel_tap(0, -1)} + {_sobel_tap(0, 1)}"
+    f" - 4 * {_sobel_tap(0, 0)})"
+)
+
+
+@register(
+    "mm_image_blur_laplacian",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    lap AS (
+      SELECT doc_id, rr.r, cc.c, {_LAP_EXPR} AS lp
+      FROM r, (VALUES (1), (2)) rr(r),
+           unnest(generate_series(1, w - 2)) AS cc(c)
+    ),
+    st AS (
+      SELECT doc_id AS media_id,
+             count(*)::BIGINT AS n_interior,
+             sum(lp)::BIGINT AS lap_sum,
+             sum(lp * lp)::BIGINT AS lap_sq_sum,
+             md5(string_agg(lp::VARCHAR, ',' ORDER BY r, c)) AS lap_md5
+      FROM lap GROUP BY doc_id
+    )
+    SELECT media_id, n_interior, lap_sum, lap_sq_sum, lap_md5,
+           round({_LAP_VAR}, 6) AS lap_var,
+           CASE WHEN {_LAP_VAR} < 10000.0 THEN 1 ELSE 0 END AS is_blurry
+    FROM st
+    """,
+    doc="variance-of-Laplacian blur detection (Pech-Pacheco ICPR'00) "
+        "through the real PPM decode: exact integer 4-neighbour Laplacian "
+        "response over the 3x3-valid interior (Arrow mapInPandas kernel), "
+        "variance as one shared float expression over the two exact longs, "
+        "blur flag at variance < 10000 — the pre-training image-QA filter; "
+        "oracle replays the 5-tap convolution and value-checks the "
+        "response-sequence md5. Map-only at any scale",
+)
+def mm_image_blur_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    st = M.laplacian_stats(media)
+    return st.select(
+        "media_id", "n_interior", "lap_sum", "lap_sq_sum", "lap_md5",
+        F.round(F.expr(_LAP_VAR), 6).alias("lap_var"),
+        F.when(F.expr(_LAP_VAR) < 10000.0, 1).otherwise(0).alias("is_blurry"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney, IJUFKS'02): group sizes over the
+# quasi-identifier combination (nation, market segment, account-balance
+# bucket) with the at-risk flag at k=5 — the privacy QA gate a
+# training-data pipeline runs before releasing user-derived tables.
+# One map-side-combinable groupBy; the balance bucket floors an exact
+# cents long through one shared double division.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 200000.0)
+                  AS BIGINT) AS bal_bucket
+      FROM customer
+    )
+    SELECT nationkey, mktsegment, bal_bucket,
+           count(*)::BIGINT AS group_n,
+           CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS at_risk
+    FROM qi GROUP BY nationkey, mktsegment, bal_bucket
+    """,
+    doc="k-anonymity audit (Sweeney IJUFKS'02): quasi-identifier group "
+        "sizes over (nation, segment, $2000 balance bucket) with the "
+        "at-risk flag at k=5 — the re-identification QA gate before "
+        "releasing user-derived tables; one map-side-combinable groupBy, "
+        "bucket = floor of an exact cents long over one shared double "
+        "division",
+)
+def analytic_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(
+        F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(200000.0)
+    ).cast("long")
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            bucket.alias("bal_bucket"),
+        )
+        .groupBy("nationkey", "mktsegment", "bal_bucket")
+        .agg(
+            F.count("*").cast("long").alias("group_n"),
+            F.when(F.count("*") < 5, 1).otherwise(0).alias("at_risk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power / minimum detectable effect: pooled per-user variance
+# from exact long power sums on the SAME hashed 50/50 assignment as
+# analytic_did/analytic_cuped (salt 'did'), MDE at alpha=.05 two-sided,
+# power=.80 — (z_.975 + z_.80) = 2.801585. Completes the experimentation
+# quartet: SRM gates the split, DiD/CUPED read the effect, MDE says what
+# effect the split could even see. One groupBy(user) + one combinable
+# global aggregate; every float input an exact long.
+# ---------------------------------------------------------------------------
+
+_POW_VP = (
+    "(((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    " + (CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)))"
+    " / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE) - 2.0))"
+)
+_POW_MDE = (
+    f"(2.801585 * sqrt({_POW_VP}"
+    " * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))))"
+)
+
+
+@register(
+    "analytic_power_mde",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS m,
+             CASE WHEN (('0x' || substr(md5('did' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN treated = 1 THEN m ELSE 0 END)::BIGINT AS s_t,
+             sum(CASE WHEN treated = 1 THEN m * m ELSE 0 END)::BIGINT AS ss_t,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+             sum(CASE WHEN treated = 0 THEN m ELSE 0 END)::BIGINT AS s_c,
+             sum(CASE WHEN treated = 0 THEN m * m ELSE 0 END)::BIGINT AS ss_c
+      FROM u
+    )
+    SELECT n_t, n_c,
+           {_POW_VP} AS var_pooled,
+           (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) AS mean_c_cents,
+           {_POW_MDE} AS mde_cents
+    FROM s
+    """,
+    doc="experiment power / minimum detectable effect: pooled per-user "
+        "cents variance from exact long power sums on the hashed 'did' "
+        "50/50 split, MDE = 2.801585 * sqrt(var * (1/n_t + 1/n_c)) "
+        "(alpha=.05 two-sided, power=.80) — completes the SRM -> DiD -> "
+        "CUPED -> MDE experimentation quartet; one groupBy(user) + one "
+        "combinable global aggregate, shared float expressions",
+)
+def analytic_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m"),
+    ).select(
+        "m",
+        F.when(hash_fraction(F.col("user_id"), "did") < 0.5, 1)
+        .otherwise(0).alias("treated"),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("m")).otherwise(0)).cast("long").alias("s_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("m") * F.col("m")).otherwise(0))
+        .cast("long").alias("ss_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("m")).otherwise(0)).cast("long").alias("s_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("m") * F.col("m")).otherwise(0))
+        .cast("long").alias("ss_c"),
+    )
+    return s.select(
+        "n_t", "n_c",
+        F.expr(_POW_VP).alias("var_pooled"),
+        F.expr("CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)").alias("mean_c_cents"),
+        F.expr(_POW_MDE).alias("mde_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup by k-means
+# cluster + within-cluster cosine against more-central members. The
+# oracle replays the full unrolled quantized Lloyd loop (the
+# sim_kmeans_lloyd CTE chain), the centrality rank, and every pair's
+# exact-integer cosine.
+# ---------------------------------------------------------------------------
+
+def _semdedup_oracle_sql(tau: float = 0.35) -> str:
+    parts, final = _kmeans_centroid_ctes()
+    parts = list(parts)
+    parts.append(f"""dfin AS (
+      SELECT q.id, c.cl, sum((q.val - c.cval) * (q.val - c.cval)) AS d2
+      FROM qdim q JOIN {final} c USING (pos) GROUP BY q.id, c.cl
+    )""")
+    parts.append("""afin AS MATERIALIZED (
+      SELECT id, cl, d2 FROM (
+        SELECT id, cl, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rn
+        FROM dfin) t
+      WHERE rn = 1
+    )""")
+    parts.append("""rnk AS MATERIALIZED (
+      SELECT id, cl, row_number() OVER (PARTITION BY cl ORDER BY d2, id) AS rnk
+      FROM afin
+    )""")
+    parts.append("""nrm AS MATERIALIZED (
+      SELECT id, sum(val * val) AS nrm FROM qdim GROUP BY id
+    )""")
+    parts.append("""pd0 AS (
+      SELECT a.id AS aid, b.id AS bid, sum(qa.val * qb.val) AS dot
+      FROM rnk a JOIN rnk b ON a.cl = b.cl AND a.rnk < b.rnk
+      JOIN qdim qa ON qa.id = a.id
+      JOIN qdim qb ON qb.id = b.id AND qb.pos = qa.pos
+      GROUP BY a.id, b.id
+    )""")
+    parts.append("""cosm AS (
+      SELECT p.bid AS id,
+             max(CAST(p.dot AS DOUBLE) / (sqrt(na.nrm) * sqrt(nb.nrm))) AS mx
+      FROM pd0 p
+      JOIN nrm na ON na.id = p.aid
+      JOIN nrm nb ON nb.id = p.bid
+      GROUP BY p.bid
+    )""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT r.id, r.cl, CAST(r.rnk AS BIGINT) AS rnk,
+           round(coalesce(c.mx, -1.0), 6) AS max_cos_earlier,
+           CASE WHEN coalesce(c.mx, -1.0) >= {tau} THEN 1 ELSE 0 END AS is_dup
+    FROM rnk r LEFT JOIN cosm c USING (id)
+    """
+
+
+@register(
+    "dedup_semdedup",
+    _semdedup_oracle_sql(),
+    doc="SemDeDup (Abbas arXiv:2303.09540): quantized-Lloyd clusters "
+        "(k=8, 2 iterations — the sim_kmeans_lloyd loop), members ranked "
+        "by centrality (d2, id), a member flagged duplicate when cosine "
+        "to ANY more-central member reaches 0.35; cosine = "
+        "CAST(dot AS DOUBLE)/(sqrt(na)*sqrt(nb)) over exact integer "
+        "dot/norms so every comparison is bit-reproducible. Only "
+        "quadratic piece is the within-cluster pair join, O(m^2/k) — the "
+        "paper's regime (k ~ sqrt(N) keeps clusters bounded); rank is a "
+        "cluster-partitioned window, argmax a combinable groupBy(max). "
+        "Oracle replays the whole unrolled loop + every pair cosine",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.dedup import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_flags(emb, k=8, iterations=2, scale=1000, tau=0.35)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -662,3 +662,137 @@ def test_bbit_minhash_properties(spark):
         if r.est_full == 1.0:
             assert r.est_bbit == 1.0
         assert 0.0 <= r.exact_jaccard <= 1.0
+
+
+def test_blur_laplacian_matches_numpy(spark):
+    """Registered kernel vs a direct numpy convolution; variance and the
+    blur flag recomputed independently from the exact longs."""
+    import pandas as pd
+
+    got = {
+        r["media_id"]: r
+        for r in QUERIES["mm_image_blur_laplacian"].fn(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    kl = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]])
+    n_blurry = 0
+    for _, d in docs.head(25).iterrows():
+        hx = hashlib.md5(d.text.encode()).hexdigest()
+        w = 8 + len(d.text) % 8
+        ras = (hx * 6)[: w * 12]
+        g = np.array([ord(c) for c in ras], dtype=np.int64).reshape(4, w, 3)[:, :, 0]
+        laps = []
+        for r_ in range(1, 3):
+            for c_ in range(1, w - 1):
+                win = g[r_ - 1 : r_ + 2, c_ - 1 : c_ + 2]
+                laps.append(int((kl * win).sum()))
+        row = got[d.doc_id]
+        n = 2 * (w - 2)
+        assert row["n_interior"] == n
+        assert row["lap_sum"] == sum(laps)
+        assert row["lap_sq_sum"] == sum(v * v for v in laps)
+        assert row["lap_md5"] == hashlib.md5(
+            ",".join(map(str, laps)).encode()
+        ).hexdigest()
+        var = sum(v * v for v in laps) / n - (sum(laps) / n) ** 2
+        assert abs(row["lap_var"] - round(var, 6)) < 1e-9
+        assert row["is_blurry"] == (1 if var < 10000.0 else 0)
+        n_blurry += row["is_blurry"]
+    # the threshold actually splits the corpus
+    total_blurry = sum(r["is_blurry"] for r in got.values())
+    assert 0 < total_blurry < len(got)
+
+
+def test_k_anonymity_matches_pandas(spark):
+    import math
+
+    import pandas as pd
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    grp = {}
+    for _, c in cust.iterrows():
+        b = math.floor(int(round(c.c_acctbal * 100)) / 200000.0)
+        key = (int(c.c_nationkey), c.c_mktsegment, b)
+        grp[key] = grp.get(key, 0) + 1
+    rows = QUERIES["analytic_k_anonymity"].fn(spark, SF).collect()
+    assert len(rows) == len(grp)
+    for r in rows:
+        n = grp[(r.nationkey, r.mktsegment, r.bal_bucket)]
+        assert r.group_n == n
+        assert r.at_risk == (1 if n < 5 else 0)
+
+
+def test_power_mde_matches_python(spark):
+    import hashlib as _h
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per = {}
+    for _, r in ev.iterrows():
+        per[int(r.user_id)] = per.get(int(r.user_id), 0) + int(round(r.value * 100))
+    t = {
+        u: int(_h.md5(f"did{u}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+        for u in per
+    }
+    mt = [per[u] for u in per if t[u]]
+    mc = [per[u] for u in per if not t[u]]
+    n_t, n_c = len(mt), len(mc)
+    vp = (
+        (sum(v * v for v in mt) - sum(mt) ** 2 / n_t)
+        + (sum(v * v for v in mc) - sum(mc) ** 2 / n_c)
+    ) / (n_t + n_c - 2.0)
+    mde = 2.801585 * (vp * (1.0 / n_t + 1.0 / n_c)) ** 0.5
+    row = QUERIES["analytic_power_mde"].fn(spark, SF).collect()[0]
+    assert (row.n_t, row.n_c) == (n_t, n_c)
+    assert abs(row.var_pooled - vp) < 1e-6 * max(1.0, abs(vp))
+    assert abs(row.mde_cents - mde) < 1e-9 * max(1.0, abs(mde))
+    assert abs(row.mean_c_cents - sum(mc) / n_c) < 1e-9
+
+
+def test_semdedup_matches_numpy_replay(spark):
+    """Full numpy replay: quantized 2-iteration Lloyd, centrality rank,
+    within-cluster pairwise cosine vs more-central members."""
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    qv = np.stack([np.round(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+                   for v in emb.embedding])
+    cents = qv[np.argsort(ids)[:8]].copy()
+    for _ in range(2):
+        d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        for c in range(8):
+            m = cl == c
+            if m.any():
+                cents[c] = np.floor(qv[m].sum(axis=0) / m.sum()).astype(np.int64)
+    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    dfin = d2[np.arange(len(ids)), cl]
+    got = {r.id: r for r in QUERIES["dedup_semdedup"].fn(spark, SF).collect()}
+    assert len(got) == len(ids)
+    nrm = (qv * qv).sum(axis=1)
+    n_dups = 0
+    for c in range(8):
+        members = sorted(
+            [i for i in range(len(ids)) if cl[i] == c],
+            key=lambda i: (dfin[i], ids[i]),
+        )
+        for rnk, i in enumerate(members, start=1):
+            row = got[ids[i]]
+            assert row.cl == c and row.rnk == rnk
+            earlier = members[: rnk - 1]
+            if not earlier:
+                assert row.max_cos_earlier == -1.0 and row.is_dup == 0
+                continue
+            mx = max(
+                float(qv[i] @ qv[j])
+                / (np.sqrt(float(nrm[j])) * np.sqrt(float(nrm[i])))
+                for j in earlier
+            )
+            assert abs(row.max_cos_earlier - round(mx, 6)) < 1e-9
+            assert row.is_dup == (1 if mx >= 0.35 else 0)
+            n_dups += row.is_dup
+    # the threshold finds real semantic dups in the synthetic corpus
+    assert n_dups > 0
