@@ -796,3 +796,76 @@ def test_semdedup_matches_numpy_replay(spark):
             n_dups += row.is_dup
     # the threshold finds real semantic dups in the synthetic corpus
     assert n_dups > 0
+
+
+def test_gini_matches_python(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    per = {}
+    for _, o in orders.iterrows():
+        per[int(o.o_custkey)] = per.get(int(o.o_custkey), 0) + int(
+            round(o.o_totalprice * 100)
+        )
+    xs = [c for _, c in sorted(per.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, tot = len(xs), sum(xs)
+    s_rx = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * s_rx / (n * tot) - (n + 1.0) / n
+    row = QUERIES["analytic_gini_lorenz"].fn(spark, SF).collect()[0]
+    assert (row.n, row.tot, row.s_rx) == (n, tot, s_rx)
+    assert abs(row.gini - gini) < 1e-12
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_length_bucketing_matches_python(spark):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {
+        int(d.doc_id): (0 if d.text.strip() == ""
+                        else len(d.text.strip().lower().split()))
+        for _, d in docs.iterrows()
+    }
+
+    def waste(order):
+        padded = area = total = 0
+        nb = 0
+        for i in range(0, len(order), 32):
+            chunk = [toks[d] for d in order[i : i + 32]]
+            mx = max(chunk)
+            padded += len(chunk) * mx - sum(chunk)
+            area += len(chunk) * mx
+            total += sum(chunk)
+            nb += 1
+        return nb, total, padded, padded / area
+
+    rows = {r.scheme: r for r in QUERIES["sample_length_bucketing"].fn(spark, SF).collect()}
+    arrival = waste(sorted(toks))
+    bucketed = waste(sorted(toks, key=lambda d: (toks[d], d)))
+    for name, exp in [("arrival", arrival), ("length_bucketed", bucketed)]:
+        r = rows[name]
+        assert (r.n_batches, r.total_tokens, r.padded_tokens) == (
+            exp[0], exp[1], exp[2],
+        )
+        assert abs(r.waste_ratio - exp[3]) < 1e-12
+    # the whole point: bucketing by length wastes less padding
+    assert rows["length_bucketed"].padded_tokens < rows["arrival"].padded_tokens
+
+
+def test_winsorize_matches_numpy(spark):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    c = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    lo = float(np.percentile(c, 1))
+    hi = float(np.percentile(c, 99))
+    row = QUERIES["analytic_winsorize"].fn(spark, SF).collect()[0]
+    assert abs(row.lo_cents - round(lo, 6)) < 1e-6
+    assert abs(row.hi_cents - round(hi, 6)) < 1e-6
+    n_lo = int((c < lo).sum())
+    n_hi = int((c > hi).sum())
+    assert (row.n, row.n_lo, row.n_hi) == (len(c), n_lo, n_hi)
+    s_mid = int(c[(c >= lo) & (c <= hi)].sum())
+    mean_w = (s_mid + n_lo * lo + n_hi * hi) / len(c)
+    assert abs(row.mean_winsorized_cents - mean_w) < 1e-9 * max(1.0, abs(mean_w))
+    assert abs(row.mean_raw_cents - c.sum() / len(c)) < 1e-9
