@@ -735,6 +735,7 @@ def semdedup_flags(
     tau: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rank: int | None = 128,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
     clustering embeddings, ranking each cluster's members by distance to
@@ -748,12 +749,17 @@ def semdedup_flags(
     CAST(dot AS DOUBLE)/(sqrt(na)*sqrt(nb)) over exact integer dot/norms —
     every comparison bit-reproducible on any engine.
 
-    Scale shape: the only quadratic piece is the within-cluster pair join,
-    O(m^2/k) for m vectors — the paper's regime (k grows ~sqrt(N), so
-    clusters stay bounded); pairs carry only the two quantized vectors,
-    the dot product is one zip_with fold per pair, and the final argmax is
-    a map-side-combinable groupBy(max). No global windows — the rank is
-    partitioned by cluster.
+    Scale shape: the within-cluster pair mass is bounded by ``max_rank`` —
+    a member's cosine is checked against at most the ``max_rank`` MOST
+    CENTRAL earlier members, so per-cluster work is O(max_rank * m)
+    (linear in m), the same capping device as the capped-LSH dedup family.
+    The cap only binds when a cluster outgrows it (the paper's own regime
+    keeps clusters bounded by growing k ~ sqrt(N); the cap is the
+    deterministic guard for when it isn't retuned). Pairs carry only the
+    two quantized vectors, the dot product is one zip_with fold per pair,
+    and the final argmax is a map-side-combinable groupBy(max). No global
+    windows — the rank is partitioned by cluster. ``max_rank=None``
+    removes the cap (the paper-exact quadratic form).
 
     Returns (id, cl, rnk, max_cos_earlier, is_dup); rank-1 members (the
     cluster representatives) carry max_cos_earlier = -1 and is_dup = 0.
@@ -791,6 +797,8 @@ def semdedup_flags(
     cos = dot.cast("double") / (
         F.sqrt(F.col("anrm").cast("double")) * F.sqrt(F.col("bnrm").cast("double"))
     )
+    if max_rank is not None:
+        a = a.where(F.col("arnk") <= max_rank)
     mx = (
         a.join(b, "cl")
         .where(F.col("arnk") < F.col("brnk"))

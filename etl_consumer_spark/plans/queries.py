@@ -14288,7 +14288,7 @@ def analytic_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-integer cosine.
 # ---------------------------------------------------------------------------
 
-def _semdedup_oracle_sql(tau: float = 0.35) -> str:
+def _semdedup_oracle_sql(tau: float = 0.35, max_rank: int = 128) -> str:
     parts, final = _kmeans_centroid_ctes()
     parts = list(parts)
     parts.append(f"""dfin AS (
@@ -14308,11 +14308,12 @@ def _semdedup_oracle_sql(tau: float = 0.35) -> str:
     parts.append("""nrm AS MATERIALIZED (
       SELECT id, sum(val * val) AS nrm FROM qdim GROUP BY id
     )""")
-    parts.append("""pd0 AS (
+    parts.append(f"""pd0 AS (
       SELECT a.id AS aid, b.id AS bid, sum(qa.val * qb.val) AS dot
       FROM rnk a JOIN rnk b ON a.cl = b.cl AND a.rnk < b.rnk
       JOIN qdim qa ON qa.id = a.id
       JOIN qdim qb ON qb.id = b.id AND qb.pos = qa.pos
+      WHERE a.rnk <= {max_rank}
       GROUP BY a.id, b.id
     )""")
     parts.append("""cosm AS (
@@ -14340,17 +14341,19 @@ def _semdedup_oracle_sql(tau: float = 0.35) -> str:
         "by centrality (d2, id), a member flagged duplicate when cosine "
         "to ANY more-central member reaches 0.35; cosine = "
         "CAST(dot AS DOUBLE)/(sqrt(na)*sqrt(nb)) over exact integer "
-        "dot/norms so every comparison is bit-reproducible. Only "
-        "quadratic piece is the within-cluster pair join, O(m^2/k) — the "
-        "paper's regime (k ~ sqrt(N) keeps clusters bounded); rank is a "
+        "dot/norms so every comparison is bit-reproducible. Pair mass "
+        "capped at the 128 most-central earlier members per cluster — "
+        "O(cap * m) per cluster (linear in m), the capped-LSH device; "
+        "the cap binds only when a cluster outgrows it. Rank is a "
         "cluster-partitioned window, argmax a combinable groupBy(max). "
-        "Oracle replays the whole unrolled loop + every pair cosine",
+        "Oracle replays the whole unrolled loop + every capped pair "
+        "cosine",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_consumer_spark.extensions.dedup import semdedup_flags
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_flags(emb, k=8, iterations=2, scale=1000, tau=0.35)
+    return semdedup_flags(emb, k=8, iterations=2, scale=1000, tau=0.35, max_rank=128)
 
 
 # ---------------------------------------------------------------------------

@@ -782,7 +782,7 @@ def test_semdedup_matches_numpy_replay(spark):
         for rnk, i in enumerate(members, start=1):
             row = got[ids[i]]
             assert row.cl == c and row.rnk == rnk
-            earlier = members[: rnk - 1]
+            earlier = members[: rnk - 1][:128]  # centrality cap (max_rank)
             if not earlier:
                 assert row.max_cos_earlier == -1.0 and row.is_dup == 0
                 continue
