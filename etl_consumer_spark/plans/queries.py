@@ -14579,6 +14579,268 @@ def analytic_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Marketing attribution (last-touch + linear) over the event stream: for
+# every purchase, credit the click/view touches of the SAME user in the
+# 7-day lookback — last-touch by (ts, event_id) max, linear as an equal
+# integer micro-cents split (floor(cents*1e6/n), identical integer math
+# on both engines). The per-purchase interval join is user-keyed (no
+# global window); both credit readouts are combinable aggregations.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, user_id, epoch_us(ts) AS tts, event_type AS ttype
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.pid, p.cents, t.tid, t.tts, t.ttype
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.tts < p.pts AND t.tts >= p.pts - 604800000000
+    ),
+    per AS (
+      SELECT pid, max(cents) AS cents, count(*) AS n,
+             max(struct_pack(tts := tts, tid := tid, ttype := ttype)) AS last_t
+      FROM j GROUP BY pid
+    ),
+    last_touch AS (
+      SELECT last_t.ttype AS touch_type,
+             count(*)::BIGINT AS n_last_touch,
+             sum(cents)::BIGINT AS cents_last_touch
+      FROM per GROUP BY 1
+    ),
+    linear_credit AS (
+      SELECT j.ttype AS touch_type,
+             count(*)::BIGINT AS n_touch_credits,
+             -- explicit double-floor: DuckDB // floors, Spark div truncates,
+             -- and purchase cents can be negative — share the float path
+             sum(CAST(floor(CAST(per.cents AS DOUBLE) * 1000000.0 / per.n)
+                      AS BIGINT))::BIGINT AS linear_credit_micro
+      FROM j JOIN per USING (pid) GROUP BY 1
+    )
+    SELECT l.touch_type, l.n_touch_credits, l.linear_credit_micro,
+           coalesce(lt.n_last_touch, 0)::BIGINT AS n_last_touch,
+           coalesce(lt.cents_last_touch, 0)::BIGINT AS cents_last_touch
+    FROM linear_credit l LEFT JOIN last_touch lt USING (touch_type)
+    """,
+    doc="marketing attribution over the event stream: per purchase, "
+        "click/view touches of the same user in the 7-day lookback; "
+        "last-touch by max(ts, event_id), linear credit as "
+        "floor(cents*1e6/n) exact integer splits — user-keyed interval "
+        "join (no global window), both readouts combinable aggregations",
+)
+def analytic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.unix_micros("ts").alias("tts"),
+        F.col("event_type").alias("ttype"),
+    )
+    j = p.join(t, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.lit(604800000000))
+    ).select("pid", "cents", "tid", "tts", "ttype")
+    # ONE pass over the interval join: pre-aggregate to (pid, ttype) so the
+    # expensive join is computed once and its exchange reused by both the
+    # per-purchase rollup and the linear-credit readout
+    g1 = j.groupBy("pid", "ttype").agg(
+        F.count("*").alias("cnt"),
+        F.max("cents").alias("cents"),
+        F.max(F.struct("tts", "tid", "ttype")).alias("lt"),
+    )
+    per = g1.groupBy("pid").agg(
+        F.max("cents").alias("pc"),
+        F.sum("cnt").alias("n"),
+        F.max("lt").alias("last_t"),
+    )
+    last_touch = per.groupBy(
+        F.col("last_t.ttype").alias("touch_type")
+    ).agg(
+        F.count("*").cast("long").alias("n_last_touch"),
+        F.sum("pc").cast("long").alias("cents_last_touch"),
+    )
+    linear = (
+        g1.join(per.select("pid", "pc", "n"), "pid")
+        .groupBy(F.col("ttype").alias("touch_type"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_touch_credits"),
+            F.sum(
+                F.col("cnt")
+                * F.floor(F.col("pc").cast("double") * 1000000.0 / F.col("n"))
+                .cast("long")
+            ).cast("long").alias("linear_credit_micro"),
+        )
+    )
+    return linear.join(last_touch, "touch_type", "left").select(
+        "touch_type", "n_touch_credits", "linear_credit_micro",
+        F.coalesce("n_last_touch", F.lit(0)).cast("long").alias("n_last_touch"),
+        F.coalesce("cents_last_touch", F.lit(0)).cast("long")
+        .alias("cents_last_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC offset-gap audit: the consumer-ops QA that detects dropped wire
+# messages per (topic-)partition BEFORE they become silent data loss —
+# a missing seq is a seq s present whose successor s+1 is absent while
+# below the partition max. Anti-join formulation, everything keyed by
+# partition; the synthesized stream drops o_orderkey % 97 = 13 to plant
+# real gaps.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_gap_audit",
+    """
+    WITH msg AS (
+      SELECT o_orderkey % 4 AS part, o_orderkey // 4 AS seq
+      FROM orders WHERE o_orderkey % 97 <> 13
+    ),
+    mx AS (SELECT part, max(seq) AS mx FROM msg GROUP BY part)
+    SELECT m.part, m.seq + 1 AS gap_start
+    FROM msg m
+    JOIN mx ON mx.part = m.part
+    LEFT JOIN msg nxt ON nxt.part = m.part AND nxt.seq = m.seq + 1
+    WHERE nxt.seq IS NULL AND m.seq < mx.mx
+    """,
+    doc="CDC offset-gap audit: per-partition detection of dropped wire "
+        "messages — seq s whose successor s+1 is missing below the "
+        "partition max; anti-join formulation keyed by partition (linear, "
+        "map-side-combinable max), the ops gate run before trusting an "
+        "offset range as fully applied. Synthesized stream plants gaps at "
+        "o_orderkey % 97 = 13",
+)
+def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    msg = orders.filter(F.col("o_orderkey") % 97 != 13).select(
+        (F.col("o_orderkey") % 4).alias("part"),
+        F.expr("o_orderkey div 4").alias("seq"),
+    )
+    mx = msg.groupBy("part").agg(F.max("seq").alias("mx"))
+    nxt = msg.select(F.col("part").alias("npart"), F.col("seq").alias("nseq"))
+    return (
+        msg.join(mx, "part")
+        .join(
+            nxt,
+            (F.col("npart") == F.col("part"))
+            & (F.col("nseq") == F.col("seq") + 1),
+            "left_anti",
+        )
+        .where(F.col("seq") < F.col("mx"))
+        .select("part", (F.col("seq") + 1).alias("gap_start"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk neighborhood sampling (the DeepWalk/node2vec
+# ingestion step, zero RNG): from each seed, 3 steps, each step moving to
+# the neighbor minimizing md5(cur || '|' || step || '|' || u) — a
+# data-derived uniform choice reproducible on any engine (the salted-md5
+# device every sampler in this repo uses). Each step is one edges join +
+# one min_by aggregation; no windows.
+# ---------------------------------------------------------------------------
+
+_WALK_STEP_SQL = """w{i} AS (
+      SELECT w.start, min_by(e.dst, md5(CAST(w.n{j} AS VARCHAR) || '|{i}|' || CAST(e.dst AS VARCHAR))) AS n{i}
+      FROM w{j} w JOIN e ON e.src = w.n{j}
+      GROUP BY w.start
+    )"""
+
+
+@register(
+    "graph_random_walk",
+    f"""
+    WITH und AS (
+      SELECT DISTINCT least(o_custkey % 2000, o_orderkey % 2000) AS a,
+             greatest(o_custkey % 2000, o_orderkey % 2000) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 2000 <> o_orderkey % 2000
+    ),
+    e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+    w0 AS (
+      SELECT DISTINCT src AS start, src AS n0 FROM e WHERE src % 50 = 0
+    ),
+    {_WALK_STEP_SQL.format(i=1, j=0)},
+    {_WALK_STEP_SQL.format(i=2, j=1)},
+    {_WALK_STEP_SQL.format(i=3, j=2)}
+    SELECT w3.start, w1.n1, w2.n2, w3.n3,
+           md5(CAST(w3.start AS VARCHAR) || ',' || CAST(w1.n1 AS VARCHAR)
+               || ',' || CAST(w2.n2 AS VARCHAR) || ',' || CAST(w3.n3 AS VARCHAR)) AS path_md5
+    FROM w3 JOIN w2 USING (start) JOIN w1 USING (start)
+    """,
+    doc="deterministic random-walk sampling (DeepWalk KDD'14 ingestion, "
+        "zero RNG): 3 steps from each seed (node % 50 = 0) on the "
+        "undirected orders graph, each step to the neighbor minimizing "
+        "md5(cur||step||u) — data-derived uniform choice, reproducible on "
+        "any engine; one edges join + one min_by aggregation per step, no "
+        "windows; walks extend by re-joining only the frontier",
+)
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 2000
+    b = F.col("o_orderkey") % 2000
+    und = (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    w = (
+        e.filter(F.col("src") % 50 == 0)
+        .select(F.col("src").alias("start"), F.col("src").alias("n0"))
+        .distinct()
+    )
+    steps = {}
+    for i in range(1, 4):
+        h = F.md5(
+            F.concat(
+                F.col(f"n{i-1}").cast("string"),
+                F.lit(f"|{i}|"),
+                F.col("dst").cast("string"),
+            ).cast("binary")
+        )
+        w = (
+            w.join(e, F.col(f"n{i-1}") == F.col("src"))
+            .groupBy("start")
+            .agg(F.min_by("dst", h).alias(f"n{i}"))
+        )
+        steps[i] = w
+        if i < 3:
+            w = steps[i]
+    out = (
+        steps[3]
+        .join(steps[2], "start")
+        .join(steps[1], "start")
+    )
+    return out.select(
+        "start", "n1", "n2", "n3",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.col("start").cast("string"),
+                F.col("n1").cast("string"),
+                F.col("n2").cast("string"),
+                F.col("n3").cast("string"),
+            ).cast("binary")
+        ).alias("path_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

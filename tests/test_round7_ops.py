@@ -869,3 +869,100 @@ def test_winsorize_matches_numpy(spark):
     mean_w = (s_mid + n_lo * lo + n_hi * hi) / len(c)
     assert abs(row.mean_winsorized_cents - mean_w) < 1e-9 * max(1.0, abs(mean_w))
     assert abs(row.mean_raw_cents - c.sum() / len(c)) < 1e-9
+
+
+def test_attribution_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    purch, touch = [], []
+    for _, r in ev.iterrows():
+        us = int(pd.Timestamp(r.ts).value // 1000)
+        if r.event_type == "purchase":
+            purch.append((int(r.event_id), int(r.user_id), us,
+                          int(round(r.value * 100))))
+        elif r.event_type in ("click", "view"):
+            touch.append((int(r.event_id), int(r.user_id), us, r.event_type))
+    last = {}
+    linear_n = {}
+    linear_micro = {}
+    for pid, u, pts, cents in purch:
+        ts_ = [t for t in touch if t[1] == u and t[2] < pts
+               and t[2] >= pts - 604800000000]
+        if not ts_:
+            continue
+        n = len(ts_)
+        lt = max(ts_, key=lambda t: (t[2], t[0]))
+        k = lt[3]
+        a, b = last.get(k, (0, 0))
+        last[k] = (a + 1, b + cents)
+        for _, _, _, tt in ts_:
+            linear_n[tt] = linear_n.get(tt, 0) + 1
+            linear_micro[tt] = linear_micro.get(tt, 0) + math.floor(
+                cents * 1000000.0 / n
+            )
+    rows = {r.touch_type: r for r in QUERIES["analytic_attribution"].fn(spark, SF).collect()}
+    assert set(rows) == set(linear_n)
+    for tt, r in rows.items():
+        assert r.n_touch_credits == linear_n[tt]
+        assert r.linear_credit_micro == linear_micro[tt]
+        n_lt, c_lt = last.get(tt, (0, 0))
+        assert (r.n_last_touch, r.cents_last_touch) == (n_lt, c_lt)
+
+
+def test_cdc_gap_audit_matches_python(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    msgs = {}
+    for k in orders.o_orderkey:
+        k = int(k)
+        if k % 97 == 13:
+            continue
+        msgs.setdefault(k % 4, set()).add(k // 4)
+    gaps = set()
+    for part, seqs in msgs.items():
+        mx = max(seqs)
+        for s in seqs:
+            if s < mx and s + 1 not in seqs:
+                gaps.add((part, s + 1))
+    got = {(r.part, r.gap_start) for r in QUERIES["cdc_gap_audit"].fn(spark, SF).collect()}
+    assert got == gaps
+    assert gaps  # the synthesis actually plants gaps
+
+
+def test_random_walk_matches_python(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    und = set()
+    for _, o in orders.iterrows():
+        k, c = int(o.o_orderkey), int(o.o_custkey)
+        if k % 3 == 0 and c % 2000 != k % 2000:
+            und.add((min(c % 2000, k % 2000), max(c % 2000, k % 2000)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    walks = {}
+    for start in adj:
+        if start % 50 != 0:
+            continue
+        cur, path = start, [start]
+        for step in (1, 2, 3):
+            cur = min(
+                adj[cur],
+                key=lambda u: hashlib.md5(f"{cur}|{step}|{u}".encode()).hexdigest(),
+            )
+            path.append(cur)
+        walks[start] = path
+    rows = {r.start: r for r in QUERIES["graph_random_walk"].fn(spark, SF).collect()}
+    assert set(rows) == set(walks)
+    for start, p in walks.items():
+        r = rows[start]
+        assert (r.n1, r.n2, r.n3) == tuple(p[1:])
+        assert r.path_md5 == hashlib.md5(
+            ",".join(map(str, p)).encode()
+        ).hexdigest()
