@@ -603,3 +603,47 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    anchor, the top-k most-similar corpus vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (easy negatives
+    are already far). Same brute-force shape as :func:`knn_bruteforce`
+    (anchors broadcast, norms precomputed per side, anchor-partitioned
+    top-k window); the IVF family is the scale path for the candidate
+    generation when anchors are not a bounded set."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("avec"),
+        F.col(label_col).alias("alabel"), l2_norm(F.col(vec_col)).alias("anorm"),
+    )
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clabel"), l2_norm(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("clabel") != F.col("alabel"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            (dot(F.col("avec"), F.col("cvec"))
+             / (F.col("anorm") * F.col("cnorm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )

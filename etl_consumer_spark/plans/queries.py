@@ -14841,6 +14841,213 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RFM segmentation: per-user Recency/Frequency/Monetary quintile scores
+# on the purchase stream — the standard customer/data-value segmentation.
+# Quintile thresholds are the exact linear-interpolation percentiles over
+# one long per user (the winsorize/ccnet device); scores are threshold
+# comparisons shared verbatim by both engines, segment = R*100+F*10+M.
+# ---------------------------------------------------------------------------
+
+def _rfm_score(col: str, invert: bool = False) -> str:
+    ups = " + ".join(
+        f"(CASE WHEN {col} > {col}_p{q} THEN 1 ELSE 0 END)" for q in (20, 40, 60, 80)
+    )
+    return f"(6 - (1 + {ups}))" if invert else f"(1 + {ups})"
+
+
+@register(
+    "analytic_rfm_segmentation",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (SELECT max(us) AS mx_us FROM p),
+    u AS (
+      SELECT user_id,
+             CAST((mx.mx_us - max(p.us)) // 86400000000 AS BIGINT) AS r_days,
+             count(*)::BIGINT AS f_cnt,
+             sum(cents)::BIGINT AS m_cents
+      FROM p CROSS JOIN mx GROUP BY user_id, mx.mx_us
+    ),
+    thr AS (
+      SELECT quantile_cont(r_days, 0.2) AS r_days_p20, quantile_cont(r_days, 0.4) AS r_days_p40,
+             quantile_cont(r_days, 0.6) AS r_days_p60, quantile_cont(r_days, 0.8) AS r_days_p80,
+             quantile_cont(f_cnt, 0.2) AS f_cnt_p20, quantile_cont(f_cnt, 0.4) AS f_cnt_p40,
+             quantile_cont(f_cnt, 0.6) AS f_cnt_p60, quantile_cont(f_cnt, 0.8) AS f_cnt_p80,
+             quantile_cont(m_cents, 0.2) AS m_cents_p20, quantile_cont(m_cents, 0.4) AS m_cents_p40,
+             quantile_cont(m_cents, 0.6) AS m_cents_p60, quantile_cont(m_cents, 0.8) AS m_cents_p80
+      FROM u
+    )
+    SELECT user_id, r_days, f_cnt, m_cents,
+           {_rfm_score('r_days', invert=True)} AS r_score,
+           {_rfm_score('f_cnt')} AS f_score,
+           {_rfm_score('m_cents')} AS m_score,
+           ({_rfm_score('r_days', invert=True)} * 100
+            + {_rfm_score('f_cnt')} * 10 + {_rfm_score('m_cents')}) AS segment
+    FROM u CROSS JOIN thr
+    """,
+    doc="RFM segmentation: per-user recency (days since last purchase, "
+        "integer floor of the micros gap), frequency, monetary cents; "
+        "quintile scores from exact linear-interpolation percentiles over "
+        "one long per user (recency inverted: recent = 5), segment = "
+        "R*100+F*10+M — the standard customer-value segmentation; one "
+        "groupBy(user) + one bounded percentile aggregate, thresholds "
+        "broadcast back",
+)
+def analytic_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = p.agg(F.max("us").alias("mx_us"))
+    u = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "mx_us")
+        .agg(
+            F.expr("CAST((mx_us - max(us)) div 86400000000 AS BIGINT)").alias("r_days"),
+            F.count("*").cast("long").alias("f_cnt"),
+            F.sum("cents").cast("long").alias("m_cents"),
+        )
+        .drop("mx_us")
+    )
+    thr = u.agg(
+        *[
+            F.expr(f"percentile({c}, {q / 100})").alias(f"{c}_p{q}")
+            for c in ("r_days", "f_cnt", "m_cents")
+            for q in (20, 40, 60, 80)
+        ]
+    )
+    out = u.crossJoin(F.broadcast(thr))
+    return out.select(
+        "user_id", "r_days", "f_cnt", "m_cents",
+        F.expr(_rfm_score("r_days", invert=True)).alias("r_score"),
+        F.expr(_rfm_score("f_cnt")).alias("f_score"),
+        F.expr(_rfm_score("m_cents")).alias("m_score"),
+        F.expr(
+            f"({_rfm_score('r_days', invert=True)} * 100"
+            f" + {_rfm_score('f_cnt')} * 10 + {_rfm_score('m_cents')})"
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association (support/confidence/lift): part-pair
+# co-occurrence within orders. Pair mass is bounded by order size (TPC-H
+# orders hold <= 7 lineitems), so the self-join on l_orderkey is LINEAR
+# in lineitems — the one association-mining shape that scales without an
+# FP-tree. Exact integer counts; ratios shared float expressions.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
+    cnt AS (SELECT pk, count(*)::BIGINT AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*)::BIGINT AS pair_cnt
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           (CAST(p.pair_cnt AS DOUBLE) / CAST(n.n_orders AS DOUBLE)) AS support,
+           (CAST(p.pair_cnt AS DOUBLE) / CAST(ca.c AS DOUBLE)) AS confidence_a_to_b,
+           (CAST(p.pair_cnt AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+            / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.pk = p.part_a
+    JOIN cnt cb ON cb.pk = p.part_b
+    CROSS JOIN n
+    WHERE p.pair_cnt >= 2
+    """,
+    doc="market-basket association rules: part-pair co-occurrence within "
+        "orders with exact integer support counts, confidence and lift as "
+        "shared float expressions; the self-join on l_orderkey is bounded "
+        "by order size (<= 7 items) so pair mass is LINEAR in lineitems; "
+        "min pair support 2 bounds the output",
+)
+def analytic_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
+    cnt = items.groupBy("pk").agg(F.count("*").cast("long").alias("c"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok").alias("ok2"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
+    )
+    return (
+        pairs.join(cnt.select(F.col("pk").alias("part_a"), F.col("c").alias("ca")), "part_a")
+        .join(cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("cb")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "pair_cnt",
+            (F.col("pair_cnt").cast("double") / F.col("n_orders").cast("double"))
+            .alias("support"),
+            (F.col("pair_cnt").cast("double") / F.col("ca").cast("double"))
+            .alias("confidence_a_to_b"),
+            (
+                F.col("pair_cnt").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive/retrieval training): per anchor, the
+# top-k most-similar corpus vectors with a DIFFERENT label — the
+# negatives that actually move an InfoNCE/triplet loss. Brute-force over
+# a bounded anchor set (the knn baseline shape); the IVF family is the
+# candidate-generation scale path.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_hard_negatives",
+    f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS avec, label AS alabel
+      FROM embeddings WHERE vec_id < 50
+    ),
+    scored AS (
+      SELECT a.anchor_id, c.vec_id AS negative_id,
+             {_cos_sql('a.avec', 'c.embedding')} AS cos_sim
+      FROM a JOIN embeddings c ON c.label <> a.alabel
+    ),
+    r AS (
+      SELECT anchor_id, negative_id, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, negative_id ASC) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, negative_id, rank, round(cos_sim, 6) AS cos_sim
+    FROM r WHERE rank <= 3
+    """,
+    doc="hard-negative mining for contrastive training: per anchor "
+        "(vec_id < 50), top-3 cosine-nearest corpus vectors with a "
+        "DIFFERENT label — anchors broadcast, norms precomputed per side, "
+        "anchor-partitioned top-k window (never global); IVF is the "
+        "candidate scale path when anchors are unbounded",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 50)
+    return hard_negatives(anchors, emb, k=3)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

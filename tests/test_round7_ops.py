@@ -966,3 +966,97 @@ def test_random_walk_matches_python(spark):
         assert r.path_md5 == hashlib.md5(
             ",".join(map(str, p)).encode()
         ).hexdigest()
+
+
+def test_rfm_matches_python(spark):
+    import numpy as np_
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+    us = p.ts.values.astype("datetime64[us]").astype("int64")
+    mx = int(us.max())
+    per = {}
+    for (u,), grp in p.groupby(["user_id"]):
+        g_us = grp.ts.values.astype("datetime64[us]").astype("int64")
+        per[int(u)] = (
+            (mx - int(g_us.max())) // 86400000000,
+            len(grp),
+            int(np_.round(grp.value.to_numpy() * 100).astype(np_.int64).sum()),
+        )
+    arrs = list(zip(*per.values()))
+    thr = [
+        [float(np_.percentile(np_.array(a, dtype=np_.int64), q)) for q in (20, 40, 60, 80)]
+        for a in arrs
+    ]
+
+    def score(v, t):
+        return 1 + sum(v > x for x in t)
+
+    rows = {r.user_id: r for r in QUERIES["analytic_rfm_segmentation"].fn(spark, SF).collect()}
+    assert set(rows) == set(per)
+    for u, (r_days, f_cnt, m_cents) in per.items():
+        row = rows[u]
+        assert (row.r_days, row.f_cnt, row.m_cents) == (r_days, f_cnt, m_cents)
+        rs = 6 - score(r_days, thr[0])
+        fs = score(f_cnt, thr[1])
+        ms = score(m_cents, thr[2])
+        assert (row.r_score, row.f_score, row.m_score) == (rs, fs, ms)
+        assert row.segment == rs * 100 + fs * 10 + ms
+        assert 1 <= rs <= 5 and 1 <= fs <= 5 and 1 <= ms <= 5
+
+
+def test_market_basket_matches_python(spark):
+    import itertools
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    baskets = {}
+    for _, r in li.iterrows():
+        baskets.setdefault(int(r.l_orderkey), set()).add(int(r.l_partkey))
+    n_orders = len(baskets)
+    cnt = {}
+    pair = {}
+    for items in baskets.values():
+        for pk in items:
+            cnt[pk] = cnt.get(pk, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    exp = {k: v for k, v in pair.items() if v >= 2}
+    rows = {(r.part_a, r.part_b): r for r in QUERIES["analytic_market_basket"].fn(spark, SF).collect()}
+    assert set(rows) == set(exp)
+    for (a, b), v in exp.items():
+        r = rows[(a, b)]
+        assert r.pair_cnt == v
+        assert abs(r.support - v / n_orders) < 1e-12
+        assert abs(r.confidence_a_to_b - v / cnt[a]) < 1e-12
+        assert abs(r.lift - v * n_orders / (cnt[a] * cnt[b])) < 1e-12
+
+
+def test_hard_negatives_label_and_rank(spark):
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    labels = dict(zip(emb.vec_id.astype(int), emb.label.astype(int)))
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for _, r in emb.iterrows()}
+    rows = QUERIES["sim_hard_negatives"].fn(spark, SF).collect()
+    by_anchor = {}
+    for r in rows:
+        assert labels[r.negative_id] != labels[r.anchor_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for aid, rs in by_anchor.items():
+        assert sorted(x.rank for x in rs) == [1, 2, 3]
+        # replay: true top-3 different-label neighbors by cosine
+        av = vecs[aid]
+        scored = sorted(
+            (
+                (float(av @ v) / (np.linalg.norm(av) * np.linalg.norm(v)), -nid)
+                for nid, v in vecs.items()
+                if labels[nid] != labels[aid]
+            ),
+            reverse=True,
+        )[:3]
+        exp = [-s[1] for s in scored]
+        got = [x.negative_id for x in sorted(rs, key=lambda x: x.rank)]
+        assert got == exp
