@@ -817,6 +817,62 @@ def laplacian_stats(media: DataFrame) -> DataFrame:
     )
 
 
+TILES_SCHEMA = (
+    "media_id long, n_tiles long, tile_sum_total long, "
+    "max_tile_sum long, min_tile_sum long, tiles_md5 string"
+)
+
+
+def patch_tiles(media: DataFrame, patch: int = 2) -> DataFrame:
+    """Non-overlapping patch extraction over the grayscale plane (the
+    ViT-style patchification step of a vision-training pipeline), through
+    the real decode: the image splits into floor(h/p) x floor(w/p) patches
+    of p x p pixels (right/bottom remainders dropped, the standard crop),
+    each summarized by its exact integer pixel sum; the md5 covers the
+    row-major patch-sum sequence so a SQL oracle can replay the index
+    arithmetic value-for-value. Map-only at any scale."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                g = gray.astype(np.int64)
+                h, w = g.shape
+                th, tw = h // patch, w // patch
+                crop = g[: th * patch, : tw * patch]
+                sums = (
+                    crop.reshape(th, patch, tw, patch)
+                    .sum(axis=(1, 3))
+                    .reshape(-1)
+                )
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_tiles": int(sums.size),
+                        "tile_sum_total": int(sums.sum()),
+                        "max_tile_sum": int(sums.max()),
+                        "min_tile_sum": int(sums.min()),
+                        "tiles_md5": hashlib.md5(
+                            ",".join(str(int(v)) for v in sums).encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_tiles", "tile_sum_total",
+                    "max_tile_sum", "min_tile_sum", "tiles_md5",
+                ],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+        kernel, TILES_SCHEMA
+    )
+
+
 def _real_compressed_decode_available() -> bool:
     try:  # pragma: no cover - container has no codec libs
         import PIL.Image  # noqa: F401

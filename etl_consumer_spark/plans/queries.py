@@ -15048,6 +15048,177 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ViT-style patch extraction through the real decode: non-overlapping 2x2
+# patches of the grayscale plane (remainders cropped — the standard
+# patchify), each summarized by its exact integer pixel sum; oracle
+# replays the index arithmetic and checks the patch-sum sequence md5.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_image_tiles",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    t AS (
+      SELECT doc_id, tr.v AS tr, tc.c AS tc,
+             (  ascii(substr(ras, ((tr.v * 2) * w + tc.c * 2) * 3 + 1, 1))
+              + ascii(substr(ras, ((tr.v * 2) * w + tc.c * 2 + 1) * 3 + 1, 1))
+              + ascii(substr(ras, ((tr.v * 2 + 1) * w + tc.c * 2) * 3 + 1, 1))
+              + ascii(substr(ras, ((tr.v * 2 + 1) * w + tc.c * 2 + 1) * 3 + 1, 1))
+             ) AS s
+      FROM r, (VALUES (0), (1)) tr(v),
+           unnest(generate_series(0, w // 2 - 1)) AS tc(c)
+    )
+    SELECT doc_id AS media_id,
+           count(*)::BIGINT AS n_tiles,
+           sum(s)::BIGINT AS tile_sum_total,
+           max(s)::BIGINT AS max_tile_sum,
+           min(s)::BIGINT AS min_tile_sum,
+           md5(string_agg(s::VARCHAR, ',' ORDER BY tr, tc)) AS tiles_md5
+    FROM t GROUP BY doc_id
+    """,
+    doc="ViT-style patchification through the real PPM decode: "
+        "non-overlapping 2x2 patches of the gray plane (remainder cols "
+        "cropped), exact integer patch sums in an Arrow mapInPandas "
+        "kernel; oracle replays the index arithmetic and value-checks the "
+        "row-major patch-sum sequence md5. Map-only at any scale — the "
+        "patch-embedding prep of a vision-training pipeline",
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    return M.patch_tiles(media, patch=2)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — the tokenizer-design readout
+# (subwords per word, chars per subword): composed from the REGISTERED
+# text_subword_tokenize on both sides (the sim_ann_recall_eval device),
+# so the metric can never drift from the tokenizer it measures.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_tokenizer_fertility",
+    None,  # assigned post-registration from the sibling oracle
+    doc="tokenizer fertility per language: subwords/word and "
+        "chars/subword from exact long sums — composed from the "
+        "registered text_subword_tokenize on both engine and oracle side "
+        "(drift-proof); the metric that decides whether a vocabulary "
+        "serves a language before committing a 100 TB tokenization run; "
+        "one join on doc_id + one combinable per-lang aggregate",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = QUERIES["text_subword_tokenize"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(F.split(F.lower(F.trim("text")), r"\s+")))
+        .cast("long").alias("n_words"),
+    )
+    j = d.join(sub.select("doc_id", "n_subwords"), "doc_id")
+    g = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_subwords").cast("long").alias("sum_subwords"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return g.select(
+        "lang", "n_docs", "sum_words", "sum_subwords", "sum_chars",
+        F.expr("CAST(sum_subwords AS DOUBLE) / CAST(sum_words AS DOUBLE)")
+        .alias("fertility"),
+        F.expr("CAST(sum_chars AS DOUBLE) / CAST(sum_subwords AS DOUBLE)")
+        .alias("chars_per_subword"),
+    )
+
+
+QUERIES["text_tokenizer_fertility"].oracle = f"""
+    WITH sub AS ({_subword_oracle_sql()}),
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+                  AS BIGINT) AS n_words
+      FROM documents
+    ),
+    g AS (
+      SELECT d.lang, count(*)::BIGINT AS n_docs,
+             sum(d.n_words)::BIGINT AS sum_words,
+             sum(sub.n_subwords)::BIGINT AS sum_subwords,
+             sum(d.n_chars)::BIGINT AS sum_chars
+      FROM d JOIN sub ON sub.doc_id = d.doc_id
+      GROUP BY d.lang
+    )
+    SELECT lang, n_docs, sum_words, sum_subwords, sum_chars,
+           CAST(sum_subwords AS DOUBLE) / CAST(sum_words AS DOUBLE) AS fertility,
+           CAST(sum_chars AS DOUBLE) / CAST(sum_subwords AS DOUBLE) AS chars_per_subword
+    FROM g
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects: the DISTRIBUTIONAL experiment readout —
+# per-arm p25/p50/p75 of the per-user cents metric on the hashed 'did'
+# split (exact linear-interpolation percentiles over longs), QTE = the
+# per-quantile contrast. Means (DiD/CUPED) miss effects that move the
+# tails; this is the readout that sees them.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_qte",
+    """
+    WITH u AS (
+      SELECT user_id,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS m,
+             CASE WHEN (('0x' || substr(md5('did' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS treated
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+      sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+      quantile_cont(CASE WHEN treated = 1 THEN m END, 0.25)
+        - quantile_cont(CASE WHEN treated = 0 THEN m END, 0.25) AS qte_p25,
+      quantile_cont(CASE WHEN treated = 1 THEN m END, 0.50)
+        - quantile_cont(CASE WHEN treated = 0 THEN m END, 0.50) AS qte_p50,
+      quantile_cont(CASE WHEN treated = 1 THEN m END, 0.75)
+        - quantile_cont(CASE WHEN treated = 0 THEN m END, 0.75) AS qte_p75
+    FROM u
+    """,
+    doc="quantile treatment effects on the hashed 'did' split: per-arm "
+        "p25/p50/p75 of per-user cents (exact linear-interpolation "
+        "percentiles over longs, the shared device), QTE = per-quantile "
+        "contrast — the distributional readout mean-based DiD/CUPED miss; "
+        "one groupBy(user) + one bounded percentile aggregate",
+)
+def analytic_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m"),
+    ).select(
+        "m",
+        F.when(hash_fraction(F.col("user_id"), "did") < 0.5, 1)
+        .otherwise(0).alias("treated"),
+    )
+    return u.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        *[
+            (
+                F.expr(f"percentile(CASE WHEN treated = 1 THEN m END, {q})")
+                - F.expr(f"percentile(CASE WHEN treated = 0 THEN m END, {q})")
+            ).alias(f"qte_p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

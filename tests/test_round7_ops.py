@@ -1060,3 +1060,77 @@ def test_hard_negatives_label_and_rank(spark):
         exp = [-s[1] for s in scored]
         got = [x.negative_id for x in sorted(rs, key=lambda x: x.rank)]
         assert got == exp
+
+
+def test_image_tiles_matches_numpy(spark):
+    import pandas as pd
+
+    got = {
+        r["media_id"]: r
+        for r in QUERIES["mm_image_tiles"].fn(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, d in docs.head(25).iterrows():
+        hx = hashlib.md5(d.text.encode()).hexdigest()
+        w = 8 + len(d.text) % 8
+        ras = (hx * 6)[: w * 12]
+        g = np.array([ord(c) for c in ras], dtype=np.int64).reshape(4, w, 3)[:, :, 0]
+        tw = w // 2
+        crop = g[:4, : tw * 2]
+        sums = crop.reshape(2, 2, tw, 2).sum(axis=(1, 3)).reshape(-1)
+        r = got[d.doc_id]
+        assert r["n_tiles"] == 2 * tw
+        assert r["tile_sum_total"] == int(sums.sum())
+        assert r["max_tile_sum"] == int(sums.max())
+        assert r["min_tile_sum"] == int(sums.min())
+        assert r["tiles_md5"] == hashlib.md5(
+            ",".join(str(int(v)) for v in sums).encode()
+        ).hexdigest()
+
+
+def test_tokenizer_fertility_consistency(spark):
+    sub = {
+        r.doc_id: r.n_subwords
+        for r in QUERIES["text_subword_tokenize"].fn(spark, SF).collect()
+    }
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_lang = {}
+    for _, d in docs.iterrows():
+        nw = 0 if d.text.strip() == "" else len(d.text.strip().lower().split())
+        n_docs, sw, ss, sc = per_lang.get(d.lang, (0, 0, 0, 0))
+        per_lang[d.lang] = (
+            n_docs + 1, sw + nw, ss + sub[d.doc_id], sc + int(d.n_chars),
+        )
+    rows = {r.lang: r for r in QUERIES["text_tokenizer_fertility"].fn(spark, SF).collect()}
+    assert set(rows) == set(per_lang)
+    for lang, (n_docs, sw, ss, sc) in per_lang.items():
+        r = rows[lang]
+        assert (r.n_docs, r.sum_words, r.sum_subwords, r.sum_chars) == (
+            n_docs, sw, ss, sc,
+        )
+        assert abs(r.fertility - ss / sw) < 1e-12
+        assert r.fertility >= 1.0  # a word is at least one subword
+
+
+def test_qte_matches_numpy(spark):
+    import hashlib as _h
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per = {}
+    for _, r in ev.iterrows():
+        per[int(r.user_id)] = per.get(int(r.user_id), 0) + int(round(r.value * 100))
+    t = {
+        u: int(_h.md5(f"did{u}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+        for u in per
+    }
+    mt = np.array(sorted(per[u] for u in per if t[u]), dtype=np.int64)
+    mc = np.array(sorted(per[u] for u in per if not t[u]), dtype=np.int64)
+    row = QUERIES["analytic_qte"].fn(spark, SF).collect()[0]
+    assert (row.n_t, row.n_c) == (len(mt), len(mc))
+    for q, col in [(25, row.qte_p25), (50, row.qte_p50), (75, row.qte_p75)]:
+        exp = float(np.percentile(mt, q)) - float(np.percentile(mc, q))
+        assert abs(col - exp) < 1e-6, (q, col, exp)
