@@ -15219,6 +15219,142 @@ def analytic_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-accuracy eval for the bottom-k quantile sketch: the registered
+# sketch's quartile estimates beside the EXACT percentiles (integer-cents
+# device), per-rank absolute/relative error — the engine audits its own
+# sketch (the minhash_accuracy_eval / ann_recall_eval pattern), composed
+# from the registered query on both sides so it cannot drift.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_quantile_accuracy_eval",
+    None,  # assigned post-registration from the sibling oracle
+    doc="bottom-k quantile sketch accuracy: the registered "
+        "sketch_bottomk_quantiles estimates beside exact percentiles over "
+        "integer cents (shared linear-interpolation device), per-rank "
+        "abs/relative error — the sketch audited against ground truth, "
+        "composed from the registered query on both sides (drift-proof); "
+        "exact side is one percentile aggregate over one long per row",
+)
+def sketch_quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = QUERIES["sketch_bottomk_quantiles"].fn(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    ex = c.agg(
+        *[
+            (F.expr(f"percentile(c, {rn / 100})") / 100.0).alias(f"p{rn}")
+            for rn in (25, 50, 75, 100)
+        ]
+    )
+    tall = ex.selectExpr(
+        "stack(4, 25, p25, 50, p50, 75, p75, 100, p100) AS (rn, exact_val)"
+    )
+    return (
+        sk.join(tall, "rn")
+        .select(
+            "rn",
+            F.col("val").alias("sketch_val"),
+            "exact_val",
+            F.round(F.abs(F.col("val") - F.col("exact_val")), 6).alias("abs_err"),
+            F.round(
+                F.abs(F.col("val") - F.col("exact_val")) / F.col("exact_val"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+QUERIES["sketch_quantile_accuracy_eval"].oracle = f"""
+    WITH s AS ({QUERIES['sketch_bottomk_quantiles'].oracle}),
+    cts AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+    ex AS (
+      SELECT quantile_cont(c, 0.25) / 100.0 AS p25,
+             quantile_cont(c, 0.5) / 100.0 AS p50,
+             quantile_cont(c, 0.75) / 100.0 AS p75,
+             quantile_cont(c, 1.0) / 100.0 AS p100
+      FROM cts
+    ),
+    tall AS (
+      SELECT 25 AS rn, p25 AS exact_val FROM ex UNION ALL
+      SELECT 50, p50 FROM ex UNION ALL
+      SELECT 75, p75 FROM ex UNION ALL
+      SELECT 100, p100 FROM ex
+    )
+    SELECT s.rn, s.val AS sketch_val, tall.exact_val,
+           round(abs(s.val - tall.exact_val), 6) AS abs_err,
+           round(abs(s.val - tall.exact_val) / tall.exact_val, 6) AS rel_err
+    FROM s JOIN tall USING (rn)
+    """
+
+
+# ---------------------------------------------------------------------------
+# CDC consumer-lag metrics: per-partition produced vs applied watermark +
+# pending backlog — the monitoring readout paired with cdc_gap_audit
+# (gaps say what was LOST, lag says what is BEHIND). The applied
+# watermark is synthesized per partition (trailing (part+1)*7 sequences
+# unapplied) so every metric is deterministic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_consumer_lag",
+    """
+    WITH msg AS (
+      SELECT o_orderkey % 4 AS part, o_orderkey // 4 AS seq FROM orders
+    ),
+    prod AS (SELECT part, max(seq) AS produced_max, count(*) AS n_msgs
+             FROM msg GROUP BY part),
+    appl AS (
+      SELECT m.part, max(m.seq) AS applied_max
+      FROM msg m JOIN prod p ON p.part = m.part
+      WHERE m.seq <= p.produced_max - (m.part + 1) * 7
+      GROUP BY m.part
+    )
+    SELECT p.part, p.produced_max, a.applied_max,
+           (p.produced_max - a.applied_max)::BIGINT AS lag,
+           (SELECT count(*) FROM msg m2
+            WHERE m2.part = p.part AND m2.seq > a.applied_max)::BIGINT AS n_pending,
+           p.n_msgs::BIGINT AS n_msgs
+    FROM prod p JOIN appl a ON a.part = p.part
+    """,
+    doc="CDC consumer-lag metrics: per-partition produced vs applied "
+        "watermark, lag and pending backlog — the ops monitoring readout "
+        "beside cdc_gap_audit (gaps = lost, lag = behind); synthesized "
+        "applied watermark trails by (part+1)*7 sequences; two combinable "
+        "aggregations + one partition-keyed join, linear",
+)
+def cdc_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    msg = orders.select(
+        (F.col("o_orderkey") % 4).alias("part"),
+        F.expr("o_orderkey div 4").alias("seq"),
+    )
+    prod = msg.groupBy("part").agg(
+        F.max("seq").alias("produced_max"), F.count("*").alias("n_msgs")
+    )
+    appl = (
+        msg.join(prod.select("part", "produced_max"), "part")
+        .where(F.col("seq") <= F.col("produced_max") - (F.col("part") + 1) * 7)
+        .groupBy("part")
+        .agg(F.max("seq").alias("applied_max"))
+    )
+    pending = (
+        msg.join(appl, "part")
+        .where(F.col("seq") > F.col("applied_max"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_pending"))
+    )
+    return (
+        prod.join(appl, "part")
+        .join(pending, "part")
+        .select(
+            "part", "produced_max", "applied_max",
+            (F.col("produced_max") - F.col("applied_max")).cast("long").alias("lag"),
+            F.col("n_pending").cast("long").alias("n_pending"),
+            F.col("n_msgs").cast("long").alias("n_msgs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -376,6 +376,8 @@ LINT_BOUNDED_UNPARTITIONED_WHITELIST = {
     "text_vocab_coverage",     # top-N vocab table (limit-bounded)
     "sketch_bottomk_quantiles",  # bottom-k rows only (limit-bounded)
     "text_zipf_fit",           # top-N word ranks feeding the log-log fit
+    "sketch_quantile_accuracy_eval",  # composes sketch_bottomk_quantiles —
+    # the inherited window runs over the same 100-row limit-bounded sample
 }
 
 

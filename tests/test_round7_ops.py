@@ -1134,3 +1134,40 @@ def test_qte_matches_numpy(spark):
     for q, col in [(25, row.qte_p25), (50, row.qte_p50), (75, row.qte_p75)]:
         exp = float(np.percentile(mt, q)) - float(np.percentile(mc, q))
         assert abs(col - exp) < 1e-6, (q, col, exp)
+
+
+def test_sketch_quantile_eval_consistency(spark):
+    rows = {r.rn: r for r in QUERIES["sketch_quantile_accuracy_eval"].fn(spark, SF).collect()}
+    assert set(rows) == {25, 50, 75, 100}
+    sk = {r.rn: r.val for r in QUERIES["sketch_bottomk_quantiles"].fn(spark, SF).collect()}
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    c = np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    for rn, r in rows.items():
+        assert r.sketch_val == sk[rn]
+        exact = float(np.percentile(c, rn)) / 100.0
+        assert abs(r.exact_val - exact) < 1e-6
+        assert abs(r.abs_err - round(abs(r.sketch_val - r.exact_val), 6)) < 1e-9
+        # a 100-row uniform sample should land within 25% of the quartiles
+        assert r.rel_err < 0.25, (rn, r.rel_err)
+
+
+def test_cdc_consumer_lag_matches_python(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    msgs = {}
+    for k in orders.o_orderkey:
+        k = int(k)
+        msgs.setdefault(k % 4, []).append(k // 4)
+    rows = {r.part: r for r in QUERIES["cdc_consumer_lag"].fn(spark, SF).collect()}
+    for part, seqs in msgs.items():
+        produced = max(seqs)
+        applied = max(s for s in seqs if s <= produced - (part + 1) * 7)
+        pending = sum(1 for s in seqs if s > applied)
+        r = rows[part]
+        assert (r.produced_max, r.applied_max) == (produced, applied)
+        assert r.lag == produced - applied
+        assert r.n_pending == pending and r.n_msgs == len(seqs)
+        assert r.lag >= (part + 1) * 7
