@@ -167,6 +167,24 @@ HEADLINE = [
     "analytic_did",               # difference-in-differences readout
     "sketch_hll_union",           # mergeable HLL set algebra + overlap
     "sample_group_kfold",         # group-integrity CV fold assignment
+    # round-7 session-2 additions: experimentation suite, CCNet buckets,
+    # b-bit MinHash, blur QA, SemDeDup, attribution, walks, RFM, baskets,
+    # hard negatives, patchify, fertility, sketch self-audit
+    "analytic_cuped",             # CUPED variance-reduced readout
+    "text_ccnet_buckets",         # bigram-LM head/middle/tail terciles
+    "dedup_minhash_b_bit",        # 2-bit MinHash vs exact Jaccard audit
+    "mm_image_blur_laplacian",    # variance-of-Laplacian blur QA (Arrow)
+    "dedup_semdedup",             # capped SemDeDup over Lloyd clusters
+    "analytic_gini_lorenz",       # two-level-rank Gini concentration
+    "sample_length_bucketing",    # padding-waste accounting (two ranks)
+    "analytic_attribution",       # last-touch + linear credit interval join
+    "graph_random_walk",          # deterministic 3-step md5-argmin walks
+    "analytic_rfm_segmentation",  # exact-percentile R/F/M quintiles
+    "analytic_market_basket",     # order-bounded pair support/conf/lift
+    "sim_hard_negatives",         # different-label cosine top-3 per anchor
+    "mm_image_tiles",             # ViT-style 2x2 patch sums (Arrow)
+    "text_tokenizer_fertility",   # composed subwords/word per language
+    "sketch_quantile_accuracy_eval",  # sketch vs exact percentile audit
 ]
 
 
