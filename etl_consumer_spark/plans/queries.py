@@ -15357,6 +15357,228 @@ def cdc_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Local clustering coefficient: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) —
+# composed from the REGISTERED graph_triangle_count on both sides (the
+# drift-proof eval device), degrees from the identical undirected edge
+# construction. The transitivity readout that separates community
+# structure from hub spokes.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_clustering_coefficient",
+    None,  # assigned post-registration from the sibling oracle
+    doc="local clustering coefficient per node (deg >= 2): "
+        "cc = 2*T/(deg*(deg-1)) with T from the registered "
+        "graph_triangle_count (degree-ordered oriented wedge join — "
+        "composed on both sides, drift-proof) and exact integer degrees "
+        "from the same undirected edge set; one combinable degree "
+        "aggregate + one broadcast-size join, shared float expression",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = QUERIES["graph_triangle_count"].fn(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 400
+    b = F.col("o_orderkey") % 400
+    und = (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)"
+                " / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0))"
+            ).alias("clustering_coefficient"),
+        )
+    )
+
+
+QUERIES["graph_clustering_coefficient"].oracle = f"""
+    WITH t AS ({QUERIES['graph_triangle_count'].oracle}),
+    raw AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS degree
+      FROM (SELECT a AS node FROM raw UNION ALL SELECT b FROM raw)
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+           2.0 * CAST(coalesce(t.n_triangles, 0) AS DOUBLE)
+             / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+             AS clustering_coefficient
+    FROM deg d LEFT JOIN t ON t.node = d.node
+    WHERE d.degree >= 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min accuracy eval: the registered sketch's estimates for the
+# exact top-10 heavy hitters — CM estimate = min over depths of the
+# probed counter; the one-sided error (estimate >= exact, never under)
+# measured honestly per key. Same drift-proof composition device.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_cm_accuracy_eval",
+    None,  # assigned post-registration from the sibling oracle
+    doc="count-min sketch accuracy: per exact top-10 o_custkey heavy "
+        "hitter, the registered sketch_count_min estimate (min over the 4 "
+        "probed counters) beside the exact count and the one-sided "
+        "overestimate — composed from the registered query on both sides "
+        "(drift-proof); probes are a 10-row broadcast against the 4x64 "
+        "register table, exact side one combinable groupBy + TakeOrdered",
+)
+def sketch_cm_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import CM_DEPTH, CM_WIDTH
+
+    regs = QUERIES["sketch_count_min"].fn(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    top = (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+    probes = top.select(
+        "key", "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{j}:"), F.col("key").cast("string"))),
+                                    1, 4,
+                                ),
+                                16, 10,
+                            ).cast("long") % CM_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_cnt", F.col("p.depth").cast("int").alias("depth"), "p.bucket")
+    est = (
+        probes.join(regs, ["depth", "bucket"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "key", "exact_cnt", "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+QUERIES["sketch_cm_accuracy_eval"].oracle = f"""
+    WITH r AS ({QUERIES['sketch_count_min'].oracle}),
+    top AS (
+      SELECT o_custkey AS key, count(*)::BIGINT AS exact_cnt
+      FROM orders GROUP BY o_custkey
+      ORDER BY exact_cnt DESC, key ASC LIMIT 10
+    ),
+    probes AS (
+      SELECT t.key, t.exact_cnt, d.j AS depth,
+             ('0x' || substr(md5(d.j || ':' || CAST(t.key AS VARCHAR)), 1, 4))::BIGINT % 64 AS bucket
+      FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j) d
+    )
+    SELECT p.key, p.exact_cnt,
+           min(r.cnt)::BIGINT AS cm_estimate,
+           (min(r.cnt) - p.exact_cnt)::BIGINT AS overestimate
+    FROM probes p JOIN r ON r.depth = p.depth AND r.bucket = p.bucket
+    GROUP BY p.key, p.exact_cnt
+    """
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/eval split with embargo: train strictly before the
+# boundary, eval strictly after boundary + embargo, the embargo day
+# DROPPED — the leakage-aware split for time-correlated data (the purged
+# split of financial ML). The audit columns prove the contract: the gap
+# between the latest train event and the earliest eval event must cover
+# the embargo.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_temporal_split_embargo",
+    """
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-22' THEN 'train'
+                  WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-23' THEN 'eval'
+                  ELSE 'embargo' END AS split
+      FROM events
+    ),
+    b AS (
+      SELECT max(CASE WHEN split = 'train' THEN us END) AS max_train_us,
+             min(CASE WHEN split = 'eval' THEN us END) AS min_eval_us
+      FROM ev
+    )
+    SELECT ev.split, ev.event_type, count(*)::BIGINT AS n,
+           min(ev.us) AS min_us, max(ev.us) AS max_us,
+           CASE WHEN b.min_eval_us - b.max_train_us >= 86400000000
+                THEN 1 ELSE 0 END AS embargo_ok
+    FROM ev CROSS JOIN b
+    GROUP BY ev.split, ev.event_type, b.min_eval_us, b.max_train_us
+    """,
+    doc="temporal train/eval split with a 1-day embargo (the purged split "
+        "of leakage-aware ML on time-correlated data): train < 2024-01-22, "
+        "eval >= 2024-01-23, the embargo day dropped; per-(split, type) "
+        "counts + the audit column proving the train->eval gap covers the "
+        "embargo; one combinable aggregate + a 1-row broadcast boundary",
+)
+def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev0 = load_table(spark, sf_dir, "events")
+    d = F.date_format("ts", "yyyy-MM-dd")
+    ev = ev0.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.when(d < "2024-01-22", "train")
+        .when(d >= "2024-01-23", "eval")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    b = ev.agg(
+        F.max(F.when(F.col("split") == "train", F.col("us"))).alias("max_train_us"),
+        F.min(F.when(F.col("split") == "eval", F.col("us"))).alias("min_eval_us"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("split", "event_type", "min_eval_us", "max_train_us")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+        .select(
+            "split", "event_type", "n", "min_us", "max_us",
+            F.when(
+                F.col("min_eval_us") - F.col("max_train_us") >= 86400000000, 1
+            ).otherwise(0).alias("embargo_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

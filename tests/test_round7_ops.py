@@ -1171,3 +1171,64 @@ def test_cdc_consumer_lag_matches_python(spark):
         assert r.lag == produced - applied
         assert r.n_pending == pending and r.n_msgs == len(seqs)
         assert r.lag >= (part + 1) * 7
+
+
+def test_clustering_coefficient_matches_python(spark):
+    import itertools
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    und = set()
+    for _, o in orders.iterrows():
+        k, c = int(o.o_orderkey), int(o.o_custkey)
+        if k % 3 == 0 and c % 400 != k % 400:
+            und.add((min(c % 400, k % 400), max(c % 400, k % 400)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = {r.node: r for r in QUERIES["graph_clustering_coefficient"].fn(spark, SF).collect()}
+    exp_nodes = {n for n, nb in adj.items() if len(nb) >= 2}
+    assert set(rows) == exp_nodes
+    for n in exp_nodes:
+        nb = adj[n]
+        t = sum(1 for x, y in itertools.combinations(sorted(nb), 2) if y in adj[x])
+        r = rows[n]
+        assert r.degree == len(nb) and r.n_triangles == t
+        exp_cc = 2.0 * t / (len(nb) * (len(nb) - 1.0))
+        assert abs(r.clustering_coefficient - exp_cc) < 1e-12
+        assert 0.0 <= r.clustering_coefficient <= 1.0
+
+
+def test_cm_eval_one_sided_and_exact(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cnt = orders.o_custkey.value_counts()
+    rows = QUERIES["sketch_cm_accuracy_eval"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.exact_cnt == int(cnt[r.key])
+        # count-min NEVER underestimates
+        assert r.overestimate >= 0
+        assert r.cm_estimate == r.exact_cnt + r.overestimate
+
+
+def test_temporal_split_embargo_contract(spark):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    days = ev.ts.dt.strftime("%Y-%m-%d")
+    exp = {}
+    for d, et in zip(days, ev.event_type):
+        split = "train" if d < "2024-01-22" else ("eval" if d >= "2024-01-23" else "embargo")
+        exp[(split, et)] = exp.get((split, et), 0) + 1
+    rows = QUERIES["sample_temporal_split_embargo"].fn(spark, SF).collect()
+    got = {(r.split, r.event_type): r for r in rows}
+    assert {k: v.n for k, v in got.items()} == exp
+    assert all(r.embargo_ok == 1 for r in rows)
+    # boundary discipline: every train event strictly precedes every eval
+    max_train = max(r.max_us for r in rows if r.split == "train")
+    min_eval = min(r.min_us for r in rows if r.split == "eval")
+    assert min_eval - max_train >= 86400000000
