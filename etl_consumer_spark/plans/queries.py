@@ -15579,6 +15579,269 @@ def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Distributed AUC-ROC via the tie-corrected Mann-Whitney rank sum — the
+# model-eval readout every training pipeline needs and the one naive Spark
+# ports get wrong twice over: a global orderBy single-partitions the score
+# column, and ignoring ties biases AUC whenever scores repeat. Ranks come
+# from the two-level bucket prefix sum over DISTINCT scores (grouped first,
+# so the ranked frame is |distinct scores|, not |rows|), average ranks for
+# ties carried as EXACT integers by working in doubled ranks:
+# 2*avg_rank(s) = 2*cum_below(s) + cnt(s) + 1. AUC = (2*R_pos -
+# n_pos*(n_pos+1)) / (2*n_pos*n_neg) — one float division at the end.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_auc_roc",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    g AS (
+      SELECT cents, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM s GROUP BY cents
+    ),
+    c AS (
+      SELECT cnt, pos,
+             (sum(cnt) OVER (ORDER BY cents))::BIGINT AS cum
+      FROM g
+    ),
+    t AS (
+      SELECT sum(pos)::BIGINT AS n_pos,
+             (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+             sum(pos * (2 * (cum - cnt) + cnt + 1))::BIGINT AS r2_pos
+      FROM c
+    )
+    SELECT n_pos, n_neg, r2_pos,
+           CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM t
+    """,
+    doc="exact tie-corrected AUC-ROC (Mann-Whitney U): label = order "
+        "priority URGENT/HIGH, score = integer total-price cents; average "
+        "ranks over distinct scores via the two-level bucket prefix sum "
+        "(no single-partition sort of the score column), doubled ranks "
+        "keep tie averaging in exact integers, one float division at the "
+        "end — bit-identical across engines",
+)
+def analytic_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("cents").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    # two_level_order ranks on key DESC; negate so cum runs ASCENDING in
+    # score — cum is then the inclusive count of rows at-or-below each score
+    ranked = two_level_order(
+        g.withColumn("neg_cents", -F.col("cents")),
+        key_col="neg_cents",
+        tie_col="cents",
+        val_col="cnt",
+    )
+    t = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        ).cast("long").alias("r2_pos"),
+    )
+    return t.select(
+        "n_pos", "n_neg", "r2_pos",
+        (
+            (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability diagram + expected calibration error. The gap
+# and ECE stay EXACT until one final division: with pred = (cents-lo)/denom,
+# n_b*|mean_pred_b - frac_pos_b| reduces to |sum_num_b - pos_b*denom|/denom
+# — an integer numerator — so ECE needs no cross-bin float sum (the usual
+# nondeterminism trap) and no per-bin float subtraction feeds the total.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_calibration_ece",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    b AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS denom FROM s),
+    binned AS (
+      SELECT ((s.cents - b.lo) * 10) // b.denom AS bin,
+             s.cents - b.lo AS num, s.pos, b.denom
+      FROM s CROSS JOIN b
+    ),
+    per_bin AS (
+      SELECT bin, denom, count(*)::BIGINT AS n, sum(pos)::BIGINT AS pos_cnt,
+             sum(num)::BIGINT AS sum_num,
+             abs(sum(num) - sum(pos) * denom)::BIGINT AS abs_num
+      FROM binned GROUP BY bin, denom
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS n_tot, sum(abs_num)::BIGINT AS abs_tot FROM per_bin)
+    SELECT p.bin, p.n, p.pos_cnt,
+           CAST(p.sum_num AS DOUBLE) / CAST(p.n * p.denom AS DOUBLE) AS mean_pred,
+           CAST(p.pos_cnt AS DOUBLE) / CAST(p.n AS DOUBLE) AS frac_pos,
+           CAST(p.abs_num AS DOUBLE) / CAST(p.n * p.denom AS DOUBLE) AS gap,
+           CAST(t.abs_tot AS DOUBLE) / CAST(p.denom AS DOUBLE)
+             / CAST(t.n_tot AS DOUBLE) AS ece
+    FROM per_bin p CROSS JOIN tot t
+    """,
+    doc="reliability diagram + expected calibration error: predictor = "
+        "min-max-normalized total-price cents, label = priority "
+        "URGENT/HIGH, 10 equal-width bins; per-bin mean prediction vs "
+        "positive fraction with the |gap| numerator kept as an exact "
+        "integer (n_b*gap_b telescopes to |sum_num - pos*denom|/denom), so "
+        "ECE is an integer sum with two final divisions — no cross-bin "
+        "float accumulation; one combinable aggregate + two 1-row "
+        "broadcasts",
+)
+def analytic_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    b = s.agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("denom"),
+    )
+    binned = s.crossJoin(F.broadcast(b)).select(
+        F.expr("((cents - lo) * 10) div denom").alias("bin"),
+        (F.col("cents") - F.col("lo")).alias("num"),
+        "pos",
+        "denom",
+    )
+    per_bin = binned.groupBy("bin", "denom").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos_cnt"),
+        F.sum("num").cast("long").alias("sum_num"),
+    ).withColumn(
+        "abs_num",
+        F.abs(F.col("sum_num") - F.col("pos_cnt") * F.col("denom")).cast("long"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("abs_num").cast("long").alias("abs_tot"),
+    )
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "pos_cnt",
+        (F.col("sum_num").cast("double") / (F.col("n") * F.col("denom")).cast("double")).alias("mean_pred"),
+        (F.col("pos_cnt").cast("double") / F.col("n").cast("double")).alias("frac_pos"),
+        (F.col("abs_num").cast("double") / (F.col("n") * F.col("denom")).cast("double")).alias("gap"),
+        (
+            F.col("abs_tot").cast("double")
+            / F.col("denom").cast("double")
+            / F.col("n_tot").cast("double")
+        ).alias("ece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index — the score-drift monitor between a reference
+# and a current cohort (the standard model-monitoring gate: PSI < 0.1 stable,
+# > 0.25 retrain). Counts and bin edges are exact integers; Laplace +1
+# smoothing keeps empty bins finite; each contribution (p-q)*ln(p/q) is
+# sign-definite (both factors share sign), so psi_total >= 0 by construction.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_psi_drift",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < DATE '1995-06-17' THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ),
+    b AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS denom FROM s),
+    per_bin AS (
+      SELECT ((s.cents - b.lo) * 10) // b.denom AS bin,
+             sum(s.is_ref)::BIGINT AS ref_cnt,
+             sum(1 - s.is_ref)::BIGINT AS cur_cnt
+      FROM s CROSS JOIN b GROUP BY 1
+    ),
+    tot AS (SELECT sum(ref_cnt)::BIGINT AS ref_tot, sum(cur_cnt)::BIGINT AS cur_tot FROM per_bin),
+    pq AS (
+      SELECT p.bin, p.ref_cnt, p.cur_cnt,
+             CAST(p.ref_cnt + 1 AS DOUBLE) / CAST(t.ref_tot + 10 AS DOUBLE) AS p_ref,
+             CAST(p.cur_cnt + 1 AS DOUBLE) / CAST(t.cur_tot + 10 AS DOUBLE) AS p_cur
+      FROM per_bin p CROSS JOIN tot t
+    ),
+    contrib AS (
+      SELECT bin, ref_cnt, cur_cnt, p_ref, p_cur,
+             (p_ref - p_cur) * ln(p_ref / p_cur) AS psi_contrib
+      FROM pq
+    )
+    SELECT c.bin, c.ref_cnt, c.cur_cnt, c.p_ref, c.p_cur, c.psi_contrib,
+           t2.psi_total
+    FROM contrib c
+    CROSS JOIN (SELECT sum(psi_contrib) AS psi_total FROM contrib) t2
+    """,
+    doc="population stability index between the pre/post-1995-06-17 order "
+        "cohorts over 10 equal-width total-price bins: exact integer "
+        "counts, Laplace +1 smoothing, per-bin (p-q)*ln(p/q) contribution "
+        "(sign-definite, so the total is >= 0 by construction) plus the "
+        "scalar PSI broadcast onto every row; two combinable aggregates + "
+        "two 1-row broadcasts — no windows, no shuffle beyond the 10-bin "
+        "groupBy",
+)
+def analytic_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    b = s.agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("denom"),
+    )
+    per_bin = (
+        s.crossJoin(F.broadcast(b))
+        .select(F.expr("((cents - lo) * 10) div denom").alias("bin"), "is_ref")
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").cast("long").alias("ref_cnt"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("cur_cnt"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("ref_cnt").cast("long").alias("ref_tot"),
+        F.sum("cur_cnt").cast("long").alias("cur_tot"),
+    )
+    pq = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin", "ref_cnt", "cur_cnt",
+        ((F.col("ref_cnt") + 1).cast("double") / (F.col("ref_tot") + 10).cast("double")).alias("p_ref"),
+        ((F.col("cur_cnt") + 1).cast("double") / (F.col("cur_tot") + 10).cast("double")).alias("p_cur"),
+    )
+    contrib = pq.select(
+        "bin", "ref_cnt", "cur_cnt", "p_ref", "p_cur",
+        ((F.col("p_ref") - F.col("p_cur")) * F.log(F.col("p_ref") / F.col("p_cur"))).alias("psi_contrib"),
+    )
+    total = contrib.agg(F.sum("psi_contrib").alias("psi_total"))
+    return contrib.crossJoin(F.broadcast(total))
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1232,3 +1232,79 @@ def test_temporal_split_embargo_contract(spark):
     max_train = max(r.max_us for r in rows if r.split == "train")
     min_eval = min(r.min_us for r in rows if r.split == "eval")
     assert min_eval - max_train >= 86400000000
+
+
+def _priority_labels(orders):
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    pos = orders.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    return cents, pos
+
+
+def test_auc_roc_matches_rank_replay(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents, pos = _priority_labels(orders)
+    ranks = pd.Series(cents).rank(method="average")
+    n_pos, n_neg = int(pos.sum()), int((1 - pos).sum())
+    r_pos = float(ranks[pos == 1].sum())
+    exp_auc = (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    row = QUERIES["analytic_auc_roc"].fn(spark, SF).collect()[0]
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    # doubled ranks keep tie averaging exact: r2_pos is an integer identity
+    assert row.r2_pos == int(round(2 * r_pos))
+    assert abs(row.auc - exp_auc) < 1e-12
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_calibration_ece_exact_integer_identity(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents, pos = _priority_labels(orders)
+    lo, denom = int(cents.min()), int(cents.max()) - int(cents.min()) + 1
+    df = pd.DataFrame({"bin": (cents - lo) * 10 // denom, "num": cents - lo, "pos": pos})
+    g = df.groupby("bin").agg(n=("num", "size"), pos_cnt=("pos", "sum"), sum_num=("num", "sum"))
+    abs_num = (g.sum_num - g.pos_cnt * denom).abs()
+    exp_ece = float(abs_num.sum()) / denom / len(df)
+    rows = QUERIES["analytic_calibration_ece"].fn(spark, SF).collect()
+    assert {r.bin for r in rows} == set(g.index)
+    for r in rows:
+        assert r.n == int(g.n[r.bin]) and r.pos_cnt == int(g.pos_cnt[r.bin])
+        exp_gap = float(abs_num[r.bin]) / (g.n[r.bin] * denom)
+        assert abs(r.gap - exp_gap) < 1e-15
+        assert abs(r.mean_pred - g.sum_num[r.bin] / (g.n[r.bin] * denom)) < 1e-15
+        assert abs(r.frac_pos - g.pos_cnt[r.bin] / g.n[r.bin]) < 1e-15
+        assert abs(r.ece - exp_ece) < 1e-12
+        # ECE is the n-weighted mean gap — the telescoped integer form agrees
+    w = sum(r.n * r.gap for r in rows) / sum(r.n for r in rows)
+    assert abs(w - exp_ece) < 1e-12
+
+
+def test_psi_drift_sign_definite_and_replay(spark):
+    import math
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    is_ref = (orders.o_orderdate < pd.Timestamp("1995-06-17")).astype(int)
+    lo, denom = int(cents.min()), int(cents.max()) - int(cents.min()) + 1
+    df = pd.DataFrame({"bin": (cents - lo) * 10 // denom, "is_ref": is_ref})
+    g = df.groupby("bin").agg(ref_cnt=("is_ref", "sum"), n=("is_ref", "size"))
+    g["cur_cnt"] = g.n - g.ref_cnt
+    rt, ct = int(g.ref_cnt.sum()), int(g.cur_cnt.sum())
+    rows = QUERIES["analytic_psi_drift"].fn(spark, SF).collect()
+    assert {r.bin for r in rows} == set(g.index)
+    exp_total = 0.0
+    for b in sorted(g.index):
+        p = (g.ref_cnt[b] + 1) / (rt + 10)
+        q = (g.cur_cnt[b] + 1) / (ct + 10)
+        exp_total += (p - q) * math.log(p / q)
+    for r in rows:
+        assert r.ref_cnt == int(g.ref_cnt[r.bin]) and r.cur_cnt == int(g.cur_cnt[r.bin])
+        p = (r.ref_cnt + 1) / (rt + 10)
+        q = (r.cur_cnt + 1) / (ct + 10)
+        assert abs(r.psi_contrib - (p - q) * math.log(p / q)) < 1e-15
+        assert r.psi_contrib >= 0.0  # (p-q) and ln(p/q) always share sign
+        assert abs(r.psi_total - exp_total) < 1e-12
