@@ -15842,6 +15842,215 @@ def analytic_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov on a fixed 256-bin grid — the
+# distribution-shift gate that complements PSI (PSI reads density ratios,
+# KS reads the max CDF gap; a shift PSI smooths over can still trip KS).
+# Exact integer bin counts; the bounded cumulative sum is a triangular
+# broadcast join over the <=256-row bin table (NO unpartitioned window, no
+# whitelist entry); per-bin CDFs are single divisions of exact integers so
+# the max over identically-computed doubles is order-insensitive and
+# engine-stable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_ks_test",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < DATE '1995-06-17' THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ),
+    b AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS denom FROM s),
+    per_bin AS (
+      SELECT ((s.cents - b.lo) * 256) // b.denom AS bin,
+             sum(s.is_ref)::BIGINT AS ref_cnt,
+             sum(1 - s.is_ref)::BIGINT AS cur_cnt
+      FROM s CROSS JOIN b GROUP BY 1
+    ),
+    tot AS (SELECT sum(ref_cnt)::BIGINT AS ref_tot, sum(cur_cnt)::BIGINT AS cur_tot FROM per_bin),
+    cum AS (
+      SELECT k1.bin,
+             sum(k2.ref_cnt)::BIGINT AS cum_ref,
+             sum(k2.cur_cnt)::BIGINT AS cum_cur
+      FROM per_bin k1 JOIN per_bin k2 ON k2.bin <= k1.bin
+      GROUP BY k1.bin
+    ),
+    diffs AS (
+      SELECT abs(CAST(c.cum_ref AS DOUBLE) / CAST(t.ref_tot AS DOUBLE)
+               - CAST(c.cum_cur AS DOUBLE) / CAST(t.cur_tot AS DOUBLE)) AS abs_diff,
+             t.ref_tot, t.cur_tot
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT ref_tot, cur_tot, max(abs_diff) AS d_stat,
+           max(abs_diff) * sqrt(CAST(ref_tot * cur_tot AS DOUBLE)
+                                / CAST(ref_tot + cur_tot AS DOUBLE)) AS ks_lambda
+    FROM diffs GROUP BY ref_tot, cur_tot
+    """,
+    doc="two-sample Kolmogorov-Smirnov between the pre/post-1995-06-17 "
+        "order cohorts on a fixed 256-bin total-price grid: exact integer "
+        "bin counts, CDFs via a triangular broadcast join over the bounded "
+        "bin table (no unpartitioned window), D = max |CDF gap| over "
+        "identically-computed single-division doubles (order-insensitive "
+        "max), plus the KS lambda = D*sqrt(n_eff) readout for the "
+        "significance lookup",
+)
+def analytic_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    b = s.agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("denom"),
+    )
+    per_bin = (
+        s.crossJoin(F.broadcast(b))
+        .select(F.expr("((cents - lo) * 256) div denom").alias("bin"), "is_ref")
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").cast("long").alias("ref_cnt"),
+            F.sum(1 - F.col("is_ref")).cast("long").alias("cur_cnt"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("ref_cnt").cast("long").alias("ref_tot"),
+        F.sum("cur_cnt").cast("long").alias("cur_tot"),
+    )
+    k2 = per_bin.select(
+        F.col("bin").alias("bin2"),
+        F.col("ref_cnt").alias("rc2"),
+        F.col("cur_cnt").alias("cc2"),
+    )
+    cum = (
+        per_bin.join(F.broadcast(k2), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum("rc2").cast("long").alias("cum_ref"),
+            F.sum("cc2").cast("long").alias("cum_cur"),
+        )
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("ref_tot").cast("double")
+            - F.col("cum_cur").cast("double") / F.col("cur_tot").cast("double")
+        ).alias("abs_diff"),
+        "ref_tot",
+        "cur_tot",
+    )
+    return diffs.groupBy("ref_tot", "cur_tot").agg(
+        F.max("abs_diff").alias("d_stat"),
+        (
+            F.max("abs_diff")
+            * F.sqrt(
+                (F.col("ref_tot") * F.col("cur_tot")).cast("double")
+                / (F.col("ref_tot") + F.col("cur_tot")).cast("double")
+            )
+        ).alias("ks_lambda"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-linear histogram quantile sketch (the HdrHistogram bucket scheme —
+# Gil Tene — with the relative-error contract DDSketch formalizes: Masson,
+# Rim & Lee, VLDB'19). Bucket = (floor(log2 x), 4-bit linear sub-bucket),
+# all INTEGER arithmetic (floor log2 via length(bin(x))-1 — no float log
+# whose last-ulp could flip a boundary across engines), <= 16*64 buckets
+# for any int64 input, mergeable by bucket-count addition. Midpoint
+# estimate p*(33+2*sub)/32 is within 1/(2*(16+sub)) <= 3.125% relative
+# error of any value in the bucket — asserted against exact percentiles
+# in the accuracy test.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_loglinear_quantiles",
+    """
+    WITH x AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    k AS (
+      SELECT (length(bin(v)) - 1) * 16
+             + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 16)
+               // (1::BIGINT << (length(bin(v)) - 1)) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM x GROUP BY 1
+    ),
+    c AS (
+      SELECT k1.bucket, sum(k2.cnt)::BIGINT AS cum
+      FROM k k1 JOIN k k2 ON k2.bucket <= k1.bucket GROUP BY k1.bucket
+    ),
+    n AS (SELECT sum(cnt)::BIGINT AS n_rows FROM k),
+    q AS (
+      SELECT t.qname, ((t.num * n.n_rows + t.den - 1) // t.den)::BIGINT AS rnk
+      FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) t(qname, num, den)
+      CROSS JOIN n
+    ),
+    sel AS (
+      SELECT q.qname, q.rnk, min(c.bucket)::BIGINT AS bucket
+      FROM q JOIN c ON c.cum >= q.rnk GROUP BY q.qname, q.rnk
+    )
+    SELECT qname, rnk, bucket,
+           CAST((1::BIGINT << (bucket // 16)) * (33 + 2 * (bucket % 16)) AS DOUBLE)
+             / 32.0 AS est
+    FROM sel
+    """,
+    doc="log-linear histogram quantile sketch (HdrHistogram buckets; the "
+        "DDSketch relative-error contract): bucket = 16*floor(log2 v) + "
+        "4-bit linear sub-bucket, floor log2 as length(bin(v))-1 so every "
+        "boundary is exact integer arithmetic (no cross-engine float-log "
+        "ulp flips); one combinable groupBy into <=16*64 mergeable "
+        "counters, cumulative ranks via a triangular broadcast join over "
+        "the bounded bucket table, p50/p90/p99 bucket-midpoint estimates "
+        "within 3.125% relative error by construction",
+)
+def sketch_loglinear_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"))
+    k = (
+        x.select(
+            F.expr(
+                "(length(bin(v)) - 1) * 16"
+                " + ((v - shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)) * 16)"
+                "   div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    k2 = k.select(F.col("bucket").alias("bucket2"), F.col("cnt").alias("cnt2"))
+    c = (
+        k.join(F.broadcast(k2), F.col("bucket2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt2").cast("long").alias("cum"))
+    )
+    n = k.agg(F.sum("cnt").cast("long").alias("n_rows"))
+    grid = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)], "qname string, num int, den int"
+    )
+    q = grid.crossJoin(F.broadcast(n)).select(
+        "qname",
+        F.expr("(num * n_rows + den - 1) div den").cast("long").alias("rnk"),
+    )
+    sel = (
+        q.join(F.broadcast(c), F.col("cum") >= F.col("rnk"))
+        .groupBy("qname", "rnk")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+    )
+    return sel.select(
+        "qname", "rnk", "bucket",
+        (
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bucket div 16 AS INT))"
+                " * (33 + 2 * (bucket % 16))"
+            ).cast("double")
+            / 32.0
+        ).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1308,3 +1308,51 @@ def test_psi_drift_sign_definite_and_replay(spark):
         assert abs(r.psi_contrib - (p - q) * math.log(p / q)) < 1e-15
         assert r.psi_contrib >= 0.0  # (p-q) and ln(p/q) always share sign
         assert abs(r.psi_total - exp_total) < 1e-12
+
+
+def test_ks_test_matches_numpy_replay(spark):
+    import numpy as np
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    is_ref = (orders.o_orderdate < pd.Timestamp("1995-06-17")).to_numpy()
+    lo, denom = int(cents.min()), int(cents.max()) - int(cents.min()) + 1
+    bins = ((cents - lo) * 256 // denom).to_numpy()
+    ref_tot, cur_tot = int(is_ref.sum()), int((~is_ref).sum())
+    d = 0.0
+    for b in np.unique(bins):
+        cr = int(((bins <= b) & is_ref).sum())
+        cc = int(((bins <= b) & ~is_ref).sum())
+        d = max(d, abs(cr / ref_tot - cc / cur_tot))
+    row = QUERIES["analytic_ks_test"].fn(spark, SF).collect()[0]
+    assert row.ref_tot == ref_tot and row.cur_tot == cur_tot
+    assert abs(row.d_stat - d) < 1e-12
+    assert 0.0 <= row.d_stat <= 1.0
+    import math
+
+    assert abs(row.ks_lambda - d * math.sqrt(ref_tot * cur_tot / (ref_tot + cur_tot))) < 1e-12
+
+
+def test_loglinear_quantiles_relative_error_bound(spark):
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    v = (li.l_extendedprice * 100).round().astype("int64").to_numpy()
+    v_sorted = np.sort(v)
+    n = len(v)
+    rows = {r.qname: r for r in QUERIES["sketch_loglinear_quantiles"].fn(spark, SF).collect()}
+    assert set(rows) == {"p50", "p90", "p99"}
+    for qname, num, den in [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]:
+        r = rows[qname]
+        rnk = (num * n + den - 1) // den
+        assert r.rnk == rnk
+        exact = int(v_sorted[rnk - 1])  # the rank-rnk order statistic
+        # bucket replay: the sketch must put the estimate in exact's bucket
+        hi = exact.bit_length() - 1
+        p = 1 << hi
+        bucket = hi * 16 + (exact - p) * 16 // p
+        assert r.bucket == bucket
+        # HdrHistogram/DDSketch contract: midpoint within 3.125% of truth
+        assert abs(r.est - exact) / exact <= 1.0 / 32.0 + 1e-12
