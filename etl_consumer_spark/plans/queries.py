@@ -16051,6 +16051,190 @@ def sketch_loglinear_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 16 dims) with a distortion
+# audit. The sign matrix is the deterministic +/-1 Achlioptas variant
+# (md5-parity entries — no RNG, reproducible across runs and engines),
+# materialized as literals on BOTH sides so the oracle replays the exact
+# projection. Distance folds are left-to-right double accumulation (the
+# repo's cross-engine float contract), distortion ratio = ||Sx-Sy||^2 /
+# (k * ||x-y||^2) — E[ratio] = 1 under the JL lemma.
+# ---------------------------------------------------------------------------
+
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[int]]:
+    import hashlib as _hashlib
+
+    return [
+        [
+            1
+            if int(_hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+
+_JL_PROJ_SQL = ", ".join(
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), "
+    f"i -> {{v}}[i]::DOUBLE * ([{', '.join(str(s) for s in row)}][i])::DOUBLE)), "
+    "(x, y) -> x + y)"
+    for row in _JL_SIGNS
+)
+
+_D2_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+@register(
+    "sim_jl_projection",
+    f"""
+    WITH p AS (
+      SELECT vec_id, embedding,
+             [{_JL_PROJ_SQL.format(v='embedding')}] AS proj
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           {_D2_SQL.format(n=64, a='a.embedding', b='b.embedding')} AS orig_d2,
+           {_D2_SQL.format(n=16, a='a.proj', b='b.proj')} AS proj_d2,
+           {_D2_SQL.format(n=16, a='a.proj', b='b.proj')} / 16.0
+             / ({_D2_SQL.format(n=64, a='a.embedding', b='b.embedding')}) AS ratio
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    """,
+    doc="Johnson-Lindenstrauss 64->16 random projection with pairwise "
+        "distortion audit on a fixed 20-vector set: deterministic +/-1 "
+        "md5-parity sign matrix embedded as literals on both sides, "
+        "left-to-right double folds for projections and distances, ratio "
+        "= proj_d2/(k*orig_d2) whose concentration around 1 IS the JL "
+        "lemma; at corpus scale the projection is one map-side fold per "
+        "row (16 fused folds, no shuffle) and the audit side stays a "
+        "bounded broadcast",
+)
+def sim_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj_j(row: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in row]),
+                lambda x, s: x.cast("double") * s.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    p = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id", "embedding", F.array(*[proj_j(r) for r in _JL_SIGNS]).alias("proj")
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pa = p.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    pb = p.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    pairs = pa.join(F.broadcast(pb), F.col("a") < F.col("b"))
+    orig = d2(F.col("ea"), F.col("eb"))
+    proj = d2(F.col("pa"), F.col("pb"))
+    return pairs.select(
+        "a", "b",
+        orig.alias("orig_d2"),
+        proj.alias("proj_d2"),
+        (proj / 16.0 / orig).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product top-k via the norm-augmentation reduction to cosine
+# NN (Bachrach et al., RecSys'14; the asymmetric-LSH trick of Shrivastava &
+# Li, NIPS'14): append sqrt(M^2 - ||c||^2) to every corpus vector (M = max
+# corpus norm) and 0 to every query — all augmented corpus norms equal M,
+# so cosine order in the lifted space IS inner-product order. The engine
+# runs the reduction through the UNCHANGED cosine knn machinery; the oracle
+# ranks by raw inner product — so the driver gate independently certifies
+# the reduction itself, not a re-implementation of it.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 100),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='q.qvec', b='c.embedding')} AS ip
+      FROM q, embeddings c WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ip,
+             row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ip FROM ranked WHERE rank <= 3
+    """,
+    doc="maximum-inner-product top-3 for the fixed 100-query set via the "
+        "norm-augmentation reduction (append sqrt(M^2-||c||^2) to corpus "
+        "vectors, 0 to queries; cosine in the lifted space orders by inner "
+        "product) run through the unchanged cosine knn path; the oracle "
+        "ranks by RAW inner product, certifying the reduction end-to-end; "
+        "reported ip recomputed with the shared ordered dot fold on the "
+        "3-per-query result pairs only",
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    c = emb.select("vec_id", dbl.alias("vec"), S.l2_norm(F.col("embedding")).alias("cnorm"))
+    m = c.agg(F.max("cnorm").alias("max_norm"))
+    corpus_aug = c.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        F.concat(
+            "vec",
+            F.array(
+                F.sqrt(
+                    F.col("max_norm") * F.col("max_norm")
+                    - F.col("cnorm") * F.col("cnorm")
+                )
+            ),
+        ).alias("embedding"),
+    )
+    queries_aug = c.filter(F.col("vec_id") < 100).select(
+        "vec_id", F.concat("vec", F.array(F.lit(0.0))).alias("embedding")
+    )
+    top = S.knn_bruteforce(queries_aug, corpus_aug, k=3)
+    # report the raw inner product for the 3-per-query winners with the
+    # same ordered fold the oracle uses (not cos*norms — that would
+    # double-round)
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    return (
+        top.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", "rank",
+            S.dot(F.col("qvec"), F.col("cvec")).alias("ip"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1356,3 +1356,63 @@ def test_loglinear_quantiles_relative_error_bound(spark):
         assert r.bucket == bucket
         # HdrHistogram/DDSketch contract: midpoint within 3.125% of truth
         assert abs(r.est - exact) / exact <= 1.0 / 32.0 + 1e-12
+
+
+def test_jl_projection_matches_numpy_and_concentrates(spark):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = emb[emb.vec_id < 20].sort_values("vec_id")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    signs = np.array(
+        [
+            [1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+             for i in range(64)]
+            for j in range(16)
+        ],
+        dtype=np.float64,
+    )
+    rows = QUERIES["sim_jl_projection"].fn(spark, SF).collect()
+    assert len(rows) == 20 * 19 // 2
+    ratios = []
+    for r in rows:
+        x, y = vecs[r.a], vecs[r.b]
+        orig = float(((x - y) ** 2).sum())
+        proj = float(((signs @ x - signs @ y) ** 2).sum())
+        assert orig > 0
+        assert abs(r.orig_d2 - orig) < 1e-9 * orig
+        assert abs(r.proj_d2 - proj) < 1e-9 * max(proj, 1e-12)
+        assert abs(r.ratio - proj / 16.0 / orig) < 1e-9
+        ratios.append(r.ratio)
+    med = sorted(ratios)[len(ratios) // 2]
+    # JL concentration at k=16: loose but meaningful band around 1
+    assert 0.4 < med < 1.8
+    assert all(rt >= 0 for rt in ratios)
+
+
+def test_mips_topk_reduction_matches_raw_inner_product(spark):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb.embedding.map(lambda a: np.asarray(a, dtype=np.float64)))
+    ids = emb.vec_id.to_numpy()
+    rows = QUERIES["sim_mips_topk"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 3 for v in by_q.values())
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        ips = mat @ mat[idx[qid]]
+        ips[idx[qid]] = -np.inf  # self-match excluded
+        order = np.argsort(-ips, kind="stable")
+        exp_top = ips[order[:3]]
+        got = np.array([r.ip for r in rs])
+        # the augmented-cosine route must reproduce raw-IP ranking
+        assert np.all(np.abs(got - exp_top) < 1e-9 * np.maximum(np.abs(exp_top), 1.0))
+        assert got[0] >= got[1] >= got[2]
