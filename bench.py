@@ -185,6 +185,13 @@ HEADLINE = [
     "mm_image_tiles",             # ViT-style 2x2 patch sums (Arrow)
     "text_tokenizer_fertility",   # composed subwords/word per language
     "sketch_quantile_accuracy_eval",  # sketch vs exact percentile audit
+    # round-7 session-3 additions: model-eval readouts (rank-device AUC,
+    # drift gates), integer-bucket quantile sketch, MIPS reduction
+    "analytic_auc_roc",           # tie-corrected Mann-Whitney AUC, two-level ranks
+    "analytic_ks_test",           # 256-bin KS via triangular broadcast CDF
+    "sketch_loglinear_quantiles", # integer log-linear histogram quantiles
+    "sim_mips_topk",              # norm-augmented MIPS through cosine knn
+    "graph_clustering_coefficient",  # composed triangles + exact degrees
 ]
 
 

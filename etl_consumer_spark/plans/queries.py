@@ -16235,6 +16235,280 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cohen's kappa — inter-rater agreement corrected for chance, the standard
+# readout when two LLM judges (or a judge and a heuristic) label the same
+# corpus. Raters here are two deterministic classifiers over orders: rater
+# B agrees with rater A except on a fixed md5-selected 10% slice where it
+# shifts one class — so the expected kappa is high but not 1. Everything
+# is exact integers until one division: kappa = (po-pe)/(1-pe) clears
+# denominators to (n*agree - sum_i r_i*c_i) / (n^2 - sum_i r_i*c_i).
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_cohens_kappa",
+    """
+    WITH r AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 2 END AS a,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 10 AS flip
+      FROM orders
+    ),
+    lab AS (
+      SELECT a, CASE WHEN flip = 0 THEN (a + 1) % 3 ELSE a END AS b FROM r
+    ),
+    cont AS (SELECT a, b, count(*)::BIGINT AS cnt FROM lab GROUP BY a, b),
+    ra AS (SELECT a AS cls, sum(cnt)::BIGINT AS r_cnt FROM cont GROUP BY a),
+    cb AS (SELECT b AS cls, sum(cnt)::BIGINT AS c_cnt FROM cont GROUP BY b),
+    chance AS (
+      SELECT sum(ra.r_cnt * cb.c_cnt)::BIGINT AS chance_num
+      FROM ra JOIN cb ON ra.cls = cb.cls
+    ),
+    tot AS (
+      SELECT sum(cnt)::BIGINT AS n,
+             sum(CASE WHEN a = b THEN cnt ELSE 0 END)::BIGINT AS agree
+      FROM cont
+    )
+    SELECT t.n, t.agree, c.chance_num,
+           CAST(t.n * t.agree - c.chance_num AS DOUBLE)
+             / CAST(t.n * t.n - c.chance_num AS DOUBLE) AS kappa
+    FROM tot t CROSS JOIN chance c
+    """,
+    doc="Cohen's kappa between two deterministic 3-class raters (rater B = "
+        "rater A shifted on a fixed md5-selected 10% slice): exact integer "
+        "contingency and marginals, kappa with cleared denominators "
+        "(n*agree - sum r_i*c_i)/(n^2 - sum r_i*c_i) — one float division; "
+        "one combinable groupBy + bounded 9-row side tables. The n^2 "
+        "integer form holds to ~3e9 rows; past that switch to the "
+        "po/pe ratio form",
+)
+def analytic_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(2)
+    )
+    flip = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    lab = orders.select(
+        a.alias("a"),
+        F.when(flip == 0, (a + 1) % 3).otherwise(a).alias("b"),
+    )
+    cont = lab.groupBy("a", "b").agg(F.count("*").cast("long").alias("cnt"))
+    ra = cont.groupBy(F.col("a").alias("cls")).agg(F.sum("cnt").cast("long").alias("r_cnt"))
+    cb = cont.groupBy(F.col("b").alias("cls")).agg(F.sum("cnt").cast("long").alias("c_cnt"))
+    chance = (
+        ra.join(F.broadcast(cb), "cls")
+        .agg(F.sum(F.col("r_cnt") * F.col("c_cnt")).cast("long").alias("chance_num"))
+    )
+    tot = cont.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    return tot.crossJoin(F.broadcast(chance)).select(
+        "n", "agree", "chance_num",
+        (
+            (F.col("n") * F.col("agree") - F.col("chance_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("chance_num")).cast("double")
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table — the model readout marketing and ranking
+# pipelines act on: sort by score, cut into 10 equal-population deciles,
+# read positives captured per decile vs the base rate. Per-ROW global
+# ranks via the two-level bucket prefix sum (the decile boundary must be
+# allowed to split a tied score group — rank-space deciles, not value
+# bins, which is exactly what analytic_calibration_ece is not); bounded
+# cumulative capture via the 10-row triangular broadcast join.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_lift_deciles",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pos, row_number() OVER (ORDER BY cents DESC, o_orderkey ASC) AS rk,
+             count(*) OVER () AS n
+      FROM s
+    ),
+    dec AS (
+      SELECT ((rk - 1) * 10) // n AS decile, count(*)::BIGINT AS n_d,
+             sum(pos)::BIGINT AS pos_d
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_d)::BIGINT AS n, sum(pos_d)::BIGINT AS pos_tot FROM dec),
+    cum AS (
+      SELECT d1.decile, sum(d2.pos_d)::BIGINT AS cum_pos
+      FROM dec d1 JOIN dec d2 ON d2.decile <= d1.decile GROUP BY d1.decile
+    )
+    SELECT d.decile, d.n_d, d.pos_d,
+           CAST(d.pos_d AS DOUBLE) / CAST(d.n_d AS DOUBLE) AS pos_rate,
+           CAST(d.pos_d * t.n AS DOUBLE) / CAST(d.n_d * t.pos_tot AS DOUBLE) AS lift,
+           c.cum_pos,
+           CAST(c.cum_pos AS DOUBLE) / CAST(t.pos_tot AS DOUBLE) AS cum_capture
+    FROM dec d JOIN cum c ON c.decile = d.decile CROSS JOIN tot t
+    """,
+    doc="decile lift / gains table on the price-score, priority-label pair: "
+        "per-row global ranks from the two-level bucket prefix sum (no "
+        "single-partition sort; rank-space deciles may split tied scores), "
+        "exact integer decile counts, lift = (pos_d*n)/(n_d*pos_tot) and "
+        "cumulative capture as single divisions of exact integers; the "
+        "10-row cumulative side is a triangular broadcast join",
+)
+def analytic_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    ranked = two_level_order(s, key_col="cents", tie_col="o_orderkey")
+    n1 = s.agg(F.count("*").cast("long").alias("n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(F.expr("((rk - 1) * 10) div n").alias("decile"), "pos")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_d"),
+            F.sum("pos").cast("long").alias("pos_d"),
+        )
+    )
+    tot = dec.agg(
+        F.sum("n_d").cast("long").alias("n"),
+        F.sum("pos_d").cast("long").alias("pos_tot"),
+    )
+    d2 = dec.select(F.col("decile").alias("decile2"), F.col("pos_d").alias("pos_d2"))
+    cum = (
+        dec.join(F.broadcast(d2), F.col("decile2") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(F.sum("pos_d2").cast("long").alias("cum_pos"))
+    )
+    return (
+        dec.join(F.broadcast(cum), "decile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_d", "pos_d",
+            (F.col("pos_d").cast("double") / F.col("n_d").cast("double")).alias("pos_rate"),
+            (
+                (F.col("pos_d") * F.col("n")).cast("double")
+                / (F.col("n_d") * F.col("pos_tot")).cast("double")
+            ).alias("lift"),
+            "cum_pos",
+            (F.col("cum_pos").cast("double") / F.col("pos_tot").cast("double")).alias("cum_capture"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonical dedup clusters — the FIRST pass of web-corpus dedup: group
+# crawled docs by canonicalized URL (case-folded scheme/host, fragment and
+# tracking params stripped, default port dropped) before any content
+# hashing. Synthesized URL variants (case, :80, #fragment, utm param) per
+# doc collide onto lcm(7,10,2)=70 canonical targets, so the clusters are real.
+# Map-only canonicalization + ONE combinable groupBy — at 100 TB this is
+# the cheapest dedup wave and runs first for exactly that reason.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_url_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END) ||
+             CAST(doc_id % 7 AS VARCHAR) || '.example.COM' ||
+             (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+             '/page' || CAST(doc_id % 10 AS VARCHAR) ||
+             '?utm_source=feed&ref=' || CAST(doc_id % 2 AS VARCHAR) ||
+             '#sec' || CAST(doc_id % 3 AS VARCHAR) AS raw
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(split_part(replace(replace(regexp_replace(raw, '#.*$', ''),
+                                              'utm_source=feed&', ''),
+                                      ':80/', '/'),
+                              '/page', 1))
+             || '/page'
+             || split_part(replace(replace(regexp_replace(raw, '#.*$', ''),
+                                           'utm_source=feed&', ''),
+                                   ':80/', '/'),
+                           '/page', 2) AS canonical
+      FROM u
+    )
+    SELECT canonical, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keeper,
+           (count(*) - 1)::BIGINT AS n_dupes
+    FROM canon GROUP BY canonical
+    HAVING count(*) >= 2
+    """,
+    doc="URL-canonical dedup clusters (crawl dedup pass 0): fragment "
+        "stripped, utm tracking param removed, default :80 port dropped, "
+        "scheme+host case-folded (path case preserved); per canonical URL "
+        "the doc count, min-doc_id keeper, and dupe count for clusters of "
+        ">= 2 — map-only normalization, one combinable groupBy, no joins; "
+        "regex steps RE2-safe (no lookaround/backrefs)",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    stripped = F.replace(
+        F.replace(
+            F.regexp_replace(raw, r"#.*$", ""),
+            F.lit("utm_source=feed&"),
+            F.lit(""),
+        ),
+        F.lit(":80/"),
+        F.lit("/"),
+    )
+    canon = docs.select("doc_id", stripped.alias("stripped")).select(
+        "doc_id",
+        F.concat(
+            F.lower(F.expr("split_part(stripped, '/page', 1)")),
+            F.lit("/page"),
+            F.expr("split_part(stripped, '/page', 2)"),
+        ).alias("canonical"),
+    )
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper"),
+            (F.count("*") - 1).cast("long").alias("n_dupes"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

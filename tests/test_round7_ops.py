@@ -1416,3 +1416,79 @@ def test_mips_topk_reduction_matches_raw_inner_product(spark):
         # the augmented-cosine route must reproduce raw-IP ranking
         assert np.all(np.abs(got - exp_top) < 1e-9 * np.maximum(np.abs(exp_top), 1.0))
         assert got[0] >= got[1] >= got[2]
+
+
+def test_cohens_kappa_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    a = orders.o_orderpriority.map(
+        lambda p: 0 if p in ("1-URGENT", "2-HIGH") else (1 if p == "3-MEDIUM" else 2)
+    )
+    flip = orders.o_orderkey.map(
+        lambda k: int(hashlib.md5(str(int(k)).encode()).hexdigest()[:4], 16) % 10 == 0
+    )
+    b = a.where(~flip, (a + 1) % 3)
+    n = len(a)
+    agree = int((a == b).sum())
+    ra = a.value_counts()
+    cb = b.value_counts()
+    chance = sum(int(ra.get(c, 0)) * int(cb.get(c, 0)) for c in range(3))
+    exp_kappa = (n * agree - chance) / (n * n - chance)
+    row = QUERIES["analytic_cohens_kappa"].fn(spark, SF).collect()[0]
+    assert row.n == n and row.agree == agree and row.chance_num == chance
+    assert abs(row.kappa - exp_kappa) < 1e-12
+    # the fixed 10% shift should leave strong-but-imperfect agreement
+    assert 0.5 < row.kappa < 1.0
+
+
+def test_lift_deciles_matches_rank_replay(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents, pos = _priority_labels(orders)
+    df = pd.DataFrame({"cents": cents, "key": orders.o_orderkey, "pos": pos})
+    df = df.sort_values(["cents", "key"], ascending=[False, True]).reset_index(drop=True)
+    n = len(df)
+    df["decile"] = (df.index * 10) // n
+    g = df.groupby("decile").agg(n_d=("pos", "size"), pos_d=("pos", "sum"))
+    pos_tot = int(df.pos.sum())
+    rows = {r.decile: r for r in QUERIES["analytic_lift_deciles"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(10))
+    cum = 0
+    for d in range(10):
+        r = rows[d]
+        assert r.n_d == int(g.n_d[d]) and r.pos_d == int(g.pos_d[d])
+        cum += int(g.pos_d[d])
+        assert r.cum_pos == cum
+        assert abs(r.lift - (r.pos_d * n) / (r.n_d * pos_tot)) < 1e-12
+        assert abs(r.cum_capture - cum / pos_tot) < 1e-12
+    assert rows[9].cum_pos == pos_tot  # gains curve ends at full capture
+
+
+def test_url_canonical_clusters_cover_all_docs(spark):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ids = docs.doc_id.astype(int)
+    exp = {}
+    for i in ids:
+        key = (i % 7, i % 10, i % 2)
+        exp.setdefault(key, []).append(i)
+    exp = {k: v for k, v in exp.items() if len(v) >= 2}
+    rows = QUERIES["dedup_url_canonical"].fn(spark, SF).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        # canonical is fully normalized: lowercase scheme+host, no fragment,
+        # no utm param, no :80
+        assert r.canonical.startswith("http://site")
+        assert "#" not in r.canonical and "utm" not in r.canonical and ":80" not in r.canonical
+        host = int(r.canonical.split("site")[1].split(".")[0])
+        page = int(r.canonical.split("/page")[1].split("?")[0])
+        ref = int(r.canonical.split("ref=")[1])
+        members = exp[(host, page, ref)]
+        assert r.n_docs == len(members)
+        assert r.keeper == min(members)
+        assert r.n_dupes == len(members) - 1
