@@ -74,9 +74,13 @@ def two_level_order(
     tie_col: str,
     val_col: str | None = None,
     n_buckets: int = 64,
+    max_col: str | None = None,
 ) -> DataFrame:
     """Global ``row_number`` (column ``rk``) — and, when ``val_col`` is
-    given, global running sum (column ``cum``) — over the total order
+    given, global running sum (column ``cum``); when ``max_col`` is given,
+    the STRICT-prefix running max (column ``run_max_excl``: max of
+    ``max_col`` over rows strictly earlier in the order, null for the
+    first row — the skyline/dominance device) — over the total order
     ``(key_col DESC, tie_col ASC)`` WITHOUT a single-partition window.
 
     The distributed prefix-sum device (same shape as
@@ -111,6 +115,13 @@ def two_level_order(
     if val_col is not None:
         within = within.withColumn("_cum_in", F.sum(val_col).over(w_in))
         agg_cols.append(F.sum(val_col).alias("_tot"))
+    if max_col is not None:
+        # exclusive within-bucket running max: strictly earlier rows only
+        within = within.withColumn(
+            "_mx_in",
+            F.max(max_col).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        agg_cols.append(F.max(max_col).alias("_bmx"))
     bkt = b.groupBy("_bkt").agg(*agg_cols)
     w_bkt = Window.orderBy("_bkt")  # n_buckets rows — bounded single partition
     off_cols = [
@@ -119,6 +130,12 @@ def two_level_order(
     ]
     if val_col is not None:
         off_cols.append((F.sum("_tot").over(w_bkt) - F.col("_tot")).alias("_cum_off"))
+    if max_col is not None:
+        off_cols.append(
+            F.max("_bmx")
+            .over(w_bkt.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_mx_off")
+        )
     offsets = bkt.select(*off_cols)
     out = within.join(F.broadcast(offsets), "_bkt").withColumn(
         "rk", F.col("_rk_off") + F.col("_rk_in")
@@ -127,6 +144,11 @@ def two_level_order(
     if val_col is not None:
         out = out.withColumn("cum", F.col("_cum_off") + F.col("_cum_in"))
         drop += ["_cum_in", "_cum_off"]
+    if max_col is not None:
+        # greatest() skips nulls unless both are null — exactly the
+        # "no strict predecessor yet" semantics the skyline filter needs
+        out = out.withColumn("run_max_excl", F.greatest("_mx_off", "_mx_in"))
+        drop += ["_mx_in", "_mx_off"]
     return out.drop(*drop)
 
 

@@ -16509,6 +16509,127 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2-D skyline (Pareto-optimal set; Borzsonyi, Kossmann & Stocker, ICDE'01)
+# — the multi-criteria "best offers" operator: orders not dominated on
+# (total price, order recency). The classic single-node algorithm is a
+# sort + running max; the distributed version here is the two-level
+# bucket device extended with a STRICT-prefix running max (sampling.
+# two_level_order max_col) — per-bucket exclusive max + broadcast prefix
+# of bucket maxima — so no single-partition sort touches the fact table.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_skyline_2d",
+    """
+    WITH g AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             max(date_diff('day', DATE '1970-01-01', o_orderdate))::BIGINT AS day
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT cents, day,
+             max(day) OVER (ORDER BY cents DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM g
+    )
+    SELECT cents, day FROM w WHERE prev_max IS NULL OR day > prev_max
+    """,
+    doc="2-D skyline / Pareto frontier over (price cents DESC, order "
+        "epoch-day DESC): per distinct price the max day (combinable "
+        "groupBy), then keep points whose day strictly exceeds the "
+        "running max over all strictly-higher prices — computed with the "
+        "two-level bucket strict-prefix max, no single-partition window; "
+        "ties collapse correctly because equal prices pre-aggregate to "
+        "their max day",
+)
+def olap_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("cents")
+        .agg(F.max("day").alias("day"))
+    )
+    ranked = two_level_order(g, key_col="cents", tie_col="cents", max_col="day")
+    return ranked.filter(
+        F.col("run_max_excl").isNull() | (F.col("day") > F.col("run_max_excl"))
+    ).select("cents", "day")
+
+
+# ---------------------------------------------------------------------------
+# Transaction-boundary CDC apply — the Debezium transaction-metadata
+# contract (event envelopes carry a transaction id and the expected event
+# count): a consumer honoring atomicity applies a transaction only when
+# ALL of its events have arrived, and holds the rest back rather than
+# exposing a half-applied transaction. Synthesized in-flight loss (one
+# event in 17 withheld) leaves those transactions incomplete; every key
+# reports whether its transaction's update was applied.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_transactional_apply",
+    """
+    WITH ev AS (
+      SELECT o_orderkey AS k, o_orderkey // 10 AS tx_id
+      FROM orders WHERE o_orderkey % 17 <> 5
+    ),
+    expected AS (
+      SELECT o_orderkey // 10 AS tx_id, count(*)::BIGINT AS n_expected
+      FROM orders GROUP BY 1
+    ),
+    arrived AS (SELECT tx_id, count(*)::BIGINT AS n_arrived FROM ev GROUP BY tx_id),
+    complete AS (
+      SELECT e.tx_id FROM expected e JOIN arrived a USING (tx_id)
+      WHERE a.n_arrived = e.n_expected
+    )
+    SELECT o.o_orderkey AS k,
+           CASE WHEN c.tx_id IS NOT NULL THEN o.o_totalprice + 500
+                ELSE o.o_totalprice END AS v,
+           CASE WHEN c.tx_id IS NOT NULL THEN 1 ELSE 0 END AS applied
+    FROM orders o LEFT JOIN complete c ON c.tx_id = o.o_orderkey // 10
+    """,
+    doc="transaction-boundary CDC apply (the Debezium transaction-metadata "
+        "contract: BEGIN/END markers carry the expected per-tx event "
+        "count): updates apply only for transactions whose arrived count "
+        "equals the expected count — one event in 17 is withheld, so those "
+        "transactions hold back atomically instead of exposing a "
+        "half-applied state; two combinable tx-keyed aggregates + one "
+        "tx-keyed join, no windows",
+)
+def cdc_transactional_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tx = F.expr("o_orderkey div 10")
+    ev = orders.filter(F.col("o_orderkey") % 17 != 5).select(tx.alias("tx_id"))
+    expected = orders.groupBy(tx.alias("tx_id")).agg(
+        F.count("*").cast("long").alias("n_expected")
+    )
+    arrived = ev.groupBy("tx_id").agg(F.count("*").cast("long").alias("n_arrived"))
+    complete = (
+        expected.join(arrived, "tx_id")
+        .filter(F.col("n_arrived") == F.col("n_expected"))
+        .select("tx_id", F.lit(1).alias("_complete"))
+    )
+    return (
+        orders.select("o_orderkey", "o_totalprice", tx.alias("tx_id"))
+        .join(complete, "tx_id", "left")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("_complete") == 1, F.col("o_totalprice") + 500)
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+            F.when(F.col("_complete") == 1, 1).otherwise(0).alias("applied"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1492,3 +1492,75 @@ def test_url_canonical_clusters_cover_all_docs(spark):
         assert r.n_docs == len(members)
         assert r.keeper == min(members)
         assert r.n_dupes == len(members) - 1
+
+
+def test_two_level_order_strict_prefix_max(spark):
+    # strict-prefix max must be exclusive and correct ACROSS bucket
+    # boundaries (first row null, ties pre-grouped by the caller)
+    import random
+
+    rng = random.Random(7)
+    rows = [(k, rng.randrange(1000)) for k in range(500)]
+    df = spark.createDataFrame(rows, "key long, v long")
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
+    out = two_level_order(df, key_col="key", tie_col="key", max_col="v").collect()
+    by_rank = sorted(out, key=lambda r: r.rk)
+    run = None
+    for r in by_rank:
+        if run is None:
+            assert r.run_max_excl is None
+        else:
+            assert r.run_max_excl == run
+        run = r.v if run is None else max(run, r.v)
+
+
+def test_skyline_2d_matches_bruteforce_dominance(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    day = (orders.o_orderdate - pd.Timestamp("1970-01-01")).dt.days.astype("int64")
+    pts = sorted(set(zip(cents, day)))
+    sky = set()
+    for c, d in pts:
+        dominated = any(
+            (c2 >= c and d2 >= d and (c2 > c or d2 > d)) for c2, d2 in pts
+        )
+        if not dominated:
+            sky.add((c, d))
+    rows = QUERIES["olap_skyline_2d"].fn(spark, SF).collect()
+    assert {(r.cents, r.day) for r in rows} == sky
+    # skyline is an antichain: strictly decreasing day as cents increases
+    srt = sorted(rows, key=lambda r: r.cents)
+    for a, b in zip(srt, srt[1:]):
+        assert a.day > b.day
+
+
+def test_transactional_apply_atomicity(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    keys = orders.o_orderkey.astype(int)
+    tx = keys // 10
+    arrived = keys % 17 != 5
+    n_expected = tx.value_counts()
+    n_arrived = tx[arrived].value_counts()
+    complete = {t for t in n_expected.index if n_arrived.get(t, 0) == n_expected[t]}
+    rows = QUERIES["cdc_transactional_apply"].fn(spark, SF).collect()
+    assert len(rows) == len(orders)
+    price = dict(zip(keys, orders.o_totalprice))
+    for r in rows:
+        t = r.k // 10
+        if t in complete:
+            assert r.applied == 1 and abs(r.v - (price[r.k] + 500)) < 1e-9
+        else:
+            assert r.applied == 0 and abs(r.v - price[r.k]) < 1e-9
+    # atomicity: within any tx, either every key applied or none
+    by_tx = {}
+    for r in rows:
+        by_tx.setdefault(r.k // 10, set()).add(r.applied)
+    assert all(len(v) == 1 for v in by_tx.values())
+    # the synthesized loss actually holds some txs back, and not all
+    applied_txs = {t for t, v in by_tx.items() if v == {1}}
+    assert applied_txs and applied_txs != set(by_tx)
