@@ -16630,6 +16630,199 @@ def cdc_transactional_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cramer's V — chi-square association strength between two categoricals,
+# normalized to [0,1]; the effect-size companion to analytic_entropy_mi
+# (MI measures shared information, V measures departure from
+# independence on the chi-square scale). Exact integer contingency and
+# marginals; per-cell terms from one shared float expression; the
+# cross-cell sum is an ORDERED (a,b)-sorted fold so doubles are
+# bit-identical across engines (the JSD device).
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_cramers_v",
+    """
+    WITH cont AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*)::BIGINT AS o
+      FROM orders GROUP BY a, b
+    ),
+    ra AS (SELECT a, sum(o)::BIGINT AS r FROM cont GROUP BY a),
+    cb AS (SELECT b, sum(o)::BIGINT AS c FROM cont GROUP BY b),
+    tot AS (
+      SELECT sum(o)::BIGINT AS n,
+             (count(DISTINCT a))::BIGINT AS n_rows_dim,
+             (count(DISTINCT b))::BIGINT AS n_cols_dim
+      FROM cont
+    ),
+    cells AS (
+      SELECT cont.a, cont.b, cont.o, t.n, t.n_rows_dim, t.n_cols_dim,
+             (CAST(cont.o AS DOUBLE)
+              - CAST(ra.r * cb.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (CAST(cont.o AS DOUBLE)
+                - CAST(ra.r * cb.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             / (CAST(ra.r * cb.c AS DOUBLE) / CAST(t.n AS DOUBLE)) AS term
+      FROM cont JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot t
+    )
+    SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+           list_reduce(list_prepend(0.0, list(term ORDER BY a, b)),
+                       (acc, v) -> acc + v) AS chi2,
+           sqrt(list_reduce(list_prepend(0.0, list(term ORDER BY a, b)),
+                            (acc, v) -> acc + v)
+                / CAST(max(n) * least(max(n_rows_dim) - 1, max(n_cols_dim) - 1)
+                       AS DOUBLE)) AS cramers_v
+    FROM cells
+    """,
+    doc="Cramer's V between order priority (5 classes) and order status "
+        "(3 classes): exact integer contingency + marginals (bounded "
+        "broadcast sides), per-cell chi-square term from one shared float "
+        "expression, chi2 via an ORDERED cell-sorted fold (bit-identical "
+        "across engines), V = sqrt(chi2/(n*min(r-1,c-1)))",
+)
+def analytic_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cont = orders.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count("*").cast("long").alias("o"))
+    ra = cont.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
+    cb = cont.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
+    tot = cont.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("n_rows_dim"),
+        F.countDistinct("b").cast("long").alias("n_cols_dim"),
+    )
+    e = F.expr("CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)")
+    cells = (
+        cont.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("a"), F.col("b"), F.col("term")))),
+        lambda s: s["term"],
+    )
+    chi2 = F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
+    return cells.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.max("n")
+                * F.least(F.max("n_rows_dim") - 1, F.max("n_cols_dim") - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened exact matching ATT (Iacus, King & Porro, Political Analysis
+# 2012) — the matching estimator beside the regression-style quartet
+# (SRM -> DiD -> CUPED -> MDE): units are matched EXACTLY within coarsened
+# covariate strata (event type x 6-hour band), unmatched strata are
+# pruned, ATT = treated-share-weighted mean of within-stratum contrasts.
+# Exact integer cell sums; per-stratum contrast and weight from shared
+# float expressions; the cross-strata sum is an ordered fold.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_cem_att",
+    """
+    WITH x AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) // 6 AS hband,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             CASE WHEN (('0x' || substr(md5('cem' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS treated
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, hband,
+             sum(treated)::BIGINT AS n_t,
+             sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS s_t,
+             sum(1 - treated)::BIGINT AS n_c,
+             sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS s_c
+      FROM x GROUP BY event_type, hband
+    ),
+    m AS (SELECT * FROM s WHERE n_t > 0 AND n_c > 0),
+    tot AS (SELECT sum(n_t)::BIGINT AS nt_matched FROM m),
+    terms AS (
+      SELECT m.event_type, m.hband, m.n_t, m.n_c, t.nt_matched,
+             CAST(m.s_t AS DOUBLE) / CAST(m.n_t AS DOUBLE)
+               - CAST(m.s_c AS DOUBLE) / CAST(m.n_c AS DOUBLE) AS diff_cents,
+             (CAST(m.n_t AS DOUBLE) / CAST(t.nt_matched AS DOUBLE))
+               * (CAST(m.s_t AS DOUBLE) / CAST(m.n_t AS DOUBLE)
+                  - CAST(m.s_c AS DOUBLE) / CAST(m.n_c AS DOUBLE)) AS term
+      FROM m CROSS JOIN tot t
+    )
+    SELECT terms.event_type, terms.hband, terms.n_t, terms.n_c,
+           terms.diff_cents, terms.term, a.att_cents
+    FROM terms
+    CROSS JOIN (
+      SELECT list_reduce(list_prepend(0.0, list(term ORDER BY event_type, hband)),
+                         (acc, v) -> acc + v) AS att_cents
+      FROM terms
+    ) a
+    """,
+    doc="coarsened exact matching ATT on the hashed user-level treatment "
+        "split: strata = event type x 6-hour band, strata missing either "
+        "arm are pruned, per-stratum contrast from exact integer cents "
+        "sums, ATT = treated-share-weighted ordered fold across matched "
+        "strata (bit-identical doubles); the matching estimator beside "
+        "DiD/CUPED — no model, no windows, two combinable aggregates",
+)
+def analytic_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    treated = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("cem"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+        < 0.5,
+        1,
+    ).otherwise(0)
+    x = events.select(
+        "event_type",
+        F.expr("CAST(extract(hour FROM ts) AS BIGINT) div 6").alias("hband"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        treated.alias("treated"),
+    )
+    s = x.groupBy("event_type", "hband").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0)).cast("long").alias("s_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0)).cast("long").alias("s_c"),
+    )
+    m = s.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    tot = m.agg(F.sum("n_t").cast("long").alias("nt_matched"))
+    diff = F.expr(
+        "CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        " - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    )
+    terms = m.crossJoin(F.broadcast(tot)).select(
+        "event_type", "hband", "n_t", "n_c", "nt_matched",
+        diff.alias("diff_cents"),
+        (
+            (F.col("n_t").cast("double") / F.col("nt_matched").cast("double")) * diff
+        ).alias("term"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("event_type"), F.col("hband"), F.col("term")))
+        ),
+        lambda st: st["term"],
+    )
+    att = terms.agg(
+        F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v).alias("att_cents")
+    )
+    return terms.crossJoin(F.broadcast(att)).select(
+        "event_type", "hband", "n_t", "n_c", "diff_cents", "term", "att_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

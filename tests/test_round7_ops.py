@@ -1564,3 +1564,72 @@ def test_transactional_apply_atomicity(spark):
     # the synthesized loss actually holds some txs back, and not all
     applied_txs = {t for t, v in by_tx.items() if v == {1}}
     assert applied_txs and applied_txs != set(by_tx)
+
+
+def test_cramers_v_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cont = orders.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    n = len(orders)
+    ra = orders.o_orderpriority.value_counts()
+    cb = orders.o_orderstatus.value_counts()
+    chi2 = 0.0
+    for (a, b), o in sorted(cont.items()):
+        e = int(ra[a]) * int(cb[b]) / n
+        chi2 += (o - e) ** 2 / e
+    k = min(orders.o_orderpriority.nunique() - 1, orders.o_orderstatus.nunique() - 1)
+    exp_v = math.sqrt(chi2 / (n * k))
+    row = QUERIES["analytic_cramers_v"].fn(spark, SF).collect()[0]
+    assert row.n == n and row.n_cells == len(cont)
+    assert abs(row.chi2 - chi2) < 1e-9
+    assert abs(row.cramers_v - exp_v) < 1e-12
+    assert 0.0 <= row.cramers_v <= 1.0
+
+
+def test_cem_att_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    treated = ev.user_id.map(
+        lambda u: int(hashlib.md5(f"cem{int(u)}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+        < 0.5
+    ).astype(int)
+    df = pd.DataFrame(
+        {
+            "et": ev.event_type,
+            "hband": ev.ts.dt.hour // 6,
+            "y": (ev.value * 100).round().astype("int64"),
+            "t": treated,
+        }
+    )
+    g = df.groupby(["et", "hband"]).apply(
+        lambda s: pd.Series(
+            {
+                "n_t": int(s.t.sum()),
+                "s_t": int(s.y[s.t == 1].sum()),
+                "n_c": int((1 - s.t).sum()),
+                "s_c": int(s.y[s.t == 0].sum()),
+            }
+        ),
+        include_groups=False,
+    )
+    m = g[(g.n_t > 0) & (g.n_c > 0)]
+    nt = int(m.n_t.sum())
+    att = 0.0
+    for (et, hb), r in sorted(m.iterrows()):
+        att += (r.n_t / nt) * (r.s_t / r.n_t - r.s_c / r.n_c)
+    rows = QUERIES["analytic_cem_att"].fn(spark, SF).collect()
+    assert len(rows) == len(m)
+    for r in rows:
+        e = m.loc[(r.event_type, r.hband)]
+        assert r.n_t == e.n_t and r.n_c == e.n_c
+        assert abs(r.diff_cents - (e.s_t / e.n_t - e.s_c / e.n_c)) < 1e-9
+        assert abs(r.att_cents - att) < 1e-9
+    # weights telescope: the weighted terms sum back to the reported ATT
+    assert abs(sum(r.term for r in rows) - rows[0].att_cents) < 1e-9
