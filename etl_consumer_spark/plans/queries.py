@@ -16823,6 +16823,163 @@ def analytic_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Neyman optimal allocation (Neyman 1934) — how many samples to draw per
+# stratum when building an eval set under a fixed labeling budget:
+# n_h proportional to N_h * S_h beats proportional allocation whenever
+# within-stratum spreads differ. Power sums are exact longs in ONE
+# combinable pass; S_h and the weights are shared float expressions; the
+# cross-strata weight total is an ordered fold (strata are bounded).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT event_type, count(*)::BIGINT AS n_h,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s1,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))::BIGINT AS s2
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n_h, s1, s2,
+             CAST(n_h AS DOUBLE)
+               * sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)
+                      / CAST(n_h * (n_h - 1) AS DOUBLE)) AS w_h
+      FROM s
+    ),
+    tot AS (
+      SELECT sum(n_h)::BIGINT AS n_total,
+             list_reduce(list_prepend(0.0, list(w_h ORDER BY event_type)),
+                         (acc, v) -> acc + v) AS w_total
+      FROM w
+    )
+    SELECT w.event_type, w.n_h,
+           sqrt(CAST(w.n_h * w.s2 - w.s1 * w.s1 AS DOUBLE)
+                / CAST(w.n_h * (w.n_h - 1) AS DOUBLE)) AS s_h,
+           CAST(floor(1000.0 * w.w_h / t.w_total) AS BIGINT) AS neyman_alloc,
+           CAST((1000 * w.n_h) // t.n_total AS BIGINT) AS prop_alloc
+    FROM w CROSS JOIN tot t
+    """,
+    doc="Neyman optimal allocation of a 1000-sample labeling budget across "
+        "event-type strata: n_h ~ N_h*S_h with the stratum spread from "
+        "exact long power sums in one combinable pass (the n*s2-s1^2 "
+        "integer form holds to ~3e9-row strata), weight total via an "
+        "ordered fold over the bounded strata, proportional allocation "
+        "beside it for the comparison the method exists to win",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum(y * y).cast("long").alias("s2"),
+    )
+    s_h = F.sqrt(
+        (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n_h") * (F.col("n_h") - 1)).cast("double")
+    )
+    w = s.withColumn("w_h", F.col("n_h").cast("double") * s_h)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("event_type"), F.col("w_h")))),
+        lambda st: st["w_h"],
+    )
+    tot = w.agg(
+        F.sum("n_h").cast("long").alias("n_total"),
+        F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v).alias("w_total"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_h",
+        s_h.alias("s_h"),
+        F.floor(F.lit(1000.0) * F.col("w_h") / F.col("w_total"))
+        .cast("long")
+        .alias("neyman_alloc"),
+        F.expr("(1000 * n_h) div n_total").cast("long").alias("prop_alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table-format transaction-log replay — the Delta/Iceberg-shaped
+# "snapshot at version V" primitive: a log of add/remove file actions is
+# replayed to the live file set as of a checkpoint version. A path's
+# state is decided by its LATEST action at-or-before V; with at most one
+# action per (path, version) the argmax packs into one integer
+# max(version*10 + is_add) — a single combinable aggregate, no windows,
+# no joins back.
+# ---------------------------------------------------------------------------
+
+@register(
+    "layout_log_replay_snapshot",
+    """
+    WITH files AS (SELECT DISTINCT o_orderkey % 500 AS fid FROM orders),
+    log AS (
+      SELECT 'part-' || CAST(fid AS VARCHAR) AS path, fid % 50 AS version, 1 AS is_add
+      FROM files
+      UNION ALL
+      SELECT 'part-' || CAST(fid AS VARCHAR), fid % 50 + 25, 0
+      FROM files WHERE fid % 3 = 0
+      UNION ALL
+      SELECT 'part-' || CAST(fid AS VARCHAR), fid % 50 + 40, 1
+      FROM files WHERE fid % 6 = 0
+    ),
+    latest AS (
+      SELECT path,
+             max(version * 10 + is_add)::BIGINT AS packed,
+             count(*)::BIGINT AS n_actions
+      FROM log WHERE version <= 60 GROUP BY path
+    )
+    SELECT path, (packed // 10)::BIGINT AS last_version,
+           (packed % 10)::BIGINT AS live, n_actions
+    FROM latest
+    """,
+    doc="transaction-log snapshot replay (the Delta/Iceberg table-format "
+        "primitive): add/remove file actions replayed to the live set at "
+        "checkpoint version 60 — per path the latest at-or-before action "
+        "decides liveness, computed as ONE packed-integer argmax "
+        "max(version*10+is_add) in a single combinable aggregate (at most "
+        "one action per (path, version) by construction); no windows, no "
+        "self-joins — the shape that replays a billion-action log in one "
+        "shuffle",
+)
+def layout_log_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.select((F.col("o_orderkey") % 500).alias("fid")).distinct()
+    path = F.concat(F.lit("part-"), F.col("fid").cast("string"))
+    log = (
+        files.select(path.alias("path"), (F.col("fid") % 50).alias("version"), F.lit(1).alias("is_add"))
+        .unionByName(
+            files.filter(F.col("fid") % 3 == 0).select(
+                path.alias("path"),
+                (F.col("fid") % 50 + 25).alias("version"),
+                F.lit(0).alias("is_add"),
+            )
+        )
+        .unionByName(
+            files.filter(F.col("fid") % 6 == 0).select(
+                path.alias("path"),
+                (F.col("fid") % 50 + 40).alias("version"),
+                F.lit(1).alias("is_add"),
+            )
+        )
+    )
+    return (
+        log.filter(F.col("version") <= 60)
+        .groupBy("path")
+        .agg(
+            F.max(F.col("version") * 10 + F.col("is_add")).cast("long").alias("packed"),
+            F.count("*").cast("long").alias("n_actions"),
+        )
+        .select(
+            "path",
+            F.expr("packed div 10").cast("long").alias("last_version"),
+            (F.col("packed") % 10).cast("long").alias("live"),
+            "n_actions",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1633,3 +1633,58 @@ def test_cem_att_matches_python(spark):
         assert abs(r.att_cents - att) < 1e-9
     # weights telescope: the weighted terms sum back to the reported ATT
     assert abs(sum(r.term for r in rows) - rows[0].att_cents) < 1e-9
+
+
+def test_neyman_allocation_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    y = (ev.value * 100).round().astype("int64")
+    df = pd.DataFrame({"et": ev.event_type, "y": y})
+    g = df.groupby("et").agg(n_h=("y", "size"), s1=("y", "sum"))
+    g["s2"] = df.groupby("et").y.apply(lambda s: int((s.astype(object) ** 2).sum()))
+    g["s_h"] = ((g.n_h * g.s2 - g.s1 * g.s1) / (g.n_h * (g.n_h - 1))).map(math.sqrt)
+    g["w_h"] = g.n_h * g.s_h
+    w_total = 0.0
+    for et in sorted(g.index):
+        w_total += g.w_h[et]
+    n_total = int(g.n_h.sum())
+    rows = {r.event_type: r for r in QUERIES["sample_neyman_allocation"].fn(spark, SF).collect()}
+    assert set(rows) == set(g.index)
+    for et, r in rows.items():
+        assert r.n_h == int(g.n_h[et])
+        assert abs(r.s_h - g.s_h[et]) < 1e-9
+        assert r.neyman_alloc == math.floor(1000.0 * g.w_h[et] / w_total)
+        assert r.prop_alloc == (1000 * int(g.n_h[et])) // n_total
+    # the budget is (nearly) exhausted: floor rounding drops < n_strata
+    assert 1000 - len(rows) < sum(r.neyman_alloc for r in rows.values()) <= 1000
+
+
+def test_log_replay_snapshot_matches_python(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    fids = sorted(set(int(k) % 500 for k in orders.o_orderkey))
+    exp = {}
+    for f in fids:
+        actions = [(f % 50, 1)]
+        if f % 3 == 0:
+            actions.append((f % 50 + 25, 0))
+        if f % 6 == 0:
+            actions.append((f % 50 + 40, 1))
+        actions = [(v, a) for v, a in actions if v <= 60]
+        v, a = max(actions)
+        exp[f"part-{f}"] = (v, a, len(actions))
+    rows = QUERIES["layout_log_replay_snapshot"].fn(spark, SF).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        v, a, n = exp[r.path]
+        assert (r.last_version, r.live, r.n_actions) == (v, a, n)
+    # the remove wave actually kills files and the re-add wave resurrects some
+    lives = {r.path: r.live for r in rows}
+    assert 0 in lives.values() and 1 in lives.values()
+    dead = [p for p, lv in lives.items() if lv == 0]
+    resurrected = [p for p, (v, a, n) in exp.items() if n == 3 and a == 1]
+    assert dead and resurrected
