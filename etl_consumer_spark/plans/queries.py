@@ -16980,6 +16980,150 @@ def layout_log_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD Type-3 (Kimball): the "current + previous value" dimension — the
+# cheap alternative to full Type-2 history when only one step of lineage
+# matters. Built from the same change-event synthesis as cdc_scd2_history
+# with ZERO windows: current = arg-max by commit ts (one combinable
+# max_by), previous = arg-max over the strictly-earlier events (one more
+# aggregate after a broadcast-backed anti-filter on the per-key max ts).
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_scd_type3",
+    """
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(unnest(generate_series(0, o_orderkey % 3)) AS BIGINT) AS version,
+             o_totalprice
+      FROM orders
+    ),
+    v AS (
+      SELECT o_orderkey, version,
+             o_totalprice + 100 * version AS price,
+             (version + 1) * 1000 AS ts_ms
+      FROM ev
+    ),
+    cur AS (
+      SELECT o_orderkey, arg_max(price, ts_ms) AS current_price,
+             max(ts_ms)::BIGINT AS current_ts, count(*)::BIGINT AS n_versions
+      FROM v GROUP BY o_orderkey
+    ),
+    prev AS (
+      SELECT v.o_orderkey, arg_max(v.price, v.ts_ms) AS prev_price
+      FROM v JOIN cur ON cur.o_orderkey = v.o_orderkey
+      WHERE v.ts_ms < cur.current_ts
+      GROUP BY v.o_orderkey
+    )
+    SELECT c.o_orderkey, c.current_price, p.prev_price, c.current_ts, c.n_versions
+    FROM cur c LEFT JOIN prev p ON p.o_orderkey = c.o_orderkey
+    """,
+    doc="SCD Type-3 current+previous dimension from the CDC change log "
+        "(same event synthesis as cdc_scd2_history): current value by "
+        "max_by(price, ts), previous by max_by over the strictly-earlier "
+        "events — two combinable key-grouped aggregates and one key join, "
+        "no windows; prev_price null for single-version keys",
+)
+def cdc_scd_type3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    versions = F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+    v = orders.select(
+        "o_orderkey", "o_totalprice", F.explode(versions).alias("version")
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100 * F.col("version")).alias("price"),
+        ((F.col("version") + 1) * 1000).cast("long").alias("ts_ms"),
+    )
+    cur = v.groupBy("o_orderkey").agg(
+        F.max_by("price", "ts_ms").alias("current_price"),
+        F.max("ts_ms").cast("long").alias("current_ts"),
+        F.count("*").cast("long").alias("n_versions"),
+    )
+    prev = (
+        v.join(cur.select("o_orderkey", "current_ts"), "o_orderkey")
+        .filter(F.col("ts_ms") < F.col("current_ts"))
+        .groupBy("o_orderkey")
+        .agg(F.max_by("price", "ts_ms").alias("prev_price"))
+    )
+    return cur.join(prev, "o_orderkey", "left").select(
+        "o_orderkey", "current_price", "prev_price", "current_ts", "n_versions"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection — the corpus-curation signal that routes
+# documents to the right dedup/quality/tokenizer stack (code shingles,
+# indentation-preserving cleaning) instead of the prose one. Signals:
+# code-symbol density via translate() deletion counting and indented-line
+# counting over a split — both exact integers, map-only. A fifth of the
+# docs get a deterministic synthesized code body so both classes exist.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_code_detect",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) ||
+                       '  y = (x + ' || CAST(doc_id % 97 AS VARCHAR) || ');' || chr(10) ||
+                       '  return {y};' || chr(10) || '  # end'
+                  ELSE text END AS content
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             length(content)::BIGINT AS n_chars,
+             (length(content) - length(translate(content, '{}();=', '')))::BIGINT AS n_sym,
+             len(list_filter(string_split(content, chr(10)),
+                             l -> l LIKE '  %'))::BIGINT AS n_indent
+      FROM c
+    )
+    SELECT doc_id, n_chars, n_sym, n_indent,
+           ((n_sym * 5 + n_indent * 20) * 1000 // n_chars)::BIGINT AS score_milli,
+           CASE WHEN (n_sym * 5 + n_indent * 20) * 1000 // n_chars >= 200
+                THEN 1 ELSE 0 END AS is_code
+    FROM m
+    """,
+    doc="code-vs-prose detector (curation routing signal): code-symbol "
+        "density by translate()-deletion counting plus indented-line "
+        "count, integer milli-score (5*symbols + 20*indents per char), "
+        "threshold 0.2; a deterministic code body is synthesized for "
+        "doc_id % 5 = 0 so both classes exist; map-only, zero shuffles",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    code_body = F.concat(
+        F.lit("def f_"), F.col("doc_id").cast("string"), F.lit("(x):\n"),
+        F.lit("  y = (x + "), (F.col("doc_id") % 97).cast("string"), F.lit(");\n"),
+        F.lit("  return {y};\n  # end"),
+    )
+    c = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, code_body).otherwise(F.col("text")).alias("content"),
+    )
+    m = c.select(
+        "doc_id",
+        F.length("content").cast("long").alias("n_chars"),
+        (
+            F.length("content")
+            - F.length(F.translate(F.col("content"), "{}();=", ""))
+        ).cast("long").alias("n_sym"),
+        F.size(
+            F.filter(
+                F.split(F.col("content"), "\n", -1),
+                lambda l: l.startswith("  "),
+            )
+        ).cast("long").alias("n_indent"),
+    )
+    score = F.expr("((n_sym * 5 + n_indent * 20) * 1000) div n_chars")
+    return m.select(
+        "doc_id", "n_chars", "n_sym", "n_indent",
+        score.cast("long").alias("score_milli"),
+        F.when(score >= 200, 1).otherwise(0).alias("is_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

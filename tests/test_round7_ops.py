@@ -1688,3 +1688,33 @@ def test_log_replay_snapshot_matches_python(spark):
     dead = [p for p, lv in lives.items() if lv == 0]
     resurrected = [p for p, (v, a, n) in exp.items() if n == 3 and a == 1]
     assert dead and resurrected
+
+
+def test_scd_type3_current_and_previous(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    rows = {r.o_orderkey: r for r in QUERIES["cdc_scd_type3"].fn(spark, SF).collect()}
+    assert len(rows) == len(orders)
+    for o in orders.itertuples():
+        k, p = int(o.o_orderkey), float(o.o_totalprice)
+        n_ver = k % 3 + 1
+        r = rows[k]
+        assert r.n_versions == n_ver
+        assert r.current_ts == n_ver * 1000
+        assert abs(r.current_price - (p + 100 * (n_ver - 1))) < 1e-9
+        if n_ver == 1:
+            assert r.prev_price is None
+        else:
+            assert abs(r.prev_price - (p + 100 * (n_ver - 2))) < 1e-9
+
+
+def test_code_detect_separates_classes(spark):
+    rows = QUERIES["text_code_detect"].fn(spark, SF).collect()
+    for r in rows:
+        if r.doc_id % 5 == 0:
+            assert r.is_code == 1, f"code doc {r.doc_id} scored {r.score_milli}"
+            assert r.n_sym >= 6 and r.n_indent == 3
+        else:
+            assert r.is_code == 0, f"prose doc {r.doc_id} scored {r.score_milli}"
+        assert r.score_milli == (r.n_sym * 5 + r.n_indent * 20) * 1000 // r.n_chars
