@@ -17124,6 +17124,163 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest — the eval harness every forecasting
+# deployment needs: refit the smoother on data up to cutoff C, predict
+# C+1, score against the actual — repeated over a cutoff grid. The
+# smoother is the registered EWMA recurrence (identical seeded fold both
+# engines: first element seeds, 0.25*v + 0.75*acc); per-(series, cutoff)
+# history is a bounded day array, so the whole backtest is one join to
+# the cutoff grid + one combinable aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT AS d,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT unnest([10, 15, 20]) AS cutoff),
+    hist AS (
+      SELECT dd.event_type, g.cutoff,
+             list_reduce(list_transform(list(dd.y ORDER BY dd.d),
+                                        v -> CAST(v AS DOUBLE)),
+                         (acc, v) -> 0.25 * v + 0.75 * acc) AS pred,
+             count(*)::BIGINT AS n_days
+      FROM daily dd JOIN grid g ON dd.d <= g.cutoff
+      GROUP BY dd.event_type, g.cutoff
+    )
+    SELECT h.event_type, CAST(h.cutoff AS BIGINT) AS cutoff, h.n_days, h.pred,
+           CAST(a.y AS DOUBLE) AS actual,
+           abs(h.pred - CAST(a.y AS DOUBLE)) AS abs_err
+    FROM hist h
+    JOIN daily a ON a.event_type = h.event_type AND a.d = h.cutoff + 1
+    """,
+    doc="rolling-origin backtest of the EWMA smoother (alpha=0.25, the "
+        "registered recurrence): per (event type, cutoff in {10,15,20}) "
+        "the fold over daily cent totals up to the cutoff predicts day "
+        "cutoff+1, scored as |pred - actual|; history arrays are bounded "
+        "by the day span, folds are seeded identically on both engines — "
+        "one grid join + one combinable aggregate, no windows",
+)
+def analytic_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    grid = spark.createDataFrame([(10,), (15,), (20,)], "cutoff int")
+    hist = (
+        daily.join(F.broadcast(grid), F.col("d") <= F.col("cutoff"))
+        .groupBy("event_type", "cutoff")
+        .agg(
+            F.expr(
+                "aggregate("
+                "  slice(transform(array_sort(collect_list(struct(d, y))), x -> CAST(x.y AS DOUBLE)),"
+                "        2, size(collect_list(struct(d, y))) - 1),"
+                "  element_at(transform(array_sort(collect_list(struct(d, y))), x -> CAST(x.y AS DOUBLE)), 1),"
+                "  (acc, v) -> 0.25D * v + 0.75D * acc)"
+            ).alias("pred"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
+    actual = daily.select(
+        F.col("event_type").alias("et_a"),
+        F.col("d").alias("d_next"),
+        F.col("y").alias("y_next"),
+    )
+    return (
+        hist.join(
+            actual,
+            (F.col("event_type") == F.col("et_a"))
+            & (F.col("d_next") == F.col("cutoff") + 1),
+        )
+        .select(
+            "event_type",
+            F.col("cutoff").cast("long").alias("cutoff"),
+            "n_days",
+            "pred",
+            F.col("y_next").cast("double").alias("actual"),
+            F.abs(F.col("pred") - F.col("y_next").cast("double")).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture corpus-size estimation (Lincoln-Petersen; Chapman's
+# bias-corrected form) — how big is the reachable corpus when two
+# independent crawls each see a sample of it? Two deterministic hash
+# samples of the documents table play the crawls; the estimators are
+# read beside the true count they are trying to recover.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_capture_recapture",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN (('0x' || substr(md5('c1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.4 THEN 1 ELSE 0 END AS in1,
+             CASE WHEN (('0x' || substr(md5('c2' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.4 THEN 1 ELSE 0 END AS in2
+      FROM documents
+    )
+    SELECT sum(in1)::BIGINT AS n1, sum(in2)::BIGINT AS n2,
+           sum(in1 * in2)::BIGINT AS m, count(*)::BIGINT AS n_true,
+           CAST(sum(in1) * sum(in2) AS DOUBLE) / CAST(sum(in1 * in2) AS DOUBLE)
+             AS lp_est,
+           CAST((sum(in1) + 1) * (sum(in2) + 1) AS DOUBLE)
+             / CAST(sum(in1 * in2) + 1 AS DOUBLE) - 1.0 AS chapman_est
+    FROM s
+    """,
+    doc="capture-recapture corpus-size estimation from two independent "
+        "deterministic 40% hash crawls: Lincoln-Petersen n1*n2/m and "
+        "Chapman's bias-corrected (n1+1)(n2+1)/(m+1)-1 beside the true "
+        "count — exact integer marks, one combinable aggregate, single "
+        "float divisions",
+)
+def analytic_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def marked(salt: str):
+        return F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+            < 0.4,
+            1,
+        ).otherwise(0)
+
+    s = docs.select(marked("c1").alias("in1"), marked("c2").alias("in2"))
+    return s.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("n_true"),
+        (
+            (F.sum("in1") * F.sum("in2")).cast("double")
+            / F.sum(F.col("in1") * F.col("in2")).cast("double")
+        ).alias("lp_est"),
+        (
+            ((F.sum("in1") + 1) * (F.sum("in2") + 1)).cast("double")
+            / (F.sum(F.col("in1") * F.col("in2")) + 1).cast("double")
+            - 1.0
+        ).alias("chapman_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

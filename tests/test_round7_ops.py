@@ -1718,3 +1718,60 @@ def test_code_detect_separates_classes(spark):
         else:
             assert r.is_code == 0, f"prose doc {r.doc_id} scored {r.score_milli}"
         assert r.score_milli == (r.n_sym * 5 + r.n_indent * 20) * 1000 // r.n_chars
+
+
+def test_forecast_backtest_matches_python(spark):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    df = pd.DataFrame(
+        {
+            "et": ev.event_type,
+            "d": (ev.ts.dt.normalize() - pd.Timestamp("2024-01-01")).dt.days,
+            "y": (ev.value * 100).round().astype("int64"),
+        }
+    )
+    daily = df.groupby(["et", "d"]).y.sum()
+    rows = QUERIES["analytic_forecast_backtest"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    seen = set()
+    for r in rows:
+        seen.add((r.event_type, r.cutoff))
+        hist = daily[r.event_type]
+        days = sorted(dd for dd in hist.index if dd <= r.cutoff)
+        pred = float(hist[days[0]])
+        for dd in days[1:]:
+            pred = 0.25 * float(hist[dd]) + 0.75 * pred
+        actual = float(hist[r.cutoff + 1])
+        assert r.n_days == len(days)
+        assert abs(r.pred - pred) < 1e-9
+        assert abs(r.actual - actual) < 1e-9
+        assert abs(r.abs_err - abs(pred - actual)) < 1e-9
+    # the full grid materializes where day cutoff+1 exists
+    types = df.et.unique()
+    for et in types:
+        for c in (10, 15, 20):
+            hist = daily[et]
+            if any(dd <= c for dd in hist.index) and (c + 1) in hist.index:
+                assert (et, c) in seen
+
+
+def test_capture_recapture_estimates_corpus_size(spark):
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def mark(salt, i):
+        return int(hashlib.md5(f"{salt}{int(i)}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.4
+
+    in1 = docs.doc_id.map(lambda i: mark("c1", i))
+    in2 = docs.doc_id.map(lambda i: mark("c2", i))
+    n1, n2, m = int(in1.sum()), int(in2.sum()), int((in1 & in2).sum())
+    r = QUERIES["analytic_capture_recapture"].fn(spark, SF).collect()[0]
+    assert (r.n1, r.n2, r.m, r.n_true) == (n1, n2, m, len(docs))
+    assert abs(r.lp_est - n1 * n2 / m) < 1e-9
+    assert abs(r.chapman_est - ((n1 + 1) * (n2 + 1) / (m + 1) - 1)) < 1e-9
+    # independence of the two hash crawls: estimates land near the truth
+    assert 0.5 * len(docs) < r.lp_est < 2.0 * len(docs)
