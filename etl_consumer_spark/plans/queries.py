@@ -17281,6 +17281,108 @@ def analytic_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STREAMING transaction-boundary CDC apply — the cross-microbatch twin of
+# cdc_transactional_apply: a transaction whose events straddle
+# microbatches must be HELD (not half-applied) and released atomically in
+# the batch where its last event arrives. Implemented with foreachBatch +
+# a pending-events parquet buffer: each batch unions pending with the new
+# arrivals, releases transactions whose arrived count reaches the
+# wire-carried expected count (Debezium tx-metadata total_order), and
+# rewrites the survivors as the next pending set. applied_batch in the
+# result records WHEN each transaction released — the oracle recomputes
+# it as max(arrival batch) per tx, so the driver gate checks the release
+# timing, not just the final state.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_cdc_transactional",
+    """
+    WITH ev AS (
+      SELECT o_orderkey // 10 AS tx_id,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 17 <> 5 THEN 1 ELSE 2 END AS b
+      FROM orders
+    )
+    SELECT tx_id, count(*)::BIGINT AS n_events,
+           max(b)::BIGINT AS applied_batch,
+           sum(cents)::BIGINT AS sum_cents
+    FROM ev GROUP BY tx_id
+    """,
+    doc="streaming transaction-boundary CDC apply: events withheld from "
+        "batch 1 (orderkey % 17 = 5) arrive in batch 2; foreachBatch holds "
+        "incomplete transactions in a pending parquet buffer and releases "
+        "each atomically when its arrived count reaches the wire-carried "
+        "expected count; applied_batch records the release batch and the "
+        "oracle recomputes it as max(arrival batch) per tx — verifying "
+        "release TIMING, not just the final state; pending rewrite via "
+        "localCheckpoint so the buffer can be overwritten in place",
+)
+def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tx = F.expr("o_orderkey div 10")
+    totals = orders.groupBy(tx.alias("tx_id")).agg(
+        F.count("*").cast("long").alias("tx_total")
+    )
+    ev = (
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            tx.alias("tx_id"),
+            F.when(F.col("o_orderkey") % 17 != 5, 1).otherwise(2).alias("arrival_batch"),
+        )
+        .join(F.broadcast(totals), "tx_id")
+    )
+    base = tempfile.mkdtemp(prefix="stream_tx_")
+    seen: set[str] = set()
+    ev.filter(F.col("arrival_batch") == 1).coalesce(1).write.mode("append").parquet(f"{base}/in")
+    _pin_batch_order(f"{base}/in", seen, 1)
+    ev.filter(F.col("arrival_batch") == 2).coalesce(1).write.mode("append").parquet(f"{base}/in")
+    _pin_batch_order(f"{base}/in", seen, 2)
+    pending_dir, results_dir = f"{base}/pending", f"{base}/results"
+    ev.limit(0).write.parquet(pending_dir)
+    # seed results with zero rows so the final read never sees a missing path
+    spark.createDataFrame(
+        [], "tx_id long, n_events long, applied_batch long, sum_cents long"
+    ).write.parquet(results_dir)
+
+    def process(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        pending = s.read.parquet(pending_dir)
+        allev = pending.unionByName(batch_df)
+        comp = allev.groupBy("tx_id", "tx_total").agg(
+            F.count("*").cast("long").alias("n_arr"),
+            F.max("arrival_batch").cast("long").alias("applied_batch"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        done = comp.filter(F.col("n_arr") == F.col("tx_total"))
+        done.select(
+            "tx_id",
+            F.col("n_arr").alias("n_events"),
+            "applied_batch",
+            "sum_cents",
+        ).write.mode("append").parquet(results_dir)
+        rest = allev.join(done.select("tx_id"), "tx_id", "left_anti")
+        # materialize before overwriting the path rest is lazily read from
+        rest.localCheckpoint(eager=True).write.mode("overwrite").parquet(pending_dir)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(results_dir).select(
+        "tx_id", "n_events", "applied_batch", "sum_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1775,3 +1775,25 @@ def test_capture_recapture_estimates_corpus_size(spark):
     assert abs(r.chapman_est - ((n1 + 1) * (n2 + 1) / (m + 1) - 1)) < 1e-9
     # independence of the two hash crawls: estimates land near the truth
     assert 0.5 * len(docs) < r.lp_est < 2.0 * len(docs)
+
+
+def test_stream_transactional_holds_and_releases_atomically(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    keys = orders.o_orderkey.astype(int)
+    tx = keys // 10
+    withheld_txs = set(tx[keys % 17 == 5])
+    n_per_tx = tx.value_counts()
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    sum_per_tx = pd.Series(cents.values, index=tx.values).groupby(level=0).sum()
+    rows = QUERIES["stream_cdc_transactional"].fn(spark, SF).collect()
+    # every tx released exactly once (no double release across batches)
+    ids = [r.tx_id for r in rows]
+    assert len(ids) == len(set(ids)) == len(n_per_tx)
+    for r in rows:
+        assert r.n_events == int(n_per_tx[r.tx_id])
+        assert r.sum_cents == int(sum_per_tx[r.tx_id])
+        # release TIMING: held until batch 2 iff a member was withheld
+        assert r.applied_batch == (2 if r.tx_id in withheld_txs else 1)
+    assert withheld_txs and len(withheld_txs) < len(n_per_tx)
