@@ -17383,6 +17383,109 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding centroid drift — the embeddings-QA gate when a corpus or
+# encoder changes: compare the per-dimension centroids of two cohorts
+# (hash-split halves here; in production, old vs new crawl or encoder
+# v1 vs v2). Per-dimension sums are EXACT integers (micro-quantized
+# components), so the centroids are exact rationals; the cosine between
+# centroids and the L2 shift are in-row ordered folds over the 64
+# dimension pairs — zero cross-row float accumulation anywhere.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_centroid_drift",
+    """
+    WITH s AS (
+      SELECT CASE WHEN (('0x' || substr(md5('drift' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5 THEN 0 ELSE 1 END AS cohort,
+             embedding
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT s.cohort, u.i AS pos,
+             CAST(round(s.embedding[u.i]::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM s, (SELECT unnest(generate_series(1, 64)) AS i) u
+    ),
+    dims AS (
+      SELECT cohort, pos, sum(q)::BIGINT AS sq, count(*)::BIGINT AS n
+      FROM comp GROUP BY cohort, pos
+    ),
+    wide AS (
+      SELECT pos,
+             max(CASE WHEN cohort = 0 THEN CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) END) AS c0,
+             max(CASE WHEN cohort = 1 THEN CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) END) AS c1
+      FROM dims GROUP BY pos
+    ),
+    folds AS (
+      SELECT
+        list_reduce(list_prepend(0.0, list(c0 * c1 ORDER BY pos)), (a, v) -> a + v) AS dot01,
+        list_reduce(list_prepend(0.0, list(c0 * c0 ORDER BY pos)), (a, v) -> a + v) AS dot00,
+        list_reduce(list_prepend(0.0, list(c1 * c1 ORDER BY pos)), (a, v) -> a + v) AS dot11,
+        list_reduce(list_prepend(0.0, list((c0 - c1) * (c0 - c1) ORDER BY pos)), (a, v) -> a + v) AS d2,
+        count(*)::BIGINT AS n_dims
+      FROM wide
+    )
+    SELECT n_dims, dot01 / (sqrt(dot00) * sqrt(dot11)) AS centroid_cosine,
+           sqrt(d2) AS l2_shift
+    FROM folds
+    """,
+    doc="embedding centroid drift between two deterministic hash cohorts: "
+        "per-dimension sums of micro-quantized components are exact longs "
+        "(one posexplode + combinable groupBy), centroids exact rationals, "
+        "cosine and L2 shift via ordered dimension-sorted folds — no "
+        "cross-row float accumulation; the QA gate before swapping in a "
+        "new encoder or crawl",
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cohort = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("drift"), F.col("vec_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+        < 0.5,
+        0,
+    ).otherwise(1)
+    comp = emb.select(cohort.alias("cohort"), F.posexplode("embedding").alias("p0", "x")).select(
+        "cohort",
+        (F.col("p0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    dims = comp.groupBy("cohort", "pos").agg(
+        F.sum("q").cast("long").alias("sq"), F.count("*").cast("long").alias("n")
+    )
+    mean = F.expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)")
+    wide = dims.groupBy("pos").agg(
+        F.max(F.when(F.col("cohort") == 0, mean)).alias("c0"),
+        F.max(F.when(F.col("cohort") == 1, mean)).alias("c1"),
+    )
+
+    def fold(expr_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), expr_col.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    folds = wide.agg(
+        fold(F.col("c0") * F.col("c1")).alias("dot01"),
+        fold(F.col("c0") * F.col("c0")).alias("dot00"),
+        fold(F.col("c1") * F.col("c1")).alias("dot11"),
+        fold((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1"))).alias("d2"),
+        F.count("*").cast("long").alias("n_dims"),
+    )
+    return folds.select(
+        "n_dims",
+        (F.col("dot01") / (F.sqrt("dot00") * F.sqrt("dot11"))).alias("centroid_cosine"),
+        F.sqrt("d2").alias("l2_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1797,3 +1797,39 @@ def test_stream_transactional_holds_and_releases_atomically(spark):
         # release TIMING: held until batch 2 iff a member was withheld
         assert r.applied_batch == (2 if r.tx_id in withheld_txs else 1)
     assert withheld_txs and len(withheld_txs) < len(n_per_tx)
+
+
+def test_centroid_drift_matches_numpy(spark):
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    cohort = emb.vec_id.map(
+        lambda i: 0
+        if int(hashlib.md5(f"drift{int(i)}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+        else 1
+    )
+    mats = {
+        c: np.stack(emb.embedding[cohort == c].map(lambda a: np.asarray(a, dtype=np.float64)))
+        for c in (0, 1)
+    }
+    cents = {}
+    for c, m in mats.items():
+        q = np.round(m * 1_000_000).astype("int64")
+        cents[c] = q.sum(axis=0) / len(q)
+    c0, c1 = cents[0], cents[1]
+    cos = float(c0 @ c1) / (math.sqrt(float(c0 @ c0)) * math.sqrt(float(c1 @ c1)))
+    l2 = math.sqrt(float(((c0 - c1) ** 2).sum()))
+    r = QUERIES["sim_centroid_drift"].fn(spark, SF).collect()[0]
+    assert r.n_dims == 64
+    assert abs(r.centroid_cosine - cos) < 1e-9
+    assert abs(r.l2_shift - l2) < 1e-6 * max(l2, 1.0)
+    assert -1.0 <= r.centroid_cosine <= 1.0
+    # same-distribution halves: the centroid shift is small relative to a
+    # typical vector's norm (zero-centered embeddings put centroids near
+    # the origin, so the cosine itself is noise — the shift is the signal)
+    mean_norm = float(np.mean([np.linalg.norm(np.round(m * 1_000_000)) for m in mats[0]]))
+    assert r.l2_shift < 0.2 * mean_norm
