@@ -17486,6 +17486,107 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (Kneser & Ney, ICASSP'95; Chen &
+# Goodman '98) — the smoothing that made n-gram LMs competitive and the
+# upgrade over text_bigram_lm's add-one: mass discounted from seen
+# bigrams is redistributed by CONTINUATION probability (how many distinct
+# contexts a word follows), not raw frequency. Every count — bigram,
+# context total, distinct continuations per context, distinct histories
+# per word, total bigram types — is an exact integer; the probability is
+# one shared float expression; count tables are vocabulary-bounded so
+# they broadcast at any corpus size.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_kneser_ney",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM tok
+    ),
+    c2 AS (SELECT bigram, count(*)::BIGINT AS c2 FROM bg GROUP BY bigram),
+    byw1 AS (
+      SELECT split_part(bigram, ' ', 1) AS w1,
+             sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1w1
+      FROM c2 GROUP BY 1
+    ),
+    byw2 AS (
+      SELECT split_part(bigram, ' ', 2) AS w2, count(*)::BIGINT AS n1w2
+      FROM c2 GROUP BY 1
+    ),
+    t AS (SELECT count(*)::BIGINT AS t FROM c2),
+    scored AS (
+      SELECT bg.doc_id,
+             ln(greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / CAST(byw1.c1 AS DOUBLE)
+                + (0.75 * CAST(byw1.n1w1 AS DOUBLE) / CAST(byw1.c1 AS DOUBLE))
+                  * (CAST(byw2.n1w2 AS DOUBLE) / CAST(t.t AS DOUBLE))) AS lp
+      FROM bg
+      JOIN c2 USING (bigram)
+      JOIN byw1 ON byw1.w1 = split_part(bg.bigram, ' ', 1)
+      JOIN byw2 ON byw2.w2 = split_part(bg.bigram, ' ', 2)
+      CROSS JOIN t
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(lp), 6) AS kn_avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="interpolated Kneser-Ney bigram scoring (d=0.75): "
+        "P = max(c2-d,0)/c1 + (d*N1+(w1.)/c1) * (N1+(.w2)/T) with every "
+        "count an exact integer and the probability one shared float "
+        "expression; per-doc mean log-prob rounded to 6 places (the "
+        "text_bigram_lm contract) — count tables are vocabulary-bounded "
+        "broadcasts, scoring is one map-side join pass + one "
+        "groupBy(doc_id); the continuation-probability backoff is what "
+        "add-one smoothing gets wrong on Zipfian corpora",
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("c2"))
+    byw1 = (
+        c2.groupBy(F.expr("split_part(bigram, ' ', 1)").alias("w1"))
+        .agg(F.sum("c2").cast("long").alias("c1"), F.count("*").cast("long").alias("n1w1"))
+    )
+    byw2 = (
+        c2.groupBy(F.expr("split_part(bigram, ' ', 2)").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n1w2"))
+    )
+    t = c2.agg(F.count("*").cast("long").alias("t"))
+    scored = (
+        bg.join(F.broadcast(c2), "bigram")
+        .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(bigram, ' ', 2)"))
+        .join(F.broadcast(byw1), "w1")
+        .join(F.broadcast(byw2), "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln(greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)"
+                "   + (0.75 * CAST(n1w1 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+                "     * (CAST(n1w2 AS DOUBLE) / CAST(t AS DOUBLE)))"
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("kn_avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1833,3 +1833,44 @@ def test_centroid_drift_matches_numpy(spark):
     # the origin, so the cosine itself is noise — the shift is the signal)
     mean_norm = float(np.mean([np.linalg.norm(np.round(m * 1_000_000)) for m in mats[0]]))
     assert r.l2_shift < 0.2 * mean_norm
+
+
+def test_kneser_ney_matches_python(spark):
+    import math
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {int(r.doc_id): re.split(r"\s+", r.text.lower().strip()) for r in docs.itertuples()}
+    c2, c1, n1w1, n1w2 = {}, {}, {}, {}
+    per_doc = {}
+    for d, w in toks.items():
+        bgs = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        per_doc[d] = bgs
+        for b in bgs:
+            c2[b] = c2.get(b, 0) + 1
+    for b, c in c2.items():
+        w1, w2 = b.split(" ", 1)
+        c1[w1] = c1.get(w1, 0) + c
+        n1w1[w1] = n1w1.get(w1, 0) + 1
+        n1w2[w2] = n1w2.get(w2, 0) + 1
+    t = len(c2)
+
+    def p_kn(b):
+        w1, w2 = b.split(" ", 1)
+        return max(c2[b] - 0.75, 0.0) / c1[w1] + (0.75 * n1w1[w1] / c1[w1]) * (n1w2[w2] / t)
+
+    rows = {r.doc_id: r for r in QUERIES["text_bigram_kneser_ney"].fn(spark, SF).collect()}
+    assert set(rows) == {d for d, bgs in per_doc.items() if bgs}
+    for d, bgs in per_doc.items():
+        if not bgs:
+            continue
+        lp = sum(math.log(p_kn(b)) for b in bgs) / len(bgs)
+        r = rows[d]
+        assert r.n_bigrams == len(bgs)
+        assert abs(r.kn_avg_logprob - round(lp, 6)) < 2e-6
+    # KN probabilities are a proper distribution component: all in (0, 1]
+    for bgs in per_doc.values():
+        for b in bgs:
+            assert 0.0 < p_kn(b) <= 1.0
