@@ -17587,6 +17587,209 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# One-way ANOVA F-statistic — the k-group generalization of the Welch
+# 2-group test already in the registry: does order priority explain
+# total-price variance? Per-group power sums are exact longs in ONE
+# combinable pass; the between/within sums of squares derive from shared
+# float expressions (group sums squared in DOUBLE to dodge the long
+# overflow the integer form would hit at ~3e10-cent group sums); the
+# cross-group reduction is an ordered fold.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_anova_oneway",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS grp, count(*)::BIGINT AS n_g,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s1,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+      FROM orders GROUP BY 1
+    ),
+    terms AS (
+      SELECT grp, n_g, s1, s2,
+             CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS gterm
+      FROM g
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+             sum(s1)::BIGINT AS s1_tot, sum(s2) AS s2_tot,
+             list_reduce(list_prepend(0.0, list(gterm ORDER BY grp)),
+                         (acc, v) -> acc + v) AS gterm_sum
+      FROM terms
+    )
+    SELECT k, n,
+           gterm_sum - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS ssb,
+           CAST(s2_tot AS DOUBLE) - gterm_sum AS ssw,
+           (gterm_sum - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+             / ((CAST(s2_tot AS DOUBLE) - gterm_sum) / CAST(n - k AS DOUBLE))
+             AS f_stat
+    FROM tot
+    """,
+    doc="one-way ANOVA F over order-priority groups (k-group companion to "
+        "analytic_welch_ttest): exact long power sums in one combinable "
+        "pass, between/within sums of squares from shared float "
+        "expressions (group sums squared in DOUBLE — the integer square "
+        "would overflow at ~3e10-cent group sums), ordered fold across the "
+        "bounded groups, F = (SSB/(k-1))/(SSW/(n-k))",
+)
+def analytic_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    # cents-squared sums overflow int64 past ~3e18; DECIMAL(38,0) on the
+    # engine side mirrors DuckDB's automatic HUGEINT sum — both exact
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("s2"),
+    )
+    terms = g.withColumn(
+        "gterm",
+        F.expr("CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("grp"), F.col("gterm")))),
+        lambda s: s["gterm"],
+    )
+    tot = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("s1_tot"),
+        F.sum("s2").alias("s2_tot"),  # decimal — casting to long would overflow
+        F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v).alias("gterm_sum"),
+    )
+    ssb = F.expr(
+        "gterm_sum - CAST(s1_tot AS DOUBLE) * CAST(s1_tot AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    ssw = F.expr("CAST(s2_tot AS DOUBLE) - gterm_sum")
+    return tot.select(
+        "k", "n",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (ssb / F.expr("CAST(k - 1 AS DOUBLE)") / (ssw / F.expr("CAST(n - k AS DOUBLE)"))).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal snapshot — valid time AND transaction time (Snodgrass; SQL:2011
+# system versioning): "what did we BELIEVE the value valid at V was, as of
+# transaction time T?" Late corrections change the answer for T after the
+# correction commits but never rewrite what earlier snapshots reported —
+# the audit property plain SCD2 (valid time only) cannot express. Same
+# change-event synthesis as the SCD2 family plus a late correction wave;
+# both snapshots computed with key-grouped max_by aggregates, no windows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_bitemporal_snapshot",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(unnest(generate_series(0, o_orderkey % 3)) AS BIGINT) AS version,
+             o_totalprice
+      FROM orders
+    ),
+    rows_v AS (
+      SELECT o_orderkey, version,
+             o_totalprice + 100 * version AS price,
+             (version + 1) * 1000 AS valid_from,
+             (version + 1) * 1000 AS tx_from
+      FROM base
+      UNION ALL
+      -- late correction committed at tx 5000: +7 on version 1 for a slice
+      SELECT o_orderkey, 1, o_totalprice + 107, 2000, 5000
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 >= 1
+    ),
+    picked AS (
+      SELECT o_orderkey, max(version)::BIGINT AS v
+      FROM rows_v WHERE valid_from <= 2500 GROUP BY o_orderkey
+    ),
+    vrows AS (
+      SELECT r.o_orderkey, p.v, r.price, r.tx_from
+      FROM rows_v r JOIN picked p
+        ON p.o_orderkey = r.o_orderkey AND r.version = p.v
+    ),
+    t45 AS (
+      SELECT o_orderkey, arg_max(price, tx_from) AS price_t4500
+      FROM vrows WHERE tx_from <= 4500 GROUP BY o_orderkey
+    ),
+    t60 AS (
+      SELECT o_orderkey, arg_max(price, tx_from) AS price_t6000
+      FROM vrows WHERE tx_from <= 6000 GROUP BY o_orderkey
+    )
+    SELECT a.o_orderkey, p.v AS version_picked, a.price_t4500, b.price_t6000,
+           CASE WHEN b.price_t6000 <> a.price_t4500 THEN 1 ELSE 0 END AS corrected
+    FROM t45 a
+    JOIN t60 b ON b.o_orderkey = a.o_orderkey
+    JOIN picked p ON p.o_orderkey = a.o_orderkey
+    """,
+    doc="bitemporal (valid time x transaction time) snapshot: the version "
+        "valid at V=2500, read as of transaction times T=4500 and T=6000 — "
+        "a late correction committed at tx 5000 changes the second answer "
+        "but can never rewrite the first (the audit property plain SCD2 "
+        "lacks); version pick and both reads are key-grouped max/max_by "
+        "aggregates, zero windows",
+)
+def cdc_bitemporal_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    versions = F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+    base = orders.select(
+        "o_orderkey", "o_totalprice", F.explode(versions).alias("version")
+    ).select(
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+        (F.col("o_totalprice") + 100 * F.col("version")).alias("price"),
+        ((F.col("version") + 1) * 1000).cast("long").alias("valid_from"),
+        ((F.col("version") + 1) * 1000).cast("long").alias("tx_from"),
+    )
+    correction = orders.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 >= 1)
+    ).select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("version"),
+        (F.col("o_totalprice") + 107).alias("price"),
+        F.lit(2000).cast("long").alias("valid_from"),
+        F.lit(5000).cast("long").alias("tx_from"),
+    )
+    rows_v = base.unionByName(correction)
+    picked = (
+        rows_v.filter(F.col("valid_from") <= 2500)
+        .groupBy("o_orderkey")
+        .agg(F.max("version").cast("long").alias("v"))
+    )
+    pick2 = picked.select(F.col("o_orderkey").alias("pk"), "v")
+    vrows = rows_v.join(
+        pick2,
+        (F.col("o_orderkey") == F.col("pk")) & (F.col("version") == F.col("v")),
+    ).select("o_orderkey", "v", "price", "tx_from")
+    t45 = (
+        vrows.filter(F.col("tx_from") <= 4500)
+        .groupBy("o_orderkey")
+        .agg(F.max_by("price", "tx_from").alias("price_t4500"))
+    )
+    t60 = (
+        vrows.filter(F.col("tx_from") <= 6000)
+        .groupBy("o_orderkey")
+        .agg(F.max_by("price", "tx_from").alias("price_t6000"))
+    )
+    return (
+        t45.join(t60, "o_orderkey")
+        .join(picked, "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("v").alias("version_picked"),
+            "price_t4500",
+            "price_t6000",
+            F.when(F.col("price_t6000") != F.col("price_t4500"), 1)
+            .otherwise(0)
+            .alias("corrected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1874,3 +1874,52 @@ def test_kneser_ney_matches_python(spark):
     for bgs in per_doc.values():
         for b in bgs:
             assert 0.0 < p_kn(b) <= 1.0
+
+
+def test_anova_oneway_matches_python(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    df = pd.DataFrame({"g": orders.o_orderpriority, "y": cents})
+    groups = df.groupby("g")
+    k, n = len(groups), len(df)
+    gterm_sum = 0.0
+    for gname in sorted(df.g.unique()):
+        s = groups.get_group(gname).y
+        s1 = int(s.sum())
+        gterm_sum += float(s1) * float(s1) / len(s)
+    s1_tot = int(cents.sum())
+    s2_tot = int((cents.astype(object) ** 2).sum())
+    ssb = gterm_sum - float(s1_tot) * float(s1_tot) / n
+    ssw = float(s2_tot) - gterm_sum
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    r = QUERIES["analytic_anova_oneway"].fn(spark, SF).collect()[0]
+    assert (r.k, r.n) == (k, n)
+    assert abs(r.ssb - ssb) < 1e-6 * abs(ssb)
+    assert abs(r.ssw - ssw) < 1e-6 * abs(ssw)
+    assert abs(r.f_stat - f) < 1e-9 * max(abs(f), 1.0)
+    assert r.ssb >= 0 and r.ssw >= 0
+
+
+def test_bitemporal_snapshot_audit_property(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    rows = {r.o_orderkey: r for r in QUERIES["cdc_bitemporal_snapshot"].fn(spark, SF).collect()}
+    assert len(rows) == len(orders)
+    for o in orders.itertuples():
+        k, p = int(o.o_orderkey), float(o.o_totalprice)
+        r = rows[k]
+        picked = min(k % 3, 1)  # versions valid by V=2500: v0 (1000), v1 (2000)
+        assert r.version_picked == picked
+        original = p + 100 * picked
+        # T=4500 predates the correction commit at tx 5000: always original
+        assert abs(r.price_t4500 - original) < 1e-9
+        if k % 5 == 0 and k % 3 >= 1:
+            # the late correction shows only in the later transaction time
+            assert r.corrected == 1
+            assert abs(r.price_t6000 - (p + 107)) < 1e-9
+        else:
+            assert r.corrected == 0
+            assert abs(r.price_t6000 - original) < 1e-9
