@@ -1923,3 +1923,76 @@ def test_bitemporal_snapshot_audit_property(spark):
         else:
             assert r.corrected == 0
             assert abs(r.price_t6000 - original) < 1e-9
+
+
+def test_qini_uplift_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents, resp = _priority_labels(orders)
+    treated = orders.o_orderkey.map(
+        lambda k: int(hashlib.md5(f"qini{int(k)}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+    ).astype(int)
+    df = pd.DataFrame(
+        {"cents": cents, "key": orders.o_orderkey, "t": treated, "r": resp}
+    ).sort_values(["cents", "key"], ascending=[False, True]).reset_index(drop=True)
+    n = len(df)
+    df["decile"] = (df.index * 10) // n
+    g = df.groupby("decile").agg(
+        n_t=("t", "sum"),
+        r_t=("r", lambda s: int((df.loc[s.index, "t"] * s).sum())),
+        n_c=("t", lambda s: int((1 - s).sum())),
+        r_c=("r", lambda s: int(((1 - df.loc[s.index, "t"]) * s).sum())),
+    )
+    rows = {r.decile: r for r in QUERIES["analytic_qini_uplift"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(10))
+    cnt, crt, cnc, crc = 0, 0, 0, 0
+    for d in range(10):
+        cnt += int(g.n_t[d]); crt += int(g.r_t[d])
+        cnc += int(g.n_c[d]); crc += int(g.r_c[d])
+        r = rows[d]
+        assert (r.cum_nt, r.cum_rt, r.cum_nc, r.cum_rc) == (cnt, crt, cnc, crc)
+        assert abs(r.qini - (crt - crc * (cnt / cnc))) < 1e-9
+    # a hash split with no real treatment: the final qini is near zero
+    # relative to the responder count (sanity, not exactness)
+    assert abs(rows[9].qini) < 0.2 * (crt + crc)
+
+
+def test_resource_allocation_matches_bruteforce(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    edges = set()
+    for o in orders.itertuples():
+        k, c = int(o.o_orderkey), int(o.o_custkey)
+        if k % 3 == 0 and c % 400 != k % 400:
+            edges.add((min(c % 400, k % 400), max(c % 400, k % 400)))
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    keep = {v for v, nb in adj.items() if len(nb) <= 100}
+    cadj = {v: {u for u in nb if u in keep} for v, nb in adj.items() if v in keep}
+    cadj = {v: nb for v, nb in cadj.items() if nb}
+    exp = {}
+    nodes = sorted(cadj)
+    for z, nb in cadj.items():
+        nbl = sorted(nb)
+        for i in range(len(nbl)):
+            for j in range(i + 1, len(nbl)):
+                p = (nbl[i], nbl[j])
+                cnt, w = exp.get(p, (0, 0))
+                exp[p] = (cnt + 1, w + 1000000 // len(nb))
+    exp = {
+        p: v
+        for p, v in exp.items()
+        if v[0] >= 2 and p not in edges
+    }
+    rows = QUERIES["graph_resource_allocation"].fn(spark, SF).collect()
+    got = {(r.node_a, r.node_b): (r.n_common, r.ra_micro) for r in rows}
+    assert got == exp
+    # degree penalty: every pair's RA is at most n_common * max weight
+    for (cnt, w) in got.values():
+        assert 0 < w <= cnt * 1000000
