@@ -817,6 +817,62 @@ def laplacian_stats(media: DataFrame) -> DataFrame:
     )
 
 
+SSIM_SCHEMA = (
+    "media_id long, n long, sx long, sy long, "
+    "sxx long, syy long, sxy long, blur_md5 string"
+)
+
+
+def ssim_self_blur_stats(media: DataFrame) -> DataFrame:
+    """Exact-integer SSIM inputs between the grayscale plane X and its
+    3x3 integer box blur Y = floor(neighborhood_sum / 9), over the
+    3x3-valid interior — the reference-vs-degraded quality comparison
+    (Wang et al., IEEE TIP 2004) every image-processing QA loop runs.
+    The kernel ships only EXACT integer sums (n, sum x, sum y, sum x^2,
+    sum y^2, sum xy) plus an md5 of the blurred sequence, so the SSIM
+    value itself is one shared float expression downstream and a SQL
+    oracle can replay the blur tap-for-tap."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                gray, _ = _decode_gray_and_flat(row)
+                g = gray.astype(np.int64)
+                box = (
+                    g[:-2, :-2] + g[:-2, 1:-1] + g[:-2, 2:]
+                    + g[1:-1, :-2] + g[1:-1, 1:-1] + g[1:-1, 2:]
+                    + g[2:, :-2] + g[2:, 1:-1] + g[2:, 2:]
+                )
+                y = box // 9
+                x = g[1:-1, 1:-1]
+                xs, ys = x.reshape(-1), y.reshape(-1)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n": int(xs.size),
+                        "sx": int(xs.sum()),
+                        "sy": int(ys.sum()),
+                        "sxx": int((xs * xs).sum()),
+                        "syy": int((ys * ys).sum()),
+                        "sxy": int((xs * ys).sum()),
+                        "blur_md5": hashlib.md5(
+                            ",".join(str(int(v)) for v in ys).encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n", "sx", "sy", "sxx", "syy", "sxy", "blur_md5"],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+        kernel, SSIM_SCHEMA
+    )
+
+
 TILES_SCHEMA = (
     "media_id long, n_tiles long, tile_sum_total long, "
     "max_tile_sum long, min_tile_sum long, tiles_md5 string"

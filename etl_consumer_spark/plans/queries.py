@@ -18001,6 +18001,87 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SSIM (Wang et al., IEEE TIP 2004) between each image and its 3x3
+# integer box blur — the reference-vs-degraded quality metric of every
+# image-processing QA loop, here measuring exactly how much structure
+# the blur destroys. The Arrow kernel ships only EXACT integer sums
+# (floor-div blur, no float in the decode path); SSIM is one shared
+# float expression over the six longs; the oracle replays the blur
+# tap-for-tap from the same deterministic raster and value-checks the
+# blurred-sequence md5.
+# ---------------------------------------------------------------------------
+
+def _ssim_box_tap_sum() -> str:
+    taps = " + ".join(
+        _sobel_tap(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    )
+    return f"(({taps}) // 9)"
+
+
+_SSIM_EXPR = (
+    "((2.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) + 6.5025)"
+    " * (2.0 * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)"
+    "    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) + 58.5225))"
+    " / (((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "   + (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) + 6.5025)"
+    "  * ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)"
+    "      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    "   + (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)"
+    "      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) + 58.5225))"
+)
+
+
+@register(
+    "mm_image_ssim_blur",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    pix AS (
+      SELECT doc_id, rr.r, cc.c,
+             {_sobel_tap(0, 0)} AS x,
+             {_ssim_box_tap_sum()} AS y
+      FROM r, (VALUES (1), (2)) rr(r),
+           unnest(generate_series(1, w - 2)) AS cc(c)
+    ),
+    st AS (
+      SELECT doc_id AS media_id,
+             count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+             sum(x * y)::BIGINT AS sxy,
+             md5(string_agg(y::VARCHAR, ',' ORDER BY r, c)) AS blur_md5
+      FROM pix GROUP BY doc_id
+    )
+    SELECT media_id, n, sx, sy, sxx, syy, sxy, blur_md5,
+           {_SSIM_EXPR} AS ssim
+    FROM st
+    """,
+    doc="SSIM between each image and its 3x3 integer box blur (Wang TIP'04 "
+        "global form, C1=6.5025 C2=58.5225) through the real PPM decode: "
+        "Arrow kernel ships exact integer sums only (blur = floor-div 9), "
+        "SSIM is one shared float expression over the six longs, oracle "
+        "replays the 9-tap blur and value-checks the blurred-sequence md5; "
+        "map-only at any scale — the quality readout that says how much "
+        "structure a degradation destroyed",
+)
+def mm_image_ssim_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    st = M.ssim_self_blur_stats(media)
+    return st.select(
+        "media_id", "n", "sx", "sy", "sxx", "syy", "sxy", "blur_md5",
+        F.expr(_SSIM_EXPR).alias("ssim"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -1996,3 +1996,47 @@ def test_resource_allocation_matches_bruteforce(spark):
     # degree penalty: every pair's RA is at most n_common * max weight
     for (cnt, w) in got.values():
         assert 0 < w <= cnt * 1000000
+
+
+def test_ssim_blur_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = {r.media_id: r for r in QUERIES["mm_image_ssim_blur"].fn(spark, SF).collect()}
+    assert len(rows) == len(docs)
+    c1, c2 = 6.5025, 58.5225
+    for d in docs.itertuples():
+        w = 8 + len(d.text) % 8
+        ras = (hashlib.md5(d.text.encode()).hexdigest() * 6)[: w * 12]
+        g = np.array(
+            [[ord(ras[(r * w + c) * 3]) for c in range(w)] for r in range(4)],
+            dtype=np.int64,
+        )
+        box = sum(
+            g[1 + dr : 3 + dr, 1 + dc : w - 1 + dc]
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        )
+        y = box // 9
+        x = g[1:3, 1 : w - 1]
+        xs, ys = x.reshape(-1).astype(float), y.reshape(-1).astype(float)
+        n = xs.size
+        mx, my = xs.sum() / n, ys.sum() / n
+        vx = (xs * xs).sum() / n - mx * mx
+        vy = (ys * ys).sum() / n - my * my
+        cov = (xs * ys).sum() / n - mx * my
+        exp = ((2 * mx * my + c1) * (2 * cov + c2)) / ((mx * mx + my * my + c1) * (vx + vy + c2))
+        r = rows[int(d.doc_id)]
+        assert r.n == n
+        assert (r.sx, r.sy) == (int(x.sum()), int(y.sum()))
+        assert abs(r.ssim - exp) < 1e-9
+        # SSIM is bounded in [-1, 1]; blurring ascii-hex noise destroys
+        # structure, so similarity is strictly below 1 whenever the
+        # original interior is non-constant (negative values are real:
+        # the blur can anti-correlate with 2-row noise)
+        assert -1.0 <= r.ssim <= 1.0
+        if vx > 0:
+            assert r.ssim < 1.0
