@@ -192,6 +192,13 @@ HEADLINE = [
     "sketch_loglinear_quantiles", # integer log-linear histogram quantiles
     "sim_mips_topk",              # norm-augmented MIPS through cosine knn
     "graph_clustering_coefficient",  # composed triangles + exact degrees
+    # round-7 session-3b additions: uplift eval, KN smoothing, SSIM,
+    # skyline, streaming tx atomicity
+    "analytic_qini_uplift",       # rank-decile causal uplift readout
+    "text_bigram_kneser_ney",     # continuation-probability LM smoothing
+    "mm_image_ssim_blur",         # exact-integer SSIM through real decode
+    "olap_skyline_2d",            # Pareto frontier, strict-prefix-max device
+    "stream_cdc_transactional",   # cross-batch tx hold-and-release
 ]
 
 
