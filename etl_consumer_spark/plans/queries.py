@@ -18082,6 +18082,220 @@ def mm_image_ssim_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spearman rank correlation — the robust monotone-association readout
+# (Pearson on ranks): does order value track order size? Tie-corrected
+# average ranks come from the SAME doubled-rank device as analytic_auc_roc
+# (grouped distinct values -> cumulative counts -> 2*avg_rank exact
+# integers, joined back per row), on BOTH variables; the Pearson
+# combination runs on exact sums (squares in DECIMAL/HUGEINT — doubled
+# ranks square past int64 at ~1e6 rows) with one float expression.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_spearman_corr",
+    """
+    WITH pair AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    gx AS (
+      SELECT x, count(*)::BIGINT AS cnt,
+             (sum(count(*)) OVER (ORDER BY x))::BIGINT AS cum
+      FROM pair GROUP BY x
+    ),
+    gy AS (
+      SELECT y, count(*)::BIGINT AS cnt,
+             (sum(count(*)) OVER (ORDER BY y))::BIGINT AS cum
+      FROM pair GROUP BY y
+    ),
+    ranked AS (
+      SELECT (2 * (gx.cum - gx.cnt) + gx.cnt + 1) AS a,
+             (2 * (gy.cum - gy.cnt) + gy.cnt + 1) AS b
+      FROM pair JOIN gx ON gx.x = pair.x JOIN gy ON gy.y = pair.y
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM ranked
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation between order value (cents) and order "
+        "size (lineitem count): tie-corrected average ranks as exact "
+        "doubled integers via the grouped-distinct cumulative device on "
+        "both variables (engine side uses the two-level bucket prefix sum "
+        "— no single-partition sort), Pearson combination on exact sums "
+        "(squared-rank sums in DECIMAL/HUGEINT), one float expression",
+)
+def analytic_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").cast("long").alias("y"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"), "y"
+        )
+    )
+
+    def rank2(df, col):
+        g = df.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        r = two_level_order(
+            g.withColumn("neg", -F.col(col)), key_col="neg", tie_col=col, val_col="cnt"
+        )
+        return r.select(
+            col, (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(f"r2_{col}")
+        )
+
+    ranked = pair.join(F.broadcast(rank2(pair, "x")), "x").join(
+        F.broadcast(rank2(pair, "y")), "y"
+    )
+    a, b = F.col("r2_x"), F.col("r2_y")
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(a).cast("long").alias("sa"),
+        F.sum(b).cast("long").alias("sb"),
+        F.sum((a * a).cast("decimal(38,0)")).alias("saa"),
+        F.sum((b * b).cast("decimal(38,0)")).alias("sbb"),
+        F.sum((a * b).cast("decimal(38,0)")).alias("sab"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)"
+            "   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+            "           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+            "        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+            "             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-registry compatibility audit — the governance gate in front of
+# every CDC/DDL pipeline (Avro/registry semantics): per subject, classify
+# the v0 -> v1 transition by what changed. Added OPTIONAL fields and
+# dropped OPTIONAL fields keep FULL compatibility; an added REQUIRED
+# field breaks backward (a new reader cannot fill it from old data) but
+# not forward; a dropped REQUIRED field breaks forward (an old reader
+# still demands it) but not backward. Set algebra over a full-outer
+# field join per subject — exact, combinable, no windows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_schema_compat_audit",
+    """
+    WITH subj AS (SELECT DISTINCT doc_id % 100 AS subject FROM documents),
+    v0 AS (
+      SELECT subject, f.field, f.required
+      FROM subj, (VALUES ('f0', 1), ('f1', 1), ('f2', 1), ('f3', 0), ('f4', 0))
+                   f(field, required)
+    ),
+    v1 AS (
+      SELECT subject, field, required FROM v0
+      WHERE NOT (subject % 3 = 2 AND field = 'f2')
+      UNION ALL
+      SELECT subject, 'f5', 0 FROM subj WHERE subject % 3 = 0
+      UNION ALL
+      SELECT subject, 'f6', 1 FROM subj WHERE subject % 3 = 1
+    ),
+    diff AS (
+      SELECT coalesce(a.subject, b.subject) AS subject,
+             sum(CASE WHEN a.field IS NULL AND b.required = 0 THEN 1 ELSE 0 END)::BIGINT AS n_added_opt,
+             sum(CASE WHEN a.field IS NULL AND b.required = 1 THEN 1 ELSE 0 END)::BIGINT AS n_added_req,
+             sum(CASE WHEN b.field IS NULL AND a.required = 0 THEN 1 ELSE 0 END)::BIGINT AS n_dropped_opt,
+             sum(CASE WHEN b.field IS NULL AND a.required = 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped_req
+      FROM v0 a FULL OUTER JOIN v1 b
+        ON a.subject = b.subject AND a.field = b.field
+      GROUP BY 1
+    )
+    SELECT subject, n_added_opt, n_added_req, n_dropped_opt, n_dropped_req,
+           CASE WHEN n_added_req = 0 AND n_dropped_req = 0 THEN 'FULL'
+                WHEN n_added_req > 0 AND n_dropped_req = 0 THEN 'FORWARD'
+                WHEN n_added_req = 0 AND n_dropped_req > 0 THEN 'BACKWARD'
+                ELSE 'NONE' END AS compat
+    FROM diff
+    """,
+    doc="schema-registry compatibility audit (Avro semantics) per subject "
+        "for the v0 -> v1 transition: added/dropped optional fields keep "
+        "FULL compatibility, an added required field leaves only FORWARD, "
+        "a dropped required field leaves only BACKWARD; classification by "
+        "a full-outer field join + one combinable aggregate per subject — "
+        "the gate a DDL-applying CDC consumer runs before accepting a new "
+        "schema version",
+)
+def cdc_schema_compat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    subj = docs.select((F.col("doc_id") % 100).alias("subject")).distinct()
+    fields0 = spark.createDataFrame(
+        [("f0", 1), ("f1", 1), ("f2", 1), ("f3", 0), ("f4", 0)],
+        "field string, required int",
+    )
+    v0 = subj.crossJoin(F.broadcast(fields0))
+    v1 = (
+        v0.filter(~((F.col("subject") % 3 == 2) & (F.col("field") == "f2")))
+        .unionByName(
+            subj.filter(F.col("subject") % 3 == 0).select(
+                "subject", F.lit("f5").alias("field"), F.lit(0).alias("required")
+            )
+        )
+        .unionByName(
+            subj.filter(F.col("subject") % 3 == 1).select(
+                "subject", F.lit("f6").alias("field"), F.lit(1).alias("required")
+            )
+        )
+    )
+    a = v0.select(
+        F.col("subject").alias("s_a"), F.col("field").alias("f_a"),
+        F.col("required").alias("req_a"),
+    )
+    b = v1.select(
+        F.col("subject").alias("s_b"), F.col("field").alias("f_b"),
+        F.col("required").alias("req_b"),
+    )
+    diff = (
+        a.join(b, (a.s_a == b.s_b) & (a.f_a == b.f_b), "full_outer")
+        .select(
+            F.coalesce("s_a", "s_b").alias("subject"),
+            F.when(F.col("f_a").isNull() & (F.col("req_b") == 0), 1).otherwise(0).alias("ao"),
+            F.when(F.col("f_a").isNull() & (F.col("req_b") == 1), 1).otherwise(0).alias("ar"),
+            F.when(F.col("f_b").isNull() & (F.col("req_a") == 0), 1).otherwise(0).alias("do_"),
+            F.when(F.col("f_b").isNull() & (F.col("req_a") == 1), 1).otherwise(0).alias("dr"),
+        )
+        .groupBy("subject")
+        .agg(
+            F.sum("ao").cast("long").alias("n_added_opt"),
+            F.sum("ar").cast("long").alias("n_added_req"),
+            F.sum("do_").cast("long").alias("n_dropped_opt"),
+            F.sum("dr").cast("long").alias("n_dropped_req"),
+        )
+    )
+    return diff.select(
+        "subject", "n_added_opt", "n_added_req", "n_dropped_opt", "n_dropped_req",
+        F.when((F.col("n_added_req") == 0) & (F.col("n_dropped_req") == 0), "FULL")
+        .when((F.col("n_added_req") > 0) & (F.col("n_dropped_req") == 0), "FORWARD")
+        .when((F.col("n_added_req") == 0) & (F.col("n_dropped_req") > 0), "BACKWARD")
+        .otherwise("NONE")
+        .alias("compat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -2040,3 +2040,58 @@ def test_ssim_blur_matches_numpy(spark):
         assert -1.0 <= r.ssim <= 1.0
         if vx > 0:
             assert r.ssim < 1.0
+
+
+def test_spearman_matches_scipy_free_replay(spark):
+    import math
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cnt = li.groupby("l_orderkey").size()
+    df = pd.DataFrame(
+        {
+            "x": (orders.o_totalprice * 100).round().astype("int64"),
+            "y": orders.o_orderkey.map(cnt).fillna(0).astype("int64"),
+            "k": orders.o_orderkey,
+        }
+    )
+    df = df[df.y > 0]  # inner join drops lineitem-less orders
+    ra = df.x.rank(method="average")
+    rb = df.y.rank(method="average")
+    n = len(df)
+    num = n * float((ra * rb).sum()) - float(ra.sum()) * float(rb.sum())
+    den = math.sqrt(
+        (n * float((ra * ra).sum()) - float(ra.sum()) ** 2)
+        * (n * float((rb * rb).sum()) - float(rb.sum()) ** 2)
+    )
+    exp = num / den
+    r = QUERIES["analytic_spearman_corr"].fn(spark, SF).collect()[0]
+    assert r.n == n
+    # doubled ranks rescale both axes by 2: rho is scale-invariant
+    assert abs(r.spearman_rho - exp) < 1e-9
+    assert -1.0 <= r.spearman_rho <= 1.0
+    # the synthetic driver data draws totalprice independently of line
+    # count, so rho is near zero — the exact replay above is the check
+    assert abs(r.spearman_rho) < 0.2
+
+
+def test_schema_compat_audit_classes(spark):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    subjects = sorted({int(i) % 100 for i in docs.doc_id})
+    rows = {r.subject: r for r in QUERIES["cdc_schema_compat_audit"].fn(spark, SF).collect()}
+    assert set(rows) == set(subjects)
+    for s in subjects:
+        r = rows[s]
+        if s % 3 == 0:
+            assert (r.n_added_opt, r.n_added_req, r.n_dropped_opt, r.n_dropped_req) == (1, 0, 0, 0)
+            assert r.compat == "FULL"
+        elif s % 3 == 1:
+            assert (r.n_added_opt, r.n_added_req, r.n_dropped_opt, r.n_dropped_req) == (0, 1, 0, 0)
+            assert r.compat == "FORWARD"
+        else:
+            assert (r.n_added_opt, r.n_added_req, r.n_dropped_opt, r.n_dropped_req) == (0, 0, 0, 1)
+            assert r.compat == "BACKWARD"
