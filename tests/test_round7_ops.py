@@ -2095,3 +2095,36 @@ def test_schema_compat_audit_classes(spark):
         else:
             assert (r.n_added_opt, r.n_added_req, r.n_dropped_opt, r.n_dropped_req) == (0, 0, 0, 1)
             assert r.compat == "BACKWARD"
+
+
+def test_mantel_haenszel_matches_python(spark):
+    import hashlib
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    exposed = orders.o_orderkey.map(
+        lambda k: int(hashlib.md5(f"mh{int(k)}".encode()).hexdigest()[:8], 16) / 4294967296.0 < 0.5
+    ).astype(int)
+    outcome = (orders.o_orderstatus == "F").astype(int)
+    df = pd.DataFrame(
+        {"s": orders.o_orderdate.dt.year, "e": exposed, "o": outcome}
+    )
+    ad_sum = bc_sum = 0.0
+    A = B = C = D = 0
+    for s in sorted(df.s.unique()):
+        g = df[df.s == s]
+        a = int(((g.e == 1) & (g.o == 1)).sum())
+        b = int(((g.e == 1) & (g.o == 0)).sum())
+        c = int(((g.e == 0) & (g.o == 1)).sum())
+        d = int(((g.e == 0) & (g.o == 0)).sum())
+        n = a + b + c + d
+        ad_sum += a * d / n
+        bc_sum += b * c / n
+        A, B, C, D = A + a, B + b, C + c, D + d
+    r = QUERIES["analytic_mantel_haenszel"].fn(spark, SF).collect()[0]
+    assert (r.a_tot, r.b_tot, r.c_tot, r.d_tot) == (A, B, C, D)
+    assert abs(r.or_mh - ad_sum / bc_sum) < 1e-9
+    assert abs(r.or_crude - (A * D) / (B * C)) < 1e-9
+    # a pure hash split is unassociated with the outcome: both ORs near 1
+    assert 0.6 < r.or_mh < 1.7 and 0.6 < r.or_crude < 1.7
