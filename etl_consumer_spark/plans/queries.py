@@ -18404,6 +18404,149 @@ def analytic_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Local harmonic centrality (Boldi & Vigna, "Axioms for Centrality",
+# Internet Math. 2014) bounded to the 3-hop neighborhood — the centrality
+# with a principled treatment of disconnection (unreachable contributes
+# zero, no infinite diameters), here depth-capped so per-round work is
+# one frontier join. Contributions are EXACT integers (1000000 div d), so
+# the per-node sum is pure long arithmetic; distances by iterated
+# min-join with anti-join exclusion of closer frontiers — the same
+# bounded-round discipline as graph_bfs_reachability.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_harmonic_centrality",
+    """
+    WITH raw AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    adj AS (SELECT a AS n, b AS m FROM raw UNION ALL SELECT b, a FROM raw),
+    d1 AS (SELECT DISTINCT n, m FROM adj),
+    d2 AS (
+      SELECT DISTINCT x.n, y.m
+      FROM d1 x JOIN d1 y ON y.n = x.m
+      WHERE y.m <> x.n
+        AND NOT EXISTS (SELECT 1 FROM d1 z WHERE z.n = x.n AND z.m = y.m)
+    ),
+    d3 AS (
+      SELECT DISTINCT x.n, y.m
+      FROM d2 x JOIN d1 y ON y.n = x.m
+      WHERE y.m <> x.n
+        AND NOT EXISTS (SELECT 1 FROM d1 z WHERE z.n = x.n AND z.m = y.m)
+        AND NOT EXISTS (SELECT 1 FROM d2 z WHERE z.n = x.n AND z.m = y.m)
+    ),
+    contrib AS (
+      SELECT n, 1000000 AS w FROM d1
+      UNION ALL SELECT n, 500000 FROM d2
+      UNION ALL SELECT n, 333333 FROM d3
+    )
+    SELECT n AS node, count(*)::BIGINT AS n_reach3,
+           sum(w)::BIGINT AS harmonic_micro
+    FROM contrib GROUP BY n
+    """,
+    doc="3-hop-bounded harmonic centrality (Boldi-Vigna 2014): per node "
+        "the sum over nodes at distance d <= 3 of 1000000 div d — exact "
+        "integer contributions (1000000/500000/333333), distances by "
+        "iterated min-join with anti-join exclusion of closer rings (the "
+        "bfs discipline, 3 bounded rounds); unreachable-by-3 contributes "
+        "zero, which is the harmonic fix for disconnected graphs that "
+        "closeness centrality lacks",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 400
+    b = F.col("o_orderkey") % 400
+    raw = (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    d1 = (
+        raw.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(raw.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .distinct()
+    )
+    step = d1.select(F.col("n").alias("hop_n"), F.col("m").alias("hop_m"))
+    d2 = (
+        d1.join(step, d1.m == F.col("hop_n"))
+        .select("n", F.col("hop_m").alias("m"))
+        .filter(F.col("m") != F.col("n"))
+        .distinct()
+        .join(d1, ["n", "m"], "left_anti")
+    )
+    d3 = (
+        d2.join(step, d2.m == F.col("hop_n"))
+        .select("n", F.col("hop_m").alias("m"))
+        .filter(F.col("m") != F.col("n"))
+        .distinct()
+        .join(d1, ["n", "m"], "left_anti")
+        .join(d2, ["n", "m"], "left_anti")
+    )
+    contrib = (
+        d1.select("n", F.lit(1000000).alias("w"))
+        .unionAll(d2.select("n", F.lit(500000).alias("w")))
+        .unionAll(d3.select("n", F.lit(333333).alias("w")))
+    )
+    return contrib.groupBy(F.col("n").alias("node")).agg(
+        F.count("*").cast("long").alias("n_reach3"),
+        F.sum("w").cast("long").alias("harmonic_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter repair and replay — the ops loop behind every dead-letter
+# queue: malformed events park, get repaired (the missing required field
+# filled), and REPLAY through the same apply path; the contract is
+# CONVERGENCE — the final state must be exactly what a clean stream would
+# have produced. The oracle computes the clean-stream state directly, so
+# the driver gate checks convergence itself; applied_via records which
+# path each key took.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_dead_letter_replay",
+    """
+    SELECT o_orderkey AS k, o_totalprice + 500 AS v,
+           CASE WHEN o_orderkey % 7 = 3 THEN 'replay' ELSE 'direct' END AS applied_via
+    FROM orders
+    """,
+    doc="dead-letter repair + replay convergence: update events missing a "
+        "required field (orderkey % 7 = 3) dead-letter on first pass, are "
+        "repaired by restoring the field from the envelope key, and replay "
+        "through the SAME apply expression; the oracle is the clean-stream "
+        "state, so the gate verifies convergence — the repaired path must "
+        "be indistinguishable from the direct one except for the "
+        "applied_via audit column",
+)
+def cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # wire events: the required business key is NULL for the poisoned slice
+    ev = orders.select(
+        F.when(F.col("o_orderkey") % 7 != 3, F.col("o_orderkey")).alias("key_field"),
+        F.col("o_orderkey").alias("envelope_key"),
+        (F.col("o_totalprice") + 500).alias("v_new"),
+    )
+    good = ev.filter(F.col("key_field").isNotNull())
+    dead = ev.filter(F.col("key_field").isNull())
+    applied_direct = good.select(
+        F.col("key_field").alias("k"), F.col("v_new").alias("v"),
+        F.lit("direct").alias("applied_via"),
+    )
+    # repair: restore the required field from the envelope key, replay
+    repaired = dead.select(
+        F.col("envelope_key").alias("key_field"), "envelope_key", "v_new"
+    )
+    applied_replay = repaired.select(
+        F.col("key_field").alias("k"), F.col("v_new").alias("v"),
+        F.lit("replay").alias("applied_via"),
+    )
+    return applied_direct.unionByName(applied_replay)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 7).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()

@@ -2128,3 +2128,51 @@ def test_mantel_haenszel_matches_python(spark):
     assert abs(r.or_crude - (A * D) / (B * C)) < 1e-9
     # a pure hash split is unassociated with the outcome: both ORs near 1
     assert 0.6 < r.or_mh < 1.7 and 0.6 < r.or_crude < 1.7
+
+
+def test_harmonic_centrality_matches_bfs_replay(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    adj = {}
+    for o in orders.itertuples():
+        k, c = int(o.o_orderkey), int(o.o_custkey)
+        if k % 3 == 0 and c % 400 != k % 400:
+            x, y = c % 400, k % 400
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+    rows = {r.node: r for r in QUERIES["graph_harmonic_centrality"].fn(spark, SF).collect()}
+    assert set(rows) == set(adj)
+    w = {1: 1000000, 2: 500000, 3: 333333}
+    for v, nb in adj.items():
+        # BFS to depth 3
+        dist = {v: 0}
+        frontier = {v}
+        for d in (1, 2, 3):
+            nxt = set()
+            for u in frontier:
+                for x in adj[u]:
+                    if x not in dist:
+                        dist[x] = d
+                        nxt.add(x)
+            frontier = nxt
+        reach = {u: d for u, d in dist.items() if 1 <= d <= 3}
+        r = rows[v]
+        assert r.n_reach3 == len(reach)
+        assert r.harmonic_micro == sum(w[d] for d in reach.values())
+
+
+def test_dead_letter_replay_converges(spark):
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    rows = {r.k: r for r in QUERIES["cdc_dead_letter_replay"].fn(spark, SF).collect()}
+    # convergence: EVERY key lands in the final state with the update applied
+    assert len(rows) == len(orders)
+    for o in orders.itertuples():
+        k = int(o.o_orderkey)
+        r = rows[k]
+        assert abs(r.v - (float(o.o_totalprice) + 500)) < 1e-9
+        assert r.applied_via == ("replay" if k % 7 == 3 else "direct")
+    n_replay = sum(1 for r in rows.values() if r.applied_via == "replay")
+    assert 0 < n_replay < len(rows)
