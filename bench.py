@@ -201,6 +201,40 @@ HEADLINE = [
     "stream_cdc_transactional",   # cross-batch tx hold-and-release
 ]
 
+# VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
+# list grows every round, so its total is never like-for-like round over
+# round; this is the end-of-round-5 headline set (commit 4ffb831), emitted
+# as headline_core_total alongside the growing full total. Do not add names
+# here — its value is that it never changes.
+HEADLINE_CORE = (
+    "f1_decimal_roundtrip", "cdc_apply_orders", "cdc_full_row_apply",
+    "event_counts", "olap_q1_pricing_summary", "olap_revenue_by_nation",
+    "olap_topk_orders_per_customer", "dedup_exact",
+    "dedup_minhash_signatures", "sim_knn_bruteforce", "sim_ivf_clusters",
+    "text_token_stats", "text_quality_langid", "mm_image_features",
+    "olap_q5_local_suppliers", "analytic_asof_join", "cdc_apply_sequential",
+    "stream_cdc_full_stack", "olap_q3_shipping_priority", "olap_cube",
+    "olap_lag_lead", "dedup_ngram_jaccard_capped", "stream_cdc_partitioned",
+    "dedup_lsh_candidates_capped", "sketch_hll_registers", "mm_metadata",
+    "sim_ivf_rerank", "mm_png_features", "mm_jpeg_features",
+    "mm_audio_features", "olap_q9_product_type_profit",
+    "olap_q21_waiting_suppliers", "text_decontaminate", "text_bm25_topk",
+    "graph_pagerank", "sim_pq_adc_topk", "sketch_count_min",
+    "analytic_gap_fill", "dedup_simhash_hamming",
+    "dedup_minhash_containment", "olap_range_frame_window",
+    "stream_outer_interval_join", "mm_gif_features", "text_chunk_split",
+    "sample_upsample_mix", "text_line_dedup", "text_bigram_lm",
+    "text_subword_tokenize", "layout_bucketed_join", "sim_kmeans_lloyd",
+    "graph_triangle_count", "text_winnow_fingerprint", "cdc_scd2_history",
+    "sample_pack_contexts", "text_dsir_importance", "graph_bom_explosion",
+    "mm_tiff_features", "sim_ivf_kmeans_rerank", "analytic_concurrency_sweep",
+    "olap_cube_grouping_id", "sketch_moments", "mm_image_ahash",
+    "layout_compaction", "text_rake_keywords", "olap_percentiles_exact",
+    "analytic_entropy_mi", "analytic_markov_transitions", "text_zipf_fit",
+    "text_entropy_per_doc", "mm_ahash_robustness",
+    "source_csv_corrupt_records", "olap_window_distinct_count",
+)
+
 
 def _calib_work(_: int) -> int:
     import hashlib
@@ -302,10 +336,13 @@ def _measure(spark, sf_dir):
     drift = max(
         mp_calib_after / mp_calib_before, mp_calib_before / mp_calib_after
     )
+    core_total = sum(per_query[n] for n in HEADLINE_CORE if n in per_query)
     result = {
         "metric": "headline_total",
         "value": round(total, 3),
         "unit": "sec",
+        "headline_core_total": round(core_total, 3),
+        "headline_core_n": sum(1 for n in HEADLINE_CORE if n in per_query),
         "queries": per_query,
         "stream_phases": stream_phases,
         "scale_safe_total": round(total_scale_safe, 3),

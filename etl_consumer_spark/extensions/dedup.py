@@ -229,7 +229,11 @@ def jaccard_pairs(
         a_sh = shingles.select(F.col(id_col).alias("a"), "shingle")
         b_sh = shingles.select(F.col(id_col).alias("b"), "shingle")
         inter = (
+            # defensive distinct: a duplicated (a, b) candidate row would
+            # multiply n_common by its multiplicity; the distinct is a noop
+            # shuffle-wise when callers already dedup (AQE collapses it)
             pairs.select("a", "b")
+            .distinct()
             .join(a_sh, "a")
             .join(b_sh, ["b", "shingle"])
             .groupBy("a", "b")

@@ -263,6 +263,8 @@ def hits_fixed_point(edges: DataFrame, iterations: int = 2) -> DataFrame:
     bound: raw * HITS_SCALE must stay under 2^63, so max in-degree must be
     below 2^63 / HITS_SCALE^2 ~ 9.2e6 — comfortably above any real host
     graph's in-degree after the usual hub capping."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     e = edges.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -20,7 +20,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def hilbert_key(a: Column, b: Column, bits: int = 16) -> Column:
+def hilbert_key(a: Column, b: Column, bits: int = 15) -> Column:
     """Map two non-negative integer columns (low ``bits`` bits each) onto
     their Hilbert-curve index d in [0, 4^bits).
 

@@ -1299,6 +1299,12 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # separately so the stream metric grades the pipeline (VERDICT r5 #6).
 STREAM_PHASES: dict[str, float] = {}
 
+# Per-microbatch observability of the most recent stream_cdc_transactional
+# run, populated ONLY under SPARK_GRAFT_STREAM_PROBE=1 (tools/stream_probe.py):
+# each entry records batch size, surviving pending rows, and the pending
+# rewrite seconds — the evidence that the rewrite scales with pending size.
+TX_STREAM_BATCHES: list[dict] = []
+
 
 def _stream_cdc_run(spark: SparkSession, sf_dir: str, store=None) -> DataFrame:
     """Shared harness: serialize CDC events as Debezium envelopes, ride the
@@ -17312,10 +17318,14 @@ def analytic_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch 1 (orderkey % 17 = 5) arrive in batch 2; foreachBatch holds "
         "incomplete transactions in a pending parquet buffer and releases "
         "each atomically when its arrived count reaches the wire-carried "
-        "expected count; applied_batch records the release batch and the "
-        "oracle recomputes it as max(arrival batch) per tx — verifying "
-        "release TIMING, not just the final state; pending rewrite via "
-        "localCheckpoint so the buffer can be overwritten in place",
+        "expected count; applied_batch is the data-derived max(arrival "
+        "batch) per tx (the batch whose arrivals completed it), which the "
+        "oracle recomputes independently — a release-completeness check; "
+        "the actual foreachBatch epoch is recorded separately via "
+        "epoch-keyed result paths, which also make a retried microbatch "
+        "idempotent (it overwrites its own epoch partition instead of "
+        "appending duplicates); pending rewrite via localCheckpoint so the "
+        "buffer can be overwritten in place",
 )
 def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -17342,12 +17352,20 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_batch_order(f"{base}/in", seen, 2)
     pending_dir, results_dir = f"{base}/pending", f"{base}/results"
     ev.limit(0).write.parquet(pending_dir)
-    # seed results with zero rows so the final read never sees a missing path
+    # seed results with a zero-row epoch partition so the final
+    # partition-discovery read never sees a missing path
     spark.createDataFrame(
         [], "tx_id long, n_events long, applied_batch long, sum_cents long"
-    ).write.parquet(results_dir)
+    ).write.parquet(f"{results_dir}/epoch=-1")
+
+    import os as _os
+
+    probe = _os.environ.get("SPARK_GRAFT_STREAM_PROBE") == "1"
+    TX_STREAM_BATCHES.clear()
 
     def process(batch_df, epoch_id):
+        import time as _time
+
         s = batch_df.sparkSession
         pending = s.read.parquet(pending_dir)
         allev = pending.unionByName(batch_df)
@@ -17357,15 +17375,33 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
         done = comp.filter(F.col("n_arr") == F.col("tx_total"))
+        # epoch-keyed overwrite = idempotent under microbatch retry: a
+        # replayed epoch rewrites its own partition rather than appending
+        # a second copy of every released transaction
         done.select(
             "tx_id",
             F.col("n_arr").alias("n_events"),
             "applied_batch",
             "sum_cents",
-        ).write.mode("append").parquet(results_dir)
+        ).write.mode("overwrite").parquet(f"{results_dir}/epoch={int(epoch_id)}")
         rest = allev.join(done.select("tx_id"), "tx_id", "left_anti")
         # materialize before overwriting the path rest is lazily read from
-        rest.localCheckpoint(eager=True).write.mode("overwrite").parquet(pending_dir)
+        _tr0 = _time.time()
+        rest_m = rest.localCheckpoint(eager=True)
+        rest_m.write.mode("overwrite").parquet(pending_dir)
+        if probe:
+            # probe-only observability (SPARK_GRAFT_STREAM_PROBE=1): the
+            # pending-buffer rewrite must scale with PENDING size, never
+            # total state — the 10x probe reads these rows as evidence;
+            # counts cost extra jobs, so the bench path never pays them
+            TX_STREAM_BATCHES.append(
+                {
+                    "epoch": int(epoch_id),
+                    "n_batch": batch_df.count(),
+                    "n_pending_out": rest_m.count(),
+                    "pending_rewrite_s": round(_time.time() - _tr0, 3),
+                }
+            )
 
     q = (
         spark.readStream.schema(ev.schema)
@@ -17377,6 +17413,9 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # partition discovery surfaces the epoch column; drop it for the oracle
+    # shape (the data-derived applied_batch is the cross-engine-checkable
+    # release marker; epoch is the engine-side idempotence key)
     return spark.read.parquet(results_dir).select(
         "tx_id", "n_events", "applied_batch", "sum_cents"
     )
@@ -18409,9 +18448,10 @@ def analytic_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a principled treatment of disconnection (unreachable contributes
 # zero, no infinite diameters), here depth-capped so per-round work is
 # one frontier join. Contributions are EXACT integers (1000000 div d), so
-# the per-node sum is pure long arithmetic; distances by iterated
-# min-join with anti-join exclusion of closer frontiers — the same
-# bounded-round discipline as graph_bfs_reachability.
+# the per-node sum is pure long arithmetic; distances by candidate-ring
+# expansion with a single min-ring aggregation (shortest-path label =
+# min over ring-labeled candidate sets) — bounded rounds, no per-ring
+# anti-joins.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -18449,10 +18489,17 @@ def analytic_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="3-hop-bounded harmonic centrality (Boldi-Vigna 2014): per node "
         "the sum over nodes at distance d <= 3 of 1000000 div d — exact "
-        "integer contributions (1000000/500000/333333), distances by "
-        "iterated min-join with anti-join exclusion of closer rings (the "
-        "bfs discipline, 3 bounded rounds); unreachable-by-3 contributes "
-        "zero, which is the harmonic fix for disconnected graphs that "
+        "integer contributions (1000000/500000/333333); distances by "
+        "candidate-ring expansion + ONE min-ring aggregation (VERDICT r7 "
+        "#5): every pair at true distance d appears ring-labeled d along "
+        "a shortest path and never with a smaller label, so "
+        "groupBy(n,m).min(ring) IS the exact 3-bounded distance — same "
+        "semantics as per-ring anti-join exclusion at two fewer shuffles "
+        "per ring (and min() partial-aggregates map-side, so duplicate "
+        "3-hop candidates collapse before the exchange); the DuckDB "
+        "oracle keeps the NOT-EXISTS formulation, making the cross-check "
+        "two independent algorithms; unreachable-by-3 contributes zero, "
+        "which is the harmonic fix for disconnected graphs that "
         "closeness centrality lacks",
 )
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -18470,29 +18517,36 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     step = d1.select(F.col("n").alias("hop_n"), F.col("m").alias("hop_m"))
-    d2 = (
+    # candidate rings: cand_r holds pairs reachable within r hops (a
+    # SUPERSET of the exact ring); the min-ring aggregation below recovers
+    # exact distances. cand2 is distinct-ed because it is re-expanded (its
+    # multiplicity would multiply cand3's row count); cand3 is NOT — the
+    # min() groupBy partial-aggregates duplicates map-side more cheaply
+    # than a distinct's full exchange would.
+    cand2 = (
         d1.join(step, d1.m == F.col("hop_n"))
         .select("n", F.col("hop_m").alias("m"))
         .filter(F.col("m") != F.col("n"))
         .distinct()
-        .join(d1, ["n", "m"], "left_anti")
     )
-    d3 = (
-        d2.join(step, d2.m == F.col("hop_n"))
+    cand3 = (
+        cand2.join(step, cand2.m == F.col("hop_n"))
         .select("n", F.col("hop_m").alias("m"))
         .filter(F.col("m") != F.col("n"))
-        .distinct()
-        .join(d1, ["n", "m"], "left_anti")
-        .join(d2, ["n", "m"], "left_anti")
     )
-    contrib = (
-        d1.select("n", F.lit(1000000).alias("w"))
-        .unionAll(d2.select("n", F.lit(500000).alias("w")))
-        .unionAll(d3.select("n", F.lit(333333).alias("w")))
+    ringed = (
+        d1.select("n", "m", F.lit(1).alias("ring"))
+        .unionAll(cand2.select("n", "m", F.lit(2).alias("ring")))
+        .unionAll(cand3.select("n", "m", F.lit(3).alias("ring")))
     )
-    return contrib.groupBy(F.col("n").alias("node")).agg(
-        F.count("*").cast("long").alias("n_reach3"),
-        F.sum("w").cast("long").alias("harmonic_micro"),
+    dist = ringed.groupBy("n", "m").agg(F.min("ring").alias("dist"))
+    return (
+        dist.select("n", F.expr("1000000 div dist").alias("w"))
+        .groupBy(F.col("n").alias("node"))
+        .agg(
+            F.count("*").cast("long").alias("n_reach3"),
+            F.sum("w").cast("long").alias("harmonic_micro"),
+        )
     )
 
 
@@ -18547,76 +18601,118 @@ def cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver verification window ordering (round 7).
+# Driver verification window ordering (round 8).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
-# in iteration order. VERDICT r6 #1 enumerated the final 48 registry names
-# with replica-only records; this window drives ALL of them plus the two
-# queries rewritten after the r6 snapshot (sample_shard_assignment and
-# analytic_pareto_abc, both moved onto the two-level bucket prefix sum —
-# pareto is itself one of the 48) and the historical f3 sentinel: 1 + 1 + 48
-# = 50. After this round every registered query has at least one
-# driver-verified CORRECTNESS row. The rotation hedge stays mechanical: the
-# full-registry replica (tools/check_oracle.py --vanilla) must be green for
-# the CURRENT ordering — enforced by tests/test_driver_window.py against
-# REPLICA_STAMP.json, which only a green full-registry run can refresh.
+# in iteration order. VERDICT r7 #1 ordered the window rotated onto 50 of
+# the 85 never-driver-verified round-7 additions, oldest waves first; these
+# are exactly the first 50 of `registry order minus union(CORRECTNESS_r01..
+# r07 green rows)`. The remaining 35 are enumerated in _R9_BACKLOG below
+# and scheduled for the round-9 window; registry growth is frozen until the
+# backlog fits the window (enforced by tests/test_driver_window.py::
+# test_unverified_backlog_is_bounded_and_enumerated). The rotation hedge
+# stays mechanical: the full-registry replica (tools/check_oracle.py
+# --vanilla) must be green for the CURRENT ordering — enforced by
+# tests/test_driver_window.py against REPLICA_STAMP.json, which only a
+# green full-registry run can refresh.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # sentinel: the historical r3 driver failure stays visibly green
-    "f3_epoch_ms",
-    # rewritten this round: global window -> two-level bucket prefix sum
-    "sample_shard_assignment",
-    "analytic_pareto_abc",
-    # never-driver-verified (VERDICT r6 #1) — round-5 leftovers
-    "olap_range_frame_window",
-    "stream_outer_interval_join",
-    "text_chunk_split",
-    "sample_upsample_mix",
-    "source_orc_roundtrip",
-    "source_partitioned_pruning",
-    "layout_bucketed_join",
-    "text_html_strip",
-    "text_readability",
-    "text_bigram_lm",
-    "dedup_minhash_accuracy_eval",
-    "analytic_concurrency_sweep",
-    "source_dynamic_partition_pruning",
-    "sample_temperature_mix",
-    "text_line_dedup",
-    "text_subword_tokenize",
-    "olap_unpivot",
-    "sample_pack_contexts",
-    "text_dsir_importance",
-    # never-driver-verified — round-6 behind-window additions
-    "text_bpe_learn",
-    "source_compression_codecs",
-    "sample_epoch_shuffle",
-    "analytic_welch_ttest",
-    "graph_jaccard_linkpred",
-    "stream_late_data_metrics",
-    "mm_video_scene_cuts",
-    "mm_audio_vad",
-    "stream_cdc_snapshot_bootstrap",
-    "analytic_ewma_smoothing",
-    "analytic_cusum_changepoint",
-    "dedup_lsh_band_sweep",
-    "text_sentence_split",
-    "mm_image_hist_equalize",
-    "sample_weighted_reservoir",
-    "graph_kcore_peel",
-    "cdc_log_compaction",
-    "stream_cdc_drop_column",
-    "stream_cdc_rename_column",
-    "sim_binary_hamming_topk",
-    "text_langid_confusion",
-    "sample_split_leakage_check",
-    "text_bpe_vocab",
-    "analytic_autocorrelation",
-    "text_pmi_collocations",
-    "analytic_benford_digits",
-    "sample_balanced_classes",
-    "text_js_divergence_domains",
+    # round-7 wave 1-10 additions, never driver-verified (oldest first)
+    "f8_clean_text_charmap_full",
+    "mm_audio_downsample",
+    "sample_dsir_resample",
+    "source_jsonl_corrupt_records",
+    "graph_assortativity",
+    "analytic_kaplan_meier",
+    "graph_modularity",
+    "analytic_seasonal_decompose",
+    "stream_topk_heavy_hitters",
+    "mm_image_sobel_edges",
+    "stream_cdc_type_change",
+    "sample_mixture_solver",
+    "analytic_holt_winters",
+    "sample_interleave_datasets",
+    "text_ngram_novelty",
+    "analytic_ols_regression",
+    "layout_hilbert_key",
+    "graph_hits",
+    "text_hash_features",
+    "analytic_bootstrap_ci",
+    "dedup_bloom_prefilter",
+    "analytic_srm_chi2",
+    "layout_file_skipping_stats",
+    "mm_image_phash",
+    "graph_label_propagation",
+    "analytic_did",
+    "sketch_hll_union",
+    "sample_group_kfold",
+    "analytic_cuped",
+    "text_ccnet_buckets",
+    "dedup_minhash_b_bit",
+    "mm_image_blur_laplacian",
+    "analytic_k_anonymity",
+    "analytic_power_mde",
+    "dedup_semdedup",
+    "analytic_gini_lorenz",
+    "sample_length_bucketing",
+    "analytic_winsorize",
+    "analytic_attribution",
+    "cdc_gap_audit",
+    "graph_random_walk",
+    "analytic_rfm_segmentation",
+    "analytic_market_basket",
+    "sim_hard_negatives",
+    "mm_image_tiles",
+    "text_tokenizer_fertility",
+    "analytic_qte",
+    "sketch_quantile_accuracy_eval",
+    "cdc_consumer_lag",
+    "graph_clustering_coefficient",
+)
+
+# The 35 round-7 additions still awaiting a driver row after this round's
+# window; they are the round-9 window, in registration order. The backlog
+# lint (tests/test_driver_window.py) asserts that every registered query is
+# either driver-verified, in _DRIVER_WINDOW, or named here — so the
+# registry can never again grow more unverified entries than one window can
+# absorb.
+_R9_BACKLOG: tuple[str, ...] = (
+    "sketch_cm_accuracy_eval",
+    "sample_temporal_split_embargo",
+    "analytic_auc_roc",
+    "analytic_calibration_ece",
+    "analytic_psi_drift",
+    "analytic_ks_test",
+    "sketch_loglinear_quantiles",
+    "sim_jl_projection",
+    "sim_mips_topk",
+    "analytic_cohens_kappa",
+    "analytic_lift_deciles",
+    "dedup_url_canonical",
+    "olap_skyline_2d",
+    "cdc_transactional_apply",
+    "analytic_cramers_v",
+    "analytic_cem_att",
+    "sample_neyman_allocation",
+    "layout_log_replay_snapshot",
+    "cdc_scd_type3",
+    "text_code_detect",
+    "analytic_forecast_backtest",
+    "analytic_capture_recapture",
+    "stream_cdc_transactional",
+    "sim_centroid_drift",
+    "text_bigram_kneser_ney",
+    "analytic_anova_oneway",
+    "cdc_bitemporal_snapshot",
+    "analytic_qini_uplift",
+    "graph_resource_allocation",
+    "mm_image_ssim_blur",
+    "analytic_spearman_corr",
+    "cdc_schema_compat_audit",
+    "analytic_mantel_haenszel",
+    "graph_harmonic_centrality",
+    "cdc_dead_letter_replay",
 )
 
 

@@ -87,6 +87,11 @@ class PartitionedParquetStateStore:
         self.range_sizes = range_sizes
         self.target_bucket_rows = target_bucket_rows
 
+    # test seam (like _swap_bucket's crash seam): when set on an instance,
+    # called after the staged merge is materialized and before the manifest
+    # publish — the window the concurrent-writer tests interleave into
+    _post_stage_hook = None
+
     def _path(self, table: str) -> str:
         return f"{self.base}/{table}"
 
@@ -435,6 +440,8 @@ class PartitionedParquetStateStore:
         )
         for df in handle:
             df.unpersist()
+        if self._post_stage_hook is not None:
+            self._post_stage_hook(table)
         # surviving buckets come from the staging directory listing — no
         # extra Spark job (a touched bucket whose rows were ALL deleted
         # writes no partition directory)

@@ -119,3 +119,72 @@ def test_read_keys_composite_pk(spark, tmp_path):
     store.init("t", seed, ["a", "b"])
     out = store.read_keys("t", [(3, 1), (7, 4)])
     assert {(r["a"], r["b"], r["v"]) for r in out.collect()} == {(3, 1, 301), (7, 4, 704)}
+
+
+# -- concurrent-writer semantics (VERDICT r7 #6) ---------------------------
+# The staged-manifest protocol gives SINGLE-WRITER atomicity per table: the
+# staging directory and manifest are per-table, not per-writer, so the
+# protocol serializes through them. These tests document exactly what a
+# second writer does to an in-flight batch — the one semantic gap vs a real
+# Delta/Iceberg MERGE, whose log arbitrates concurrent committers
+# (COVERAGE.md §K1 carries the limits note).
+
+
+def test_two_writers_serialized_disjoint_buckets(spark, tmp_path):
+    """SERIALIZED batches from two distinct store instances are safe in any
+    bucket pattern: the persisted _layout.json sidecar makes both agree on
+    the bucketing, so each upsert is an independent atomic commit."""
+    a = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=8)
+    b = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=8)
+    state = spark.createDataFrame([(i, i * 10) for i in range(1, 9)], "id long, v long")
+    a.init("t", state, ["id"])
+    a.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]), ["id"])
+    b.upsert("t", ev_rows(spark, [(None, Row(id=200, v=2), 2, 0)]), ["id"])
+    got = {(r["id"], r["v"]) for r in a.read("t").collect()}
+    assert got == {(i, i * 10) for i in range(1, 9)} | {(100, 1), (200, 2)}
+
+
+def _interleave(spark, tmp_path, ids_a, ids_b):
+    """Writer A stages its merge; before A publishes its manifest, writer B
+    runs a FULL upsert on the same table; then A resumes."""
+    import pytest
+
+    a = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=8)
+    b = PartitionedParquetStateStore(spark, str(tmp_path), n_buckets=8)
+    state = spark.createDataFrame([(i, i * 10) for i in range(1, 9)], "id long, v long")
+    a.init("t", state, ["id"])
+    batch_a = ev_rows(spark, [(None, Row(id=i, v=1), i, 0) for i in ids_a])
+    batch_b = ev_rows(spark, [(None, Row(id=i, v=2), i, 0) for i in ids_b])
+
+    def b_interleaves(table):
+        b.upsert("t", batch_b, ["id"])
+
+    a._post_stage_hook = b_interleaves
+    # B's pre-write recovery finds A's staging with NO manifest — A never
+    # reached its commit point — and rolls it back (the crash-recovery rule
+    # applied to a live writer). A then fails LOUDLY on resume: its staging
+    # directory is gone, so it cannot publish a bogus manifest.
+    with pytest.raises((FileNotFoundError, OSError)):
+        a.upsert("t", batch_a, ["id"])
+    a._post_stage_hook = None
+    return a, {(r["id"], r["v"]) for r in a.read("t").collect()}
+
+
+def test_interleaved_writers_disjoint_buckets_lose_uncommitted_batch(spark, tmp_path):
+    """Disjoint key sets: B's batch commits, A's uncommitted batch is
+    discarded and A raises — never a torn or mixed table. Fail-loud lost
+    work, not corruption; retrying A's batch afterwards converges."""
+    a, got = _interleave(spark, tmp_path, ids_a=[100], ids_b=[200])
+    base = {(i, i * 10) for i in range(1, 9)}
+    assert got == base | {(200, 2)}  # B's commit only; A's never published
+    # A's batch retried after the failure applies cleanly (idempotent replay)
+    a.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 100, 0)]), ["id"])
+    got2 = {(r["id"], r["v"]) for r in a.read("t").collect()}
+    assert got2 == base | {(200, 2), (100, 1)}
+
+
+def test_interleaved_writers_overlapping_buckets_same_contract(spark, tmp_path):
+    """Same key (maximal overlap): identical contract — B's value commits,
+    A raises before publishing, no half-applied bucket ever visible."""
+    _, got = _interleave(spark, tmp_path, ids_a=[300], ids_b=[300])
+    assert got == {(i, i * 10) for i in range(1, 9)} | {(300, 2)}
