@@ -18490,17 +18490,23 @@ def analytic_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="3-hop-bounded harmonic centrality (Boldi-Vigna 2014): per node "
         "the sum over nodes at distance d <= 3 of 1000000 div d — exact "
         "integer contributions (1000000/500000/333333); distances by "
-        "candidate-ring expansion + ONE min-ring aggregation (VERDICT r7 "
-        "#5): every pair at true distance d appears ring-labeled d along "
-        "a shortest path and never with a smaller label, so "
-        "groupBy(n,m).min(ring) IS the exact 3-bounded distance — same "
-        "semantics as per-ring anti-join exclusion at two fewer shuffles "
-        "per ring (and min() partial-aggregates map-side, so duplicate "
-        "3-hop candidates collapse before the exchange); the DuckDB "
-        "oracle keeps the NOT-EXISTS formulation, making the cross-check "
-        "two independent algorithms; unreachable-by-3 contributes zero, "
-        "which is the harmonic fix for disconnected graphs that "
-        "closeness centrality lacks",
+        "BITSET multi-source BFS (VERDICT r7 #5 follow-through): the "
+        "projected node domain is 400 ids by construction, so each "
+        "node's reach set packs into 7 longs; reach2 = OR of neighbors' "
+        "adjacency bitmaps (one edge join + bit_or groupBy), reach3 = OR "
+        "of neighbors' reach2, and the exact rings fall out of per-word "
+        "bitmap algebra (ring3 = reach3 AND NOT(reach2|adj|self)) with "
+        "bit_count for the tallies — the pairwise candidate EXPANSION "
+        "(millions of intermediate rows in the anti-join/min-ring forms, "
+        "the measured 10 s cost) never materializes; the edge list, "
+        "capped at 400x399 rows at ANY input scale, joins a 400-row "
+        "broadcast bitmap table twice. Scale path for unbounded domains: "
+        "renumber per partition block (MS-BFS batching) or swap exact "
+        "bitsets for HLL registers (HyperBall, Boldi-Vigna) — the "
+        "engine's sketch_hll_registers device. DuckDB oracle keeps the "
+        "independent NOT-EXISTS formulation; unreachable-by-3 "
+        "contributes zero, the harmonic fix for disconnected graphs "
+        "that closeness centrality lacks",
 )
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -18515,38 +18521,69 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(F.col("a").alias("n"), F.col("b").alias("m"))
         .unionAll(raw.select(F.col("b").alias("n"), F.col("a").alias("m")))
         .distinct()
+        # the edge list (<= 400x399 rows) feeds THREE consumers (adjacency
+        # bitmaps + two neighbor-OR joins); a lazy localCheckpoint shares
+        # one materialization instead of rescanning orders three times
+        .localCheckpoint(eager=False)
     )
-    step = d1.select(F.col("n").alias("hop_n"), F.col("m").alias("hop_m"))
-    # candidate rings: cand_r holds pairs reachable within r hops (a
-    # SUPERSET of the exact ring); the min-ring aggregation below recovers
-    # exact distances. cand2 is distinct-ed because it is re-expanded (its
-    # multiplicity would multiply cand3's row count); cand3 is NOT — the
-    # min() groupBy partial-aggregates duplicates map-side more cheaply
-    # than a distinct's full exchange would.
-    cand2 = (
-        d1.join(step, d1.m == F.col("hop_n"))
-        .select("n", F.col("hop_m").alias("m"))
-        .filter(F.col("m") != F.col("n"))
-        .distinct()
+    n_words = 7  # ceil(400 / 64)
+    # adjacency bitmaps: per node, N(n) packed into n_words longs
+    bit_of_m = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m % 64 AS INT))")
+    adj = d1.groupBy("n").agg(
+        *[
+            F.bit_or(
+                F.when(F.expr("m div 64") == w, bit_of_m).otherwise(F.lit(0).cast("long"))
+            ).alias(f"w{w}")
+            for w in range(n_words)
+        ]
     )
-    cand3 = (
-        cand2.join(step, cand2.m == F.col("hop_n"))
-        .select("n", F.col("hop_m").alias("m"))
-        .filter(F.col("m") != F.col("n"))
-    )
-    ringed = (
-        d1.select("n", "m", F.lit(1).alias("ring"))
-        .unionAll(cand2.select("n", "m", F.lit(2).alias("ring")))
-        .unionAll(cand3.select("n", "m", F.lit(3).alias("ring")))
-    )
-    dist = ringed.groupBy("n", "m").agg(F.min("ring").alias("dist"))
-    return (
-        dist.select("n", F.expr("1000000 div dist").alias("w"))
-        .groupBy(F.col("n").alias("node"))
-        .agg(
-            F.count("*").cast("long").alias("n_reach3"),
-            F.sum("w").cast("long").alias("harmonic_micro"),
+
+    def neighbor_or(maps: DataFrame) -> DataFrame:
+        # reach(n) = OR over m in N(n) of maps(m): one broadcast join of the
+        # bounded edge list with the 400-row bitmap table + a bit_or groupBy
+        m_maps = maps.select(
+            F.col("n").alias("m"), *[F.col(f"w{w}").alias(f"mw{w}") for w in range(n_words)]
         )
+        return (
+            d1.join(F.broadcast(m_maps), "m")
+            .groupBy("n")
+            .agg(*[F.bit_or(f"mw{w}").alias(f"w{w}") for w in range(n_words)])
+        )
+
+    reach2 = neighbor_or(adj)
+    reach3 = neighbor_or(reach2)
+    r2 = reach2.select("n", *[F.col(f"w{w}").alias(f"r2_{w}") for w in range(n_words)])
+    r3 = reach3.select("n", *[F.col(f"w{w}").alias(f"r3_{w}") for w in range(n_words)])
+    joined = adj.join(F.broadcast(r2), "n").join(F.broadcast(r3), "n")
+    self_w = [
+        F.when(
+            F.expr("n div 64") == w,
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(n % 64 AS INT))"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        for w in range(n_words)
+    ]
+    ring2_w = [
+        F.col(f"r2_{w}").bitwiseAND(
+            F.bitwise_not(F.col(f"w{w}").bitwiseOR(self_w[w]))
+        )
+        for w in range(n_words)
+    ]
+    ring3_w = [
+        F.col(f"r3_{w}").bitwiseAND(
+            F.bitwise_not(
+                F.col(f"r2_{w}").bitwiseOR(F.col(f"w{w}")).bitwiseOR(self_w[w])
+            )
+        )
+        for w in range(n_words)
+    ]
+    pc1 = sum(F.bit_count(F.col(f"w{w}")).cast("long") for w in range(n_words))
+    pc2 = sum(F.bit_count(c).cast("long") for c in ring2_w)
+    pc3 = sum(F.bit_count(c).cast("long") for c in ring3_w)
+    return joined.select(
+        F.col("n").alias("node"),
+        (pc1 + pc2 + pc3).cast("long").alias("n_reach3"),
+        (1000000 * pc1 + 500000 * pc2 + 333333 * pc3).cast("long").alias("harmonic_micro"),
     )
 
 

@@ -42,6 +42,11 @@ DEFAULT_QUERIES = [
 
 
 def run_once(spark, name: str, sf_dir: str) -> dict:
+    # both observability containers are populated by SPECIFIC queries;
+    # clear them so a query without its own instrumentation can't report a
+    # predecessor's numbers
+    Q.STREAM_PHASES.clear()
+    Q.TX_STREAM_BATCHES.clear()
     t0 = time.time()
     Q.QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     out = {"wall_s": round(time.time() - t0, 3)}
@@ -50,6 +55,14 @@ def run_once(spark, name: str, sf_dir: str) -> dict:
     if Q.TX_STREAM_BATCHES:
         out["batches"] = [dict(b) for b in Q.TX_STREAM_BATCHES]
     return out
+
+
+def run_best(spark, name: str, sf_dir: str, n_runs: int = 2) -> dict:
+    """Steady-state: n_runs full runs, keep the lowest-wall one (the stream
+    harnesses carry several seconds of fixed micro-batch/checkpoint setup
+    that dominates a single cold run)."""
+    runs = [run_once(spark, name, sf_dir) for _ in range(n_runs)]
+    return min(runs, key=lambda r: r["wall_s"])
 
 
 def main() -> None:
@@ -70,8 +83,8 @@ def main() -> None:
 
     report = {"n_copies": n, "base_sf_dir": SF_DIR, "queries": {}}
     for name in names:
-        one = run_once(spark, name, SF_DIR)
-        big = run_once(spark, name, big_dir)
+        one = run_best(spark, name, SF_DIR)
+        big = run_best(spark, name, big_dir)
         entry = {
             "x1": one,
             f"x{n}": big,
