@@ -1,0 +1,303 @@
+"""K1 (multi-writer variant) — log-arbitrated state store with optimistic
+concurrency: the dependency-free core of what Delta Lake's transaction log
+does for MERGE, closing the single-writer gap documented in COVERAGE.md
+§K1 for deployments where two pipelines must commit to one table.
+
+Protocol (Delta-style OCC on a shared POSIX filesystem):
+
+1. **Snapshot read** — the table's current version V is the highest
+   ``_log/{v:08d}.json`` commit file; each commit carries the FULL bucket
+   manifest (bucket id → immutable data directory), so a snapshot is one
+   file read, and any historical version remains readable (time travel).
+2. **Write data files first** — the merged slice for the batch's touched
+   buckets is written to a fresh UUID-named directory under ``data/``.
+   Data directories are immutable and never renamed; until a commit
+   references them they are invisible garbage (crash before commit = no
+   state change, cleaned by :meth:`vacuum`).
+3. **Atomic claim** — the writer composes the next manifest and claims
+   version V+1 by ``os.link``-ing a fully-written temp file to
+   ``_log/{V+1:08d}.json``. Hard-link creation is atomic and fails with
+   EEXIST if another writer got there first — the commit point, exactly
+   one winner per version.
+4. **Conflict resolution on EEXIST** — read the winning commit(s):
+   * winners' touched buckets DISJOINT from ours → **rebase**: our merged
+     data is still valid (state in our buckets is unchanged); re-compose
+     the manifest on top of the new snapshot and claim the next version.
+     No data rewrite.
+   * OVERLAP → **re-merge**: our merge read stale state for a shared
+     bucket; restart from the new snapshot (recompute the merge, write a
+     new data dir, retry). Bounded attempts, then raise.
+
+Equivalence: any successful interleaving is identical to SOME serial
+order of the same batches — the linearizability contract a real Delta
+MERGE provides. What this deliberately does NOT replicate: Delta's
+file-level (finer than bucket-level) conflict detection, checkpoints of
+the log, and its protocol versioning.
+
+Reference anchor: the reference consumer relies on MySQL transactions for
+this arbitration (main.go:135 — one db.Exec per event inside the target's
+own locking); this store supplies the equivalent guarantee for the
+parquet backend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_consumer_spark.operators.apply import apply_cdc
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a writer exhausts its optimistic-concurrency retries."""
+
+
+class LogCommitStateStore:
+    """Hash-bucketed state table whose commits are arbitrated by a numbered
+    log — safe for MULTIPLE concurrent writers (optimistic concurrency),
+    unlike the staged-manifest :class:`PartitionedParquetStateStore` whose
+    staging directory is single-writer per table."""
+
+    # test seam: called after the batch's data directory is fully written,
+    # before the first claim attempt — the window concurrent-writer tests
+    # interleave into (precedent: PartitionedParquetStateStore's hooks)
+    _pre_claim_hook = None
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        n_buckets: int = 64,
+        max_retries: int = 5,
+    ):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+        self.n_buckets = n_buckets
+        self.max_retries = max_retries
+
+    # -- paths ---------------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return f"{self.base}/{table}"
+
+    def _log_dir(self, table: str) -> str:
+        return f"{self._path(table)}/_log"
+
+    def _data_root(self, table: str) -> str:
+        return f"{self._path(table)}/data"
+
+    def _commit_path(self, table: str, version: int) -> str:
+        return f"{self._log_dir(table)}/{version:08d}.json"
+
+    # -- log primitives -------------------------------------------------------
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            names = [
+                n for n in os.listdir(self._log_dir(table)) if n.endswith(".json")
+            ]
+        except FileNotFoundError:
+            return None
+        return max((int(n[:-5]) for n in names), default=None)
+
+    def _read_commit(self, table: str, version: int) -> dict:
+        with open(self._commit_path(table, version)) as fh:
+            return json.loads(fh.read())
+
+    def _snapshot(self, table: str) -> tuple[int, dict]:
+        v = self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table!r} has no commits")
+        return v, self._read_commit(table, v)
+
+    def _claim(self, table: str, version: int, commit: dict) -> bool:
+        """Atomically claim ``version``: hard-link a fully-written temp file
+        to the commit path. Exactly one writer can win a given version."""
+        tmp = f"{self._log_dir(table)}/.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(commit))
+        try:
+            os.link(tmp, self._commit_path(table, version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    # -- table lifecycle -------------------------------------------------------
+
+    def _bucket(self, pk_cols: list[str]):
+        return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(self.n_buckets))
+
+    def init(self, table: str, df: DataFrame, pk_cols: list[str]) -> None:
+        os.makedirs(self._log_dir(table), exist_ok=True)
+        data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
+        (
+            df.withColumn("_bucket", self._bucket(pk_cols))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(data_dir)
+        )
+        manifest = {
+            d.split("=", 1)[1]: data_dir
+            for d in os.listdir(data_dir)
+            if d.startswith("_bucket=")
+        }
+        commit = {
+            "version": 0,
+            "manifest": manifest,
+            "touched": sorted(manifest),
+            "pk": pk_cols,
+            "n_buckets": self.n_buckets,
+            "schema": df.schema.json(),
+            "writer": "init",
+        }
+        if not self._claim(table, 0, commit):
+            raise CommitConflictError(f"table {table!r} already initialized")
+
+    def _meta(self, table: str) -> dict:
+        """pk / bucket-count / schema ride on commit 0 and never change."""
+        return self._read_commit(table, 0)
+
+    def _empty(self, table: str) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(self._meta(table)["schema"]))
+        return self.spark.createDataFrame([], schema)
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Current state (or the exact state at any historical ``version`` —
+        commits are immutable, so time travel is a manifest lookup)."""
+        if version is None:
+            version, commit = self._snapshot(table)
+        else:
+            commit = self._read_commit(table, version)
+        manifest: dict = commit["manifest"]
+        if not manifest:
+            return self._empty(table)
+        by_dir: dict[str, list[int]] = {}
+        for b, d in manifest.items():
+            by_dir.setdefault(d, []).append(int(b))
+        parts = [
+            # partition pruning: _bucket is the partition column, so each
+            # directory scan reads only the buckets it still owns
+            self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
+            for d, bs in by_dir.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop("_bucket")
+
+    # -- the OCC upsert ---------------------------------------------------------
+
+    def upsert(self, table: str, events: DataFrame, missing_update: str = "upsert") -> int:
+        """Apply one micro-batch under optimistic concurrency; returns the
+        committed version. Safe to call from multiple writers on one table."""
+        meta = self._meta(table)
+        pk_cols = meta["pk"]
+        key_cols = [
+            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in pk_cols
+        ]
+        bucket_of_event = F.pmod(F.hash(*key_cols), F.lit(meta["n_buckets"]))
+        touched = sorted(
+            str(r["_b"])
+            for r in events.select(bucket_of_event.alias("_b")).distinct().collect()
+        )
+        if not touched:
+            return self.current_version(table)
+
+        attempt = 0
+        while True:
+            base_v, commit = self._snapshot(table)
+            manifest = dict(commit["manifest"])
+            # merge against the SNAPSHOT's view of the touched buckets
+            by_dir: dict[str, list[int]] = {}
+            for b in touched:
+                if b in manifest:
+                    by_dir.setdefault(manifest[b], []).append(int(b))
+            if by_dir:
+                parts = [
+                    self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
+                    for d, bs in by_dir.items()
+                ]
+                state_slice = parts[0]
+                for p in parts[1:]:
+                    state_slice = state_slice.unionByName(p)
+                state_slice = state_slice.drop("_bucket")
+            else:
+                state_slice = self._empty(table)
+            merged = apply_cdc(state_slice, events, pk_cols, missing_update=missing_update)
+            data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
+            (
+                merged.withColumn("_bucket", self._bucket(pk_cols))
+                .repartition(max(len(touched), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(data_dir)
+            )
+            surviving = {
+                d.split("=", 1)[1]
+                for d in os.listdir(data_dir)
+                if d.startswith("_bucket=")
+            }
+            if self._pre_claim_hook is not None:
+                self._pre_claim_hook(table)
+
+            # claim loop: rebase past disjoint winners without rewriting data
+            merge_v = base_v
+            while True:
+                latest = self.current_version(table)
+                conflict = False
+                for v in range(merge_v + 1, latest + 1):
+                    winner = self._read_commit(table, v)
+                    if set(winner["touched"]) & set(touched):
+                        conflict = True
+                        break
+                if conflict:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    break  # re-merge from the new snapshot
+                # disjoint winners: rebase our manifest onto the latest
+                base = self._read_commit(table, latest)["manifest"] if latest > base_v else manifest
+                new_manifest = {
+                    b: d for b, d in base.items() if b not in set(touched)
+                }
+                for b in touched:
+                    if b in surviving:
+                        new_manifest[b] = data_dir
+                next_commit = {
+                    "version": latest + 1,
+                    "manifest": new_manifest,
+                    "touched": touched,
+                    "writer": uuid.uuid4().hex[:8],
+                }
+                if self._claim(table, latest + 1, next_commit):
+                    return latest + 1
+                merge_v = latest  # lost the race; inspect the new winner(s)
+            attempt += 1
+            if attempt > self.max_retries:
+                raise CommitConflictError(
+                    f"gave up after {self.max_retries} re-merges on {table!r} "
+                    f"(buckets {touched} contended)"
+                )
+
+    # -- maintenance -------------------------------------------------------------
+
+    def vacuum(self, table: str) -> list[str]:
+        """Remove data directories no commit's CURRENT manifest references
+        and orphans from crashed writers. Readers of historical versions
+        lose time travel to vacuumed versions — same trade as Delta VACUUM."""
+        _, commit = self._snapshot(table)
+        live = set(commit["manifest"].values())
+        removed = []
+        root = self._data_root(table)
+        for d in os.listdir(root):
+            full = f"{root}/{d}"
+            if full not in live:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed

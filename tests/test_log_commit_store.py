@@ -1,0 +1,150 @@
+"""LogCommitStateStore: optimistic-concurrency commits for TRUE concurrent
+writers — the capability gap the staged-manifest store documents in
+COVERAGE.md §K1 (its tests show an interleaved second writer discarding
+the first's staging; here both commit)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_consumer_spark.sinks.log_commit import CommitConflictError, LogCommitStateStore
+
+
+def ev_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "before struct<id:long,v:long>, after struct<id:long,v:long>, pos long, ts_ms long",
+    )
+
+
+def seed(spark, store, n=8):
+    state = spark.createDataFrame([(i, i * 10) for i in range(1, n + 1)], "id long, v long")
+    store.init("t", state, ["id"])
+    return {(i, i * 10) for i in range(1, n + 1)}
+
+
+def contents(store):
+    return {(r["id"], r["v"]) for r in store.read("t").collect()}
+
+
+def _distinct_bucket_ids(spark, n_buckets, how_many=2, start=100):
+    """Pick ids landing in pairwise-distinct hash buckets."""
+    rows = (
+        spark.range(start, start + 500)
+        .select(F.col("id"), F.pmod(F.hash("id"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    picked, seen = [], set()
+    for r in rows:
+        if r["b"] not in seen:
+            picked.append(int(r["id"]))
+            seen.add(r["b"])
+        if len(picked) == how_many:
+            return picked
+    raise AssertionError("could not find distinct buckets")
+
+
+def test_upsert_matrix_and_versions(spark, tmp_path):
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, store)
+    v = store.upsert(
+        "t",
+        ev_rows(
+            spark,
+            [
+                (None, Row(id=100, v=1), 1, 0),            # insert
+                (Row(id=2, v=20), Row(id=2, v=21), 2, 0),  # update
+                (Row(id=3, v=30), None, 3, 0),             # delete
+            ],
+        ),
+    )
+    assert v == 1
+    expect = {t for t in base if t[0] not in (2, 3)} | {(2, 21), (100, 1)}
+    assert contents(store) == expect
+    # time travel: version 0 is still the seeded state
+    assert {(r["id"], r["v"]) for r in store.read("t", version=0).collect()} == base
+
+
+def test_true_interleave_disjoint_buckets_both_commit(spark, tmp_path):
+    """Writer A writes its data files; writer B commits a full batch before
+    A claims; A's claim sees a DISJOINT winner and REBASES — both batches
+    land, no data rewrite, versions 1 and 2."""
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, a)
+    id_a, id_b = _distinct_bucket_ids(spark, 8, 2)
+
+    def b_commits(table):
+        a._pre_claim_hook = None
+        b.upsert("t", ev_rows(spark, [(None, Row(id=id_b, v=2), 1, 0)]))
+
+    a._pre_claim_hook = b_commits
+    v = a.upsert("t", ev_rows(spark, [(None, Row(id=id_a, v=1), 1, 0)]))
+    assert v == 2  # B won version 1; A rebased onto it
+    assert contents(a) == base | {(id_a, 1), (id_b, 2)}
+
+
+def test_true_interleave_overlapping_buckets_remerges(spark, tmp_path):
+    """Same key from both writers: A's claim detects the overlap, discards
+    its stale merge, RE-MERGES from B's committed state, and commits —
+    the outcome equals the serial order B-then-A."""
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, a)
+
+    def b_commits(table):
+        a._pre_claim_hook = None  # fire once
+        b.upsert("t", ev_rows(spark, [(None, Row(id=500, v=2), 1, 0)]))
+
+    a._pre_claim_hook = b_commits
+    v = a.upsert("t", ev_rows(spark, [(Row(id=500, v=2), Row(id=500, v=1), 2, 0)]))
+    assert v == 2
+    # serial B-then-A: B inserts (500, 2), A updates it to (500, 1)
+    assert contents(a) == base | {(500, 1)}
+
+
+def test_crash_before_claim_leaves_state_unchanged(spark, tmp_path):
+    """A writer dying after its data write but before its claim changes
+    nothing: the directory is unreferenced garbage, removed by vacuum."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, store)
+
+    def die(table):
+        raise RuntimeError("writer crashed before claim")
+
+    store._pre_claim_hook = die
+    with pytest.raises(RuntimeError, match="before claim"):
+        store.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]))
+    store._pre_claim_hook = None
+    assert contents(store) == base
+    data_dirs = os.listdir(str(tmp_path / "t" / "data"))
+    assert len(data_dirs) == 2  # seed + orphan
+    removed = store.vacuum("t")
+    assert len(removed) == 1
+    assert contents(store) == base  # vacuum never touches referenced data
+
+
+def test_contended_same_bucket_gives_up_cleanly(spark, tmp_path):
+    """A writer that loses EVERY re-merge raises CommitConflictError rather
+    than spinning or corrupting — bounded optimism."""
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=8, max_retries=1)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    seed(spark, a)
+    counter = {"n": 0}
+
+    def always_conflict(table):
+        counter["n"] += 1
+        b.upsert("t", ev_rows(spark, [(None, Row(id=500, v=counter["n"]), counter["n"], 0)]))
+
+    a._pre_claim_hook = always_conflict
+    with pytest.raises(CommitConflictError, match="gave up"):
+        a.upsert("t", ev_rows(spark, [(Row(id=500, v=1), Row(id=500, v=99), 50, 0)]))
+    a._pre_claim_hook = None
+    # B's commits all landed; A's failed batch left no trace in the log
+    got = contents(a)
+    assert (500, counter["n"]) in got
+    assert not any(v == 99 for _, v in got)
