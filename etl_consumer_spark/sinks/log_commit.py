@@ -162,8 +162,19 @@ class LogCommitStateStore:
             raise CommitConflictError(f"table {table!r} already initialized")
 
     def _meta(self, table: str) -> dict:
-        """pk / bucket-count / schema ride on commit 0 and never change."""
-        return self._read_commit(table, 0)
+        """pk / bucket-count / schema ride on the LATEST commit that carries
+        them — commit 0 normally, or the most recent evolve() commit."""
+        v, commit = self._snapshot(table)
+        while "pk" not in commit:
+            v -= 1
+            commit = self._read_commit(table, v)
+        return commit
+
+    def _pk_cols(self, table: str) -> list[str]:
+        return list(self._meta(table)["pk"])
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._commit_path(table, 0))
 
     def _empty(self, table: str) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(self._meta(table)["schema"]))
@@ -195,10 +206,24 @@ class LogCommitStateStore:
 
     # -- the OCC upsert ---------------------------------------------------------
 
-    def upsert(self, table: str, events: DataFrame, missing_update: str = "upsert") -> int:
+    def upsert(
+        self,
+        table: str,
+        events: DataFrame,
+        pk_cols: list[str] | None = None,
+        missing_update: str = "upsert",
+    ) -> int:
         """Apply one micro-batch under optimistic concurrency; returns the
-        committed version. Safe to call from multiple writers on one table."""
+        committed version. Safe to call from multiple writers on one table.
+        ``pk_cols``, when given (the CDCPipeline call shape), must match the
+        table's committed pk — the key decides bucketing, so a mismatch
+        would silently mis-route rows."""
         meta = self._meta(table)
+        if pk_cols is not None and list(pk_cols) != list(meta["pk"]):
+            raise ValueError(
+                f"pk_cols {list(pk_cols)} do not match committed pk "
+                f"{list(meta['pk'])} for table {table!r}"
+            )
         pk_cols = meta["pk"]
         key_cols = [
             F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in pk_cols
@@ -284,6 +309,55 @@ class LogCommitStateStore:
                     f"gave up after {self.max_retries} re-merges on {table!r} "
                     f"(buckets {touched} contended)"
                 )
+
+    def evolve(self, table: str, statement: str) -> None:
+        """Apply one translated DDL statement as a FULL-BARRIER commit: the
+        evolved table is rewritten to a fresh data directory and committed
+        with every bucket marked touched, so any concurrent DML writer's
+        claim conflicts and re-merges against the evolved schema. The
+        commit carries the new schema/pk, which _meta resolves from the
+        latest carrier — commit 0 stays immutable. DDL is rare (the
+        reference pauses the connector around it, main.go:70-121), so the
+        full rewrite is acceptable; per-batch DML stays partial."""
+        import re
+
+        from etl_consumer_spark.sinks.state import evolve_frame
+
+        while True:
+            base_v, _ = self._snapshot(table)
+            meta = self._meta(table)
+            pk = list(meta["pk"])
+            n_buckets = meta["n_buckets"]
+            evolved = evolve_frame(self.read(table, version=base_v), statement)
+            m = re.match(r"(?i)ALTER TABLE \w+ RENAME COLUMN (\w+) TO (\w+)", statement)
+            if m and m.group(1) in pk:
+                pk = [m.group(2) if c == m.group(1) else c for c in pk]
+            data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
+            (
+                evolved.withColumn(
+                    "_bucket", F.pmod(F.hash(*[F.col(c) for c in pk]), F.lit(n_buckets))
+                )
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(data_dir)
+            )
+            manifest = {
+                d.split("=", 1)[1]: data_dir
+                for d in os.listdir(data_dir)
+                if d.startswith("_bucket=")
+            }
+            commit = {
+                "version": base_v + 1,
+                "manifest": manifest,
+                "touched": [str(b) for b in range(n_buckets)],
+                "pk": pk,
+                "n_buckets": n_buckets,
+                "schema": evolved.schema.json(),
+                "writer": "evolve",
+            }
+            if self._claim(table, base_v + 1, commit):
+                return
+            shutil.rmtree(data_dir, ignore_errors=True)
 
     # -- maintenance -------------------------------------------------------------
 

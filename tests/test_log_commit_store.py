@@ -148,3 +148,57 @@ def test_contended_same_bucket_gives_up_cleanly(spark, tmp_path):
     got = contents(a)
     assert (500, counter["n"]) in got
     assert not any(v == 99 for _, v in got)
+
+
+def test_evolve_is_full_barrier_commit(spark, tmp_path):
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, store)
+    store.evolve("t", "ALTER TABLE t ADD COLUMNS (note string)")
+    got = {(r["id"], r["v"], r["note"]) for r in store.read("t").collect()}
+    assert got == {(i, v, None) for i, v in base}
+    # the evolve commit carries the new schema; later upserts see it
+    ev = spark.createDataFrame(
+        [(None, Row(id=99, v=9, note="x"), 1, 0)],
+        "before struct<id:long,v:long,note:string>, "
+        "after struct<id:long,v:long,note:string>, pos long, ts_ms long",
+    )
+    store.upsert("t", ev, ["id"])
+    assert (99, 9, "x") in {
+        (r["id"], r["v"], r["note"]) for r in store.read("t").collect()
+    }
+
+
+def test_pipeline_e2e_with_log_commit_store(spark, tmp_path):
+    """The full Structured-Streaming CDC pipeline (envelope parse -> route
+    -> decode -> apply) committing through the log-arbitrated store: same
+    final state as the harness's expected batch semantics."""
+    from pyspark.sql import functions as SF
+
+    from etl_consumer_spark.plans.queries import _stream_cdc_run
+    from etl_consumer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store = LogCommitStateStore(spark, str(tmp_path / "state"), n_buckets=16)
+    got_df = _stream_cdc_run(spark, sf, store=store)
+    got = {
+        (r["o_orderkey"], r["o_custkey"], r["o_orderstatus"], round(r["o_totalprice"], 2))
+        for r in got_df.collect()
+    }
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # harness semantics: seed = k != 3; events k==0 update(+1000),
+    # k==1 delete, k==3 insert, k==2 untouched — final state is every
+    # order except k==1, with k==0 prices bumped
+    k = SF.col("o_orderkey") % 4
+    expected_df = orders.filter(k != 1).withColumn(
+        "o_totalprice",
+        SF.when(k == 0, SF.col("o_totalprice") + 1000.0).otherwise(SF.col("o_totalprice")),
+    )
+    expected = {
+        (r["o_orderkey"], r["o_custkey"], r["o_orderstatus"], round(r["o_totalprice"], 2))
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    # the log recorded one init commit plus one commit per applied microbatch
+    assert store.current_version("orders") >= 1
