@@ -361,17 +361,30 @@ class LogCommitStateStore:
 
     # -- maintenance -------------------------------------------------------------
 
-    def vacuum(self, table: str) -> list[str]:
+    def vacuum(self, table: str, retention_s: float = 3600.0) -> list[str]:
         """Remove data directories no commit's CURRENT manifest references
         and orphans from crashed writers. Readers of historical versions
-        lose time travel to vacuumed versions — same trade as Delta VACUUM."""
+        lose time travel to vacuumed versions — same trade as Delta VACUUM.
+
+        ``retention_s`` is the in-flight-writer guard (Delta's retention
+        window): a directory younger than it is NOT removed, because an
+        unreferenced young directory is indistinguishable from a LIVE
+        writer's data written but not yet claimed — deleting it would turn
+        that writer's commit into dangling manifest entries. Pass 0 only
+        when no other writer can be active."""
+        import time
+
         _, commit = self._snapshot(table)
         live = set(commit["manifest"].values())
         removed = []
         root = self._data_root(table)
+        now = time.time()
         for d in os.listdir(root):
             full = f"{root}/{d}"
-            if full not in live:
-                shutil.rmtree(full, ignore_errors=True)
-                removed.append(full)
+            if full in live:
+                continue
+            if now - os.path.getmtime(full) < retention_s:
+                continue  # possibly an in-flight writer's unclaimed data
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
         return removed

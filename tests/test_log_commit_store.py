@@ -123,7 +123,10 @@ def test_crash_before_claim_leaves_state_unchanged(spark, tmp_path):
     assert contents(store) == base
     data_dirs = os.listdir(str(tmp_path / "t" / "data"))
     assert len(data_dirs) == 2  # seed + orphan
-    removed = store.vacuum("t")
+    # retention guard: the orphan is YOUNG, so default vacuum must keep it
+    # (an unreferenced young dir could be a live writer's unclaimed data)
+    assert store.vacuum("t") == []
+    removed = store.vacuum("t", retention_s=0)
     assert len(removed) == 1
     assert contents(store) == base  # vacuum never touches referenced data
 
