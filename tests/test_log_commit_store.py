@@ -205,3 +205,75 @@ def test_pipeline_e2e_with_log_commit_store(spark, tmp_path):
     assert got == expected
     # the log recorded one init commit plus one commit per applied microbatch
     assert store.current_version("orders") >= 1
+
+
+def test_threaded_writers_all_commit(spark, tmp_path):
+    """REAL concurrency: four threads each commit three disjoint-key
+    batches against one table with no scripted interleaving. Every batch
+    must land (rebase absorbs lost races), versions must be a gap-free
+    sequence, and the final state must be the union of all batches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_writers, n_batches = 4, 3
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=16, max_retries=10)
+    base = seed(spark, store)
+
+    def writer(w):
+        s = LogCommitStateStore(spark, str(tmp_path), n_buckets=16, max_retries=10)
+        got_versions = []
+        for i in range(n_batches):
+            key = 1000 + w * 100 + i  # unique per (writer, batch): no overlap
+            v = s.upsert("t", ev_rows(spark, [(None, Row(id=key, v=w * 10 + i), 1, 0)]))
+            got_versions.append(v)
+        return got_versions
+
+    with ThreadPoolExecutor(max_workers=n_writers) as pool:
+        all_versions = [v for vs in pool.map(writer, range(n_writers)) for v in vs]
+
+    # exactly one commit per batch, versions 1..12 with no gaps or dupes
+    assert sorted(all_versions) == list(range(1, n_writers * n_batches + 1))
+    assert store.current_version("t") == n_writers * n_batches
+    expect = base | {
+        (1000 + w * 100 + i, w * 10 + i)
+        for w in range(n_writers)
+        for i in range(n_batches)
+    }
+    assert contents(store) == expect
+
+
+def test_randomized_serial_equivalence_with_partitioned_store(spark, tmp_path):
+    """Differential store test: the same seeded random batch sequence
+    applied serially through the staged-manifest store and the log-commit
+    store must land on IDENTICAL state (both delegate merging to
+    apply_cdc; this pins the read-slice/rewrite plumbing of each)."""
+    import random
+
+    from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
+
+    rng = random.Random(88)
+    seed_rows = [(k, rng.randrange(1000)) for k in range(40) if rng.random() < 0.6]
+    state = spark.createDataFrame(seed_rows, "id long, v long")
+    p = PartitionedParquetStateStore(spark, str(tmp_path / "p"), n_buckets=8)
+    lc = LogCommitStateStore(spark, str(tmp_path / "lc"), n_buckets=8)
+    p.init("t", state, ["id"])
+    lc.init("t", state, ["id"])
+
+    for _ in range(4):  # 4 batches of mixed ops over a hot 40-key space
+        rows = []
+        for pos in range(rng.randrange(3, 9)):
+            k = rng.randrange(40)
+            op = rng.choice(["insert", "update", "delete"])
+            v = rng.randrange(1000)
+            if op == "insert":
+                rows.append((None, Row(id=k, v=v), pos, 0))
+            elif op == "update":
+                rows.append((Row(id=k, v=0), Row(id=k, v=v), pos, 0))
+            else:
+                rows.append((Row(id=k, v=0), None, pos, 0))
+        batch = ev_rows(spark, rows)
+        p.upsert("t", batch, ["id"])
+        lc.upsert("t", batch, ["id"])
+
+    got_p = {(r["id"], r["v"]) for r in p.read("t").collect()}
+    got_lc = contents(lc)
+    assert got_p == got_lc
