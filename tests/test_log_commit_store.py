@@ -277,3 +277,15 @@ def test_randomized_serial_equivalence_with_partitioned_store(spark, tmp_path):
     got_p = {(r["id"], r["v"]) for r in p.read("t").collect()}
     got_lc = contents(lc)
     assert got_p == got_lc
+
+
+def test_read_plan_prunes_partitions(spark, tmp_path):
+    """read() must reach the scans with _bucket partition filters — each
+    data directory is read only for the buckets its manifest rows still
+    own, so a point-lookup-ish read never scans superseded bucket data."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    seed(spark, store)
+    store.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]))
+    plan = store.read("t")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan

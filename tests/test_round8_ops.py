@@ -103,3 +103,14 @@ def test_harmonic_min_ring_equals_antijoin_formulation(spark):
         .collect()
     }
     assert shipped == reference
+
+
+def test_harmonic_bitset_plan_shape(spark):
+    """The bitset plan must keep its joins broadcast (the bitmap tables are
+    <= 400 rows) and contain no per-pair expansion artifacts: no sort-merge
+    join, no cartesian product anywhere in the physical plan."""
+    df = Q.QUERIES["graph_harmonic_centrality"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
