@@ -285,11 +285,17 @@ def _cpu_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
-# stream queries whose fn runs the _stream_cdc_run harness: the envelope
-# synthesis + transport write and store seeding are test-DATA GENERATION, not
-# pipeline cost — their phase split is reported alongside the wall time so
-# the stream metric grades the pipeline (VERDICT r5 #6)
-_STREAM_QUERIES = ("stream_cdc_full_stack", "stream_cdc_partitioned")
+# stream queries whose fn populates STREAM_PHASES: the envelope synthesis +
+# transport write and store seeding are test-DATA GENERATION, not pipeline
+# cost — their phase split is reported alongside the wall time so the
+# stream metric grades the pipeline (VERDICT r5 #6; extended r8 to the
+# snapshot-bootstrap and mid-stream-DDL harnesses, the slowest bench rows)
+_STREAM_QUERIES = (
+    "stream_cdc_full_stack",
+    "stream_cdc_partitioned",
+    "stream_cdc_snapshot_bootstrap",
+    "stream_cdc_type_change",
+)
 
 
 def _measure(spark, sf_dir):

@@ -10988,6 +10988,9 @@ def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(None).cast("timestamp").alias("timestamp"),
         )
 
+    import time as _time
+
+    _t0 = _time.time()
     base = tempfile.mkdtemp(prefix="stream_snap_")
     # batch 1: the initial snapshot — op='r', before NULL, every row
     snap = orders.select(
@@ -11007,6 +11010,7 @@ def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("r.*")
     upd.unionByName(dele).coalesce(1).write.mode("append").parquet(f"{base}/transport")
     _pin_batch_order(f"{base}/transport", seen, 2)
+    _t1 = _time.time()
 
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
@@ -11017,6 +11021,7 @@ def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame
     store = PartitionedParquetStateStore(spark, f"{base}/state")
     # EMPTY init: schema only — the snapshot itself is the bootstrap
     store.init("orders", orders.limit(0), ["o_orderkey"])
+    _t2 = _time.time()
     pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
     q = pipe.start(
         file_envelope_stream(spark, f"{base}/transport", max_files_per_trigger=1),
@@ -11024,6 +11029,17 @@ def stream_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame
         trigger_available_now=True,
     )
     q.awaitTermination(300)
+    STREAM_PHASES.clear()
+    STREAM_PHASES.update(
+        {
+            # transport_write here includes the coalesce(1) JSON envelope
+            # synthesis of EVERY order row (the snapshot) — test-data
+            # generation, not pipeline cost; bench reports the split
+            "transport_write_s": round(_t1 - _t0, 3),
+            "store_seed_s": round(_t2 - _t1, 3),
+            "stream_run_s": round(_time.time() - _t2, 3),
+        }
+    )
     return store.read("orders").select("o_orderkey", "o_totalprice")
 
 
@@ -11605,6 +11621,7 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
     ``b2_after_builder`` on the NEW schema for keys %3==0 and %2==0."""
     import json
     import tempfile
+    import time as _time
 
     from etl_consumer_spark.config import Config
     from etl_consumer_spark.sinks.partitioned_state import PartitionedParquetStateStore
@@ -11612,6 +11629,7 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
     from etl_consumer_spark.sources.kafka import file_envelope_stream
     from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
 
+    _t0 = _time.time()
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     k = F.col("o_orderkey")
     old_t = "struct<o_orderkey:long,o_totalprice:double,o_note:string>"
@@ -11668,6 +11686,7 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
     ddl_row.unionByName(upd2).coalesce(1).write.mode("append").parquet(f"{base}/transport")
     _pin_batch_order(f"{base}/transport", seen, 2)
 
+    _t1 = _time.time()
     cfg = Config()
     cfg.server, cfg.db_name, cfg.tables = "srv", "db0", ["orders"]
     fields = [
@@ -11681,6 +11700,7 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
         spark.createDataFrame([], "o_orderkey long, o_totalprice double, o_note string"),
         ["o_orderkey"],
     )
+    _t2 = _time.time()
     pipe = CDCPipeline(spark, cfg, [TableSpec("orders", fields, ["o_orderkey"])], store)
     q = pipe.start(
         file_envelope_stream(spark, f"{base}/transport", max_files_per_trigger=1),
@@ -11688,6 +11708,16 @@ def _cdc_ddl_e2e(spark, sf_dir, ddl_sql, fields2_type, b2_after_builder, select_
         trigger_available_now=True,
     )
     q.awaitTermination(300)
+    STREAM_PHASES.clear()
+    STREAM_PHASES.update(
+        {
+            # envelope synthesis (coalesce(1) JSON encode, batch pinning) is
+            # test-data generation, not pipeline cost — bench splits it out
+            "transport_write_s": round(_t1 - _t0, 3),
+            "store_seed_s": round(_t2 - _t1, 3),
+            "stream_run_s": round(_time.time() - _t2, 3),
+        }
+    )
     return store.read("orders").select(*select_cols)
 
 

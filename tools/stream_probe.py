@@ -38,6 +38,8 @@ DEFAULT_QUERIES = [
     "stream_cdc_full_stack",
     "stream_cdc_transactional",
     "stream_cdc_partitioned",
+    "stream_cdc_snapshot_bootstrap",
+    "stream_cdc_type_change",
 ]
 
 
