@@ -180,6 +180,45 @@ class LogCommitStateStore:
         schema = T.StructType.fromJson(json.loads(self._meta(table)["schema"]))
         return self.spark.createDataFrame([], schema)
 
+    def read_keys(self, table: str, keys: list) -> DataFrame:
+        """Point/batch lookup with manifest + partition pruning: only the
+        data directories owning the requested keys' buckets are scanned,
+        and each scan carries a _bucket partition filter — O(|keys|/
+        n_buckets · state) I/O, the log-store twin of the partitioned
+        store's indexed SELECT path."""
+        meta = self._meta(table)
+        pk = meta["pk"]
+        if not keys:
+            return self._empty(table)
+        key_rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        state = self._empty(table)
+        key_df = self.spark.createDataFrame(
+            key_rows, T.StructType([state.schema[c] for c in pk])
+        )
+        wanted = {
+            str(r["_b"])
+            for r in key_df.select(
+                F.pmod(F.hash(*[F.col(c) for c in pk]), F.lit(meta["n_buckets"])).alias("_b")
+            )
+            .distinct()
+            .collect()
+        }
+        _, commit = self._snapshot(table)
+        manifest = {b: d for b, d in commit["manifest"].items() if b in wanted}
+        if not manifest:
+            return self._empty(table)
+        by_dir: dict[str, list[int]] = {}
+        for b, d in manifest.items():
+            by_dir.setdefault(d, []).append(int(b))
+        parts = [
+            self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
+            for d, bs in by_dir.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop("_bucket").join(F.broadcast(key_df), pk, "left_semi")
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Current state (or the exact state at any historical ``version`` —
         commits are immutable, so time travel is a manifest lookup)."""

@@ -289,3 +289,45 @@ def test_read_plan_prunes_partitions(spark, tmp_path):
     plan = store.read("t")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "_bucket" in plan
+
+
+def test_read_keys_pruned_lookup(spark, tmp_path):
+    """read_keys returns exactly the requested rows, prunes to the keys'
+    buckets (PartitionFilters in the plan), and reads only the manifest
+    directories owning those buckets."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    state = spark.createDataFrame([(i, i * 7) for i in range(1, 101)], "id long, v long")
+    store.init("t", state, ["id"])
+    store.upsert("t", ev_rows(spark, [(Row(id=15, v=105), Row(id=15, v=999), 1, 0)]))
+    out = store.read_keys("t", [15, 16, 55])
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows == {15: 999, 16: 112, 55: 385}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert store.read_keys("t", []).count() == 0
+
+
+def test_upsert_never_rewrites_untouched_data_dirs(spark, tmp_path):
+    """Per-batch I/O is O(touched buckets): an upsert adds ONE new data
+    directory and leaves every existing directory byte-identical (mtime
+    check, the partitioned store's invariance test applied here)."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=16)
+    state = spark.createDataFrame([(i, i) for i in range(200)], "id long, v long")
+    store.init("t", state, ["id"])
+    root = str(tmp_path / "t" / "data")
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(root):
+            for sub, _, files in os.walk(os.path.join(root, d)):
+                for f in files:
+                    p = os.path.join(sub, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    store.upsert("t", ev_rows(spark, [(Row(id=5, v=5), Row(id=5, v=99), 1, 0)]))
+    after = mtimes()
+    changed = [p for p in before if after.get(p) != before[p]]
+    assert changed == []  # existing files immutable
+    assert len(os.listdir(root)) == 2  # exactly one new data dir
