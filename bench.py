@@ -342,7 +342,13 @@ def _measure(spark, sf_dir):
     drift = max(
         mp_calib_after / mp_calib_before, mp_calib_before / mp_calib_after
     )
-    core_total = sum(per_query[n] for n in HEADLINE_CORE if n in per_query)
+    missing_core = [n for n in HEADLINE_CORE if n not in per_query]
+    assert not missing_core, (
+        f"HEADLINE_CORE names missing from the run: {missing_core} — the "
+        "frozen cross-round subset must never silently shrink; if a core "
+        "query was renamed, fix the rename, don't edit HEADLINE_CORE"
+    )
+    core_total = sum(per_query[n] for n in HEADLINE_CORE)
     result = {
         "metric": "headline_total",
         "value": round(total, 3),

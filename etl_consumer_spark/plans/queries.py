@@ -17352,10 +17352,11 @@ def analytic_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch) per tx (the batch whose arrivals completed it), which the "
         "oracle recomputes independently — a release-completeness check; "
         "the actual foreachBatch epoch is recorded separately via "
-        "epoch-keyed result paths, which also make a retried microbatch "
-        "idempotent (it overwrites its own epoch partition instead of "
-        "appending duplicates); pending rewrite via localCheckpoint so the "
-        "buffer can be overwritten in place",
+        "epoch-keyed result AND pending paths: a retried microbatch "
+        "re-reads its predecessor's pending buffer (immutable from its "
+        "perspective) and overwrites only its own epoch partitions, so "
+        "replay can neither double-release transactions nor double-count "
+        "arrivals — at-least-once idempotence for the whole harness",
 )
 def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -17381,9 +17382,14 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("arrival_batch") == 2).coalesce(1).write.mode("append").parquet(f"{base}/in")
     _pin_batch_order(f"{base}/in", seen, 2)
     pending_dir, results_dir = f"{base}/pending", f"{base}/results"
-    ev.limit(0).write.parquet(pending_dir)
-    # seed results with a zero-row epoch partition so the final
-    # partition-discovery read never sees a missing path
+    # pending buffers are EPOCH-KEYED like the results: process(e) reads the
+    # latest pending with epoch < e and writes pending/epoch=e, so a
+    # RETRIED microbatch re-reads its predecessor's buffer (immutable from
+    # its perspective) and overwrites only its own outputs — true
+    # at-least-once idempotence, not just for the results write. Seed with
+    # a zero-row epoch so the first batch (and the final
+    # partition-discovery read) never sees a missing path.
+    ev.limit(0).write.parquet(f"{pending_dir}/epoch=-1")
     spark.createDataFrame(
         [], "tx_id long, n_events long, applied_batch long, sum_cents long"
     ).write.parquet(f"{results_dir}/epoch=-1")
@@ -17394,10 +17400,21 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
     TX_STREAM_BATCHES.clear()
 
     def process(batch_df, epoch_id):
+        import os as _os
         import time as _time
 
+        e = int(epoch_id)
         s = batch_df.sparkSession
-        pending = s.read.parquet(pending_dir)
+        # read the LATEST pending buffer strictly older than this epoch —
+        # on a retry of epoch e, pending/epoch=e-1 is untouched by the
+        # failed attempt (it only wrote epoch=e paths), so the recompute
+        # sees exactly the attempt-1 inputs
+        prev = max(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(pending_dir)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < e
+        )
+        pending = s.read.parquet(f"{pending_dir}/epoch={prev}").drop("epoch")
         allev = pending.unionByName(batch_df)
         comp = allev.groupBy("tx_id", "tx_total").agg(
             F.count("*").cast("long").alias("n_arr"),
@@ -17406,19 +17423,19 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         done = comp.filter(F.col("n_arr") == F.col("tx_total"))
         # epoch-keyed overwrite = idempotent under microbatch retry: a
-        # replayed epoch rewrites its own partition rather than appending
-        # a second copy of every released transaction
+        # replayed epoch rewrites its own partitions (results AND pending)
+        # rather than appending a second copy or consuming its own output
         done.select(
             "tx_id",
             F.col("n_arr").alias("n_events"),
             "applied_batch",
             "sum_cents",
-        ).write.mode("overwrite").parquet(f"{results_dir}/epoch={int(epoch_id)}")
+        ).write.mode("overwrite").parquet(f"{results_dir}/epoch={e}")
         rest = allev.join(done.select("tx_id"), "tx_id", "left_anti")
-        # materialize before overwriting the path rest is lazily read from
         _tr0 = _time.time()
-        rest_m = rest.localCheckpoint(eager=True)
-        rest_m.write.mode("overwrite").parquet(pending_dir)
+        # no localCheckpoint needed: the write targets epoch=e, never the
+        # epoch=prev path the plan reads from
+        rest.write.mode("overwrite").parquet(f"{pending_dir}/epoch={e}")
         if probe:
             # probe-only observability (SPARK_GRAFT_STREAM_PROBE=1): the
             # pending-buffer rewrite must scale with PENDING size, never
@@ -17426,9 +17443,9 @@ def stream_cdc_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
             # counts cost extra jobs, so the bench path never pays them
             TX_STREAM_BATCHES.append(
                 {
-                    "epoch": int(epoch_id),
+                    "epoch": e,
                     "n_batch": batch_df.count(),
-                    "n_pending_out": rest_m.count(),
+                    "n_pending_out": s.read.parquet(f"{pending_dir}/epoch={e}").count(),
                     "pending_rewrite_s": round(_time.time() - _tr0, 3),
                 }
             )

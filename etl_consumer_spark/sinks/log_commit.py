@@ -132,14 +132,20 @@ class LogCommitStateStore:
 
     # -- table lifecycle -------------------------------------------------------
 
-    def _bucket(self, pk_cols: list[str]):
-        return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(self.n_buckets))
+    def _bucket(self, pk_cols: list[str], n_buckets: int):
+        """Bucket expression for a GIVEN bucket count — callers must pass
+        the table's COMMITTED count (meta['n_buckets']), never the
+        constructor hint: a store instance opened with a different
+        n_buckets would otherwise write data under bucket ids the
+        manifest keys (computed from the committed count) never match,
+        silently losing the batch."""
+        return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
 
     def init(self, table: str, df: DataFrame, pk_cols: list[str]) -> None:
         os.makedirs(self._log_dir(table), exist_ok=True)
         data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
         (
-            df.withColumn("_bucket", self._bucket(pk_cols))
+            df.withColumn("_bucket", self._bucket(pk_cols, self.n_buckets))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(data_dir)
@@ -162,13 +168,33 @@ class LogCommitStateStore:
             raise CommitConflictError(f"table {table!r} already initialized")
 
     def _meta(self, table: str) -> dict:
-        """pk / bucket-count / schema ride on the LATEST commit that carries
-        them — commit 0 normally, or the most recent evolve() commit."""
+        """pk / bucket-count / schema ride on EVERY commit (copied forward
+        by upsert, rewritten by evolve), so the latest commit answers in
+        O(1); the backwards walk only runs for tables written by older
+        code whose DML commits did not carry them."""
         v, commit = self._snapshot(table)
         while "pk" not in commit:
             v -= 1
             commit = self._read_commit(table, v)
         return commit
+
+    def _scan_buckets(self, table: str, manifest: dict) -> DataFrame:
+        """Union the data-directory scans for a bucket->dir manifest subset,
+        each pruned to the buckets that directory still owns (partition
+        filters on _bucket); empty manifest -> typed empty frame."""
+        if not manifest:
+            return self._empty(table)
+        by_dir: dict[str, list[int]] = {}
+        for b, d in manifest.items():
+            by_dir.setdefault(d, []).append(int(b))
+        parts = [
+            self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
+            for d, bs in by_dir.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop("_bucket")
 
     def _pk_cols(self, table: str) -> list[str]:
         return list(self._meta(table)["pk"])
@@ -205,19 +231,9 @@ class LogCommitStateStore:
         }
         _, commit = self._snapshot(table)
         manifest = {b: d for b, d in commit["manifest"].items() if b in wanted}
-        if not manifest:
-            return self._empty(table)
-        by_dir: dict[str, list[int]] = {}
-        for b, d in manifest.items():
-            by_dir.setdefault(d, []).append(int(b))
-        parts = [
-            self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
-            for d, bs in by_dir.items()
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.drop("_bucket").join(F.broadcast(key_df), pk, "left_semi")
+        return self._scan_buckets(table, manifest).join(
+            F.broadcast(key_df), pk, "left_semi"
+        )
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Current state (or the exact state at any historical ``version`` —
@@ -226,22 +242,7 @@ class LogCommitStateStore:
             version, commit = self._snapshot(table)
         else:
             commit = self._read_commit(table, version)
-        manifest: dict = commit["manifest"]
-        if not manifest:
-            return self._empty(table)
-        by_dir: dict[str, list[int]] = {}
-        for b, d in manifest.items():
-            by_dir.setdefault(d, []).append(int(b))
-        parts = [
-            # partition pruning: _bucket is the partition column, so each
-            # directory scan reads only the buckets it still owns
-            self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
-            for d, bs in by_dir.items()
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.drop("_bucket")
+        return self._scan_buckets(table, commit["manifest"])
 
     # -- the OCC upsert ---------------------------------------------------------
 
@@ -257,48 +258,39 @@ class LogCommitStateStore:
         ``pk_cols``, when given (the CDCPipeline call shape), must match the
         table's committed pk — the key decides bucketing, so a mismatch
         would silently mis-route rows."""
-        meta = self._meta(table)
-        if pk_cols is not None and list(pk_cols) != list(meta["pk"]):
-            raise ValueError(
-                f"pk_cols {list(pk_cols)} do not match committed pk "
-                f"{list(meta['pk'])} for table {table!r}"
-            )
-        pk_cols = meta["pk"]
-        key_cols = [
-            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in pk_cols
-        ]
-        bucket_of_event = F.pmod(F.hash(*key_cols), F.lit(meta["n_buckets"]))
-        touched = sorted(
-            str(r["_b"])
-            for r in events.select(bucket_of_event.alias("_b")).distinct().collect()
-        )
-        if not touched:
-            return self.current_version(table)
-
         attempt = 0
         while True:
+            # meta is re-read EVERY attempt: a concurrent evolve() commits
+            # a new pk/schema as a full-barrier conflict, and the re-merge
+            # must run against the evolved definition, not the stale one
+            meta = self._meta(table)
+            if pk_cols is not None and list(pk_cols) != list(meta["pk"]):
+                raise ValueError(
+                    f"pk_cols {list(pk_cols)} do not match committed pk "
+                    f"{list(meta['pk'])} for table {table!r}"
+                )
+            merge_pk = meta["pk"]
+            key_cols = [
+                F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")) for k in merge_pk
+            ]
+            bucket_of_event = F.pmod(F.hash(*key_cols), F.lit(meta["n_buckets"]))
+            touched = sorted(
+                str(r["_b"])
+                for r in events.select(bucket_of_event.alias("_b")).distinct().collect()
+            )
+            if not touched:
+                return self.current_version(table)
             base_v, commit = self._snapshot(table)
             manifest = dict(commit["manifest"])
             # merge against the SNAPSHOT's view of the touched buckets
-            by_dir: dict[str, list[int]] = {}
-            for b in touched:
-                if b in manifest:
-                    by_dir.setdefault(manifest[b], []).append(int(b))
-            if by_dir:
-                parts = [
-                    self.spark.read.parquet(d).filter(F.col("_bucket").isin(bs))
-                    for d, bs in by_dir.items()
-                ]
-                state_slice = parts[0]
-                for p in parts[1:]:
-                    state_slice = state_slice.unionByName(p)
-                state_slice = state_slice.drop("_bucket")
-            else:
-                state_slice = self._empty(table)
-            merged = apply_cdc(state_slice, events, pk_cols, missing_update=missing_update)
+            state_slice = self._scan_buckets(
+                table, {b: manifest[b] for b in touched if b in manifest}
+            )
+            merged = apply_cdc(state_slice, events, merge_pk, missing_update=missing_update)
             data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
             (
-                merged.withColumn("_bucket", self._bucket(pk_cols))
+                # bucket with the COMMITTED count — see _bucket's docstring
+                merged.withColumn("_bucket", self._bucket(merge_pk, meta["n_buckets"]))
                 .repartition(max(len(touched), 1), "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
@@ -337,6 +329,11 @@ class LogCommitStateStore:
                     "version": latest + 1,
                     "manifest": new_manifest,
                     "touched": touched,
+                    # carry the table definition forward so _meta answers
+                    # from the latest commit in O(1) at any table age
+                    "pk": list(merge_pk),
+                    "n_buckets": meta["n_buckets"],
+                    "schema": meta["schema"],
                     "writer": uuid.uuid4().hex[:8],
                 }
                 if self._claim(table, latest + 1, next_commit):

@@ -331,3 +331,16 @@ def test_upsert_never_rewrites_untouched_data_dirs(spark, tmp_path):
     changed = [p for p in before if after.get(p) != before[p]]
     assert changed == []  # existing files immutable
     assert len(os.listdir(root)) == 2  # exactly one new data dir
+
+
+def test_writer_with_different_bucket_hint_uses_committed_layout(spark, tmp_path):
+    """A store instance opened with a DIFFERENT n_buckets hint must bucket
+    its writes with the table's COMMITTED count — otherwise the manifest
+    keys (committed count) and the data partition values (instance hint)
+    diverge and the batch silently vanishes."""
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=16)
+    base = seed(spark, a)
+    b = LogCommitStateStore(spark, str(tmp_path))  # default hint: 64
+    b.upsert("t", ev_rows(spark, [(None, Row(id=300, v=3), 1, 0)]))
+    assert contents(a) == base | {(300, 3)}
+    assert {r["id"] for r in a.read_keys("t", [300]).collect()} == {300}

@@ -70,6 +70,11 @@ def run_best(spark, name: str, sf_dir: str, n_runs: int = 2) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     n = int(args[0]) if args and args[0].isdigit() else 10
+    stray = [a for a in args[1:] if a.isdigit()]
+    if stray:
+        # a digit anywhere but first would silently run at the default N
+        # while claiming the stray number's scale — refuse instead
+        sys.exit(f"N must be the FIRST argument; got stray digits {stray}")
     names = [a for a in args if not a.isdigit()] or DEFAULT_QUERIES
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
