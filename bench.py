@@ -199,6 +199,23 @@ HEADLINE = [
     "mm_image_ssim_blur",         # exact-integer SSIM through real decode
     "olap_skyline_2d",            # Pareto frontier, strict-prefix-max device
     "stream_cdc_transactional",   # cross-batch tx hold-and-release
+    # round-9 additions: HyperBall centrality, bitmap/AMS scale devices,
+    # experimentation stats wave, pipeline ops
+    "graph_harmonic_hll",         # HLL-256 neighborhood balls, |E|-bounded rounds
+    "olap_bitmap_distinct",       # 64-bit-word exact distinct (8 B/group shuffle)
+    "sketch_ams_f2",              # tug-of-war F2: 16 longs vs per-key groupBy
+    "analytic_mann_whitney_u",    # rank-sum via per-value counts, no rank window
+    "analytic_benjamini_hochberg", # BH-FDR step-up on exact chi2 p-values
+    "analytic_theil_sen",         # median pairwise slope, pre-aggregated series
+    "analytic_page_hinkley",      # sequential drift fold, flat accumulator
+    "analytic_two_proportion_ztest", # pooled z from one aggregation
+    "analytic_price_elasticity",  # per-brand exact OLS demand slope
+    "sample_poisson_bootstrap",   # one-pass per-row replicate weights
+    "cdc_snapshot_chunking",      # DBLog PK-range chunk watermarks
+    "cdc_outbox_relay",           # outbox dedup + per-aggregate sequencing
+    "text_ttr_mattr",             # sliding-window lexical diversity
+    "sim_rank_fusion_rrf",        # two-retriever reciprocal rank fusion
+    "layout_zone_overlap_depth",  # zone-map clustering-quality metric
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
@@ -298,10 +315,12 @@ _STREAM_QUERIES = (
 )
 
 
-def _measure(spark, sf_dir):
+def _measure(spark, sf_dir, names=None):
     """One full measurement pass: each query 3x, steady-state (min) time,
     calibration + loadavg bracketing the pass. Returns the result dict and
-    whether the box degraded mid-run (parallel16 calibration drift >1.5x)."""
+    whether the box degraded mid-run (parallel16 calibration drift >1.5x).
+    ``names`` defaults to the full HEADLINE list; the --sf1 scale-point
+    mode passes HEADLINE_CORE."""
     calib_before = _cpu_calibration()
     mp_calib_before = _cpu_calibration_parallel()
     load_before = os.getloadavg()
@@ -310,7 +329,7 @@ def _measure(spark, sf_dir):
     total = 0.0
     total_scale_safe = 0.0
     total_baseline = 0.0
-    for name in HEADLINE:
+    for name in (HEADLINE if names is None else names):
         q = QUERIES[name]
         times = []
         phases = []
@@ -387,7 +406,40 @@ def _wait_for_quiet(
     return round(time.time() - t0, 1)
 
 
+def main_sf1() -> None:
+    """--sf1: the VERDICT r8 #6 scale point — the FROZEN core set at
+    sf1.0 (10x the driver bench's data, engine-generated via
+    tools/gen_testdata.py since the driver's parquet stops at sf0.1).
+    Prints one JSON line; compare headline_core_total against the sf0.1
+    run's — a query whose sf1.0/sf0.1 ratio exceeds 12x (data grows 10x)
+    is flagged in-line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata_sf1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    quiet_wait = _wait_for_quiet()
+    spark = get_spark(
+        app_name="etl_consumer_spark_bench_sf1",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    result, degraded = _measure(spark, sf_dir, names=HEADLINE_CORE)
+    result["metric"] = "headline_core_total_sf1"
+    result["value"] = result.pop("headline_core_total")
+    result["sf"] = 1.0
+    result["quiet_wait_sec"] = quiet_wait
+    result["degraded"] = degraded
+    from etl_consumer_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "orders").count() * 3 // 4 * 2
+    result["cdc_events_per_sec"] = round(
+        n_events / result["queries"]["cdc_apply_orders"], 1
+    )
+    print(json.dumps(result))
+
+
 def main() -> None:
+    if "--sf1" in sys.argv:
+        return main_sf1()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
