@@ -216,6 +216,18 @@ HEADLINE = [
     "text_ttr_mattr",             # sliding-window lexical diversity
     "sim_rank_fusion_rrf",        # two-retriever reciprocal rank fusion
     "layout_zone_overlap_depth",  # zone-map clustering-quality metric
+    # round-9 wave-2 additions: sequential tests, attribution, shrinkage,
+    # truss cores, bloom skipping, PPR, raking
+    "analytic_sprt",              # Wald sequential test, ordered fold
+    "analytic_shapley_channels",  # exact 3-channel Shapley from 16 longs
+    "analytic_empirical_bayes",   # beta-binomial MoM shrinkage per brand
+    "analytic_tukey_hsd",         # studentized-range post-hoc pairs
+    "text_simpson_diversity",     # exact integer diversity ppm per source
+    "graph_k_truss",              # 2-iteration bitmap-support truss filter
+    "layout_bloom_file_skipping", # per-file Bloom vs zone-map pruning audit
+    "graph_personalized_pagerank",# seed-teleport integer fixed point
+    "cdc_watermark_alignment",    # multi-topic min-watermark frontier
+    "sample_raking_ipf",          # 3-round IPF marginal calibration
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

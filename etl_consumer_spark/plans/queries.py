@@ -19824,8 +19824,13 @@ def graph_harmonic_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(F.col("a").alias("n"), F.col("b").alias("m"))
         .unionAll(raw.select(F.col("b").alias("n"), F.col("a").alias("m")))
         .distinct()
-        # the bounded edge list feeds three merge rounds; share one
-        # materialization instead of rescanning orders each round
+        # spread the edge list across the cluster BEFORE the merge rounds:
+        # the register join expands each edge ~200x (sum_m |B(m)|), and AQE
+        # sizes the stage from the small pre-join frame — without this the
+        # whole expansion ran in 2 coalesced tasks (measured 4-5 s/round;
+        # <1 s spread). Checkpointed so three rounds share one
+        # materialization instead of rescanning orders.
+        .repartition(spark.sparkContext.defaultParallelism, "m")
         .localCheckpoint(eager=False)
     )
     nodes = d1.select("n").distinct()
@@ -19839,11 +19844,21 @@ def graph_harmonic_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_round(prev: DataFrame) -> DataFrame:
         # B_r(n) = merge(B_{r-1}(n), B_{r-1}(m) for m in N(n)): one edge
         # join against the broadcast register table + a register max —
-        # max is associative, so partials combine map-side
+        # max is associative, so partials combine map-side. Each round is
+        # localCheckpointed (registers are |V| x <=256 rows, tiny): the
+        # downstream plan broadcasts EVERY round's estimate frame, and
+        # without the cut each broadcast would recompute the whole round
+        # chain from the scan — O(rounds^2) work (measured 12-28 s vs
+        # ~1 s at sf0.1)
         neigh = d1.join(
             F.broadcast(prev.select(F.col("n").alias("m"), "bucket", "r")), "m"
         ).select("n", "bucket", "r")
-        return prev.unionByName(neigh).groupBy("n", "bucket").agg(F.max("r").alias("r"))
+        return (
+            prev.unionByName(neigh)
+            .groupBy("n", "bucket")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=False)
+        )
 
     b1 = merge_round(b0)
     b2 = merge_round(b1)
@@ -19872,6 +19887,924 @@ def graph_harmonic_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"+ ({e['3']} - {e['2']}) / 3, 6)"
         ).alias("harmonic_hll"),
     )
+
+
+# ===========================================================================
+# Round-9 wave 2: sequential testing (SPRT), exact Shapley attribution,
+# empirical-Bayes shrinkage, Tukey post-hoc, Simpson diversity, k-truss,
+# Bloom file skipping, personalized PageRank, IPF raking, multi-topic
+# watermark alignment. Scheduled in _R10_BACKLOG (deliberate growth per
+# VERDICT r8 #1's "freeze or resume deliberately").
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Wald's SPRT (Wald, Ann. Math. Stat. 1945): the sequential A/B test that
+# stops as soon as the evidence crosses a likelihood threshold, instead of
+# waiting for a fixed n. The log-likelihood ratio for Bernoulli streams is
+# LINEAR in the running counts, so the walk needs only (n, n1); the
+# first-crossing decision is inherently sequential and runs as one ordered
+# in-executor fold per monitored stream (the engine's holt/page-hinkley
+# device). Monitored slice bounded to the first 5000 keys per stream by
+# construction (a monitor watches a window, not the corpus).
+# ---------------------------------------------------------------------------
+
+# H0: p = 0.30, H1: p = 0.40; alpha = beta = 0.05 -> accept H1 when
+# llr >= ln(19), accept H0 when llr <= -ln(19). Literals are shared text.
+_SPRT_L1 = "0.2876820724517809"   # ln(0.40/0.30)
+_SPRT_L0 = "-0.15415067982725836"  # ln(0.60/0.70)
+_SPRT_A = "2.9444389791664403"    # ln(19)
+
+
+def _sprt_fold(acc: str, e: str) -> str:
+    llr = f"(({acc}[2] + {e}) * {_SPRT_L1} + ({acc}[1] + 1 - ({acc}[2] + {e})) * {_SPRT_L0})"
+    return (
+        f"[{acc}[1] + 1, {acc}[2] + {e}, "
+        f"CASE WHEN {acc}[3] <> 0.0 THEN {acc}[3] "
+        f"WHEN {llr} >= {_SPRT_A} THEN 1.0 "
+        f"WHEN {llr} <= -{_SPRT_A} THEN -1.0 ELSE 0.0 END, "
+        f"CASE WHEN {acc}[4] > 0.0 THEN {acc}[4] "
+        f"WHEN {llr} >= {_SPRT_A} OR {llr} <= -{_SPRT_A} THEN {acc}[1] + 1 "
+        f"ELSE 0.0 END]"
+    )
+
+
+@register(
+    "analytic_sprt",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority AS pri, count(*)::BIGINT AS n_seen,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n1,
+             list(CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END ORDER BY o_orderkey) AS xs
+      FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderpriority
+    ),
+    r AS (
+      SELECT pri, n_seen, n1,
+             list_reduce(
+               list_prepend(
+                 [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                 list_transform(xs, v -> [v])),
+               (acc, e) -> {_sprt_fold('acc', 'e[1]')}
+             ) AS st
+      FROM s
+    )
+    SELECT pri AS o_orderpriority, n_seen, n1,
+           round(st[2] * {_SPRT_L1} + (st[1] - st[2]) * {_SPRT_L0}, 6) AS llr_final,
+           CASE WHEN st[3] > 0.5 THEN 'accept_h1'
+                WHEN st[3] < -0.5 THEN 'accept_h0' ELSE 'continue' END AS decision,
+           CAST(st[4] AS BIGINT) AS decided_at
+    FROM r
+    """,
+    doc="Wald SPRT (1945), H0 p=0.30 vs H1 p=0.40, alpha=beta=0.05: the "
+        "sequential test that decides at the FIRST llr threshold crossing "
+        "— Bernoulli llr is linear in (n, successes), so the walk is one "
+        "ordered fold with a flat 4-double accumulator per monitored "
+        "stream (key-ordered, first-5000-keys window by construction); "
+        "identical fold text on both engines",
+)
+def analytic_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    x = F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    s = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n1"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(o_orderkey, "
+            "CASE WHEN o_orderstatus = 'F' THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END AS x))), p -> p.x)"
+        ).alias("xs"),
+    )
+    body = _sprt_fold("acc", "e")
+    assert body.startswith("[") and body.endswith("]")
+    spark_body = (
+        "array(" + body[1:-1].replace("acc[", "element_at(acc, ").replace("]", ")") + ")"
+    )
+    fold = (
+        "aggregate(xs, array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+        "CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), "
+        f"(acc, e) -> {spark_body})"
+    )
+    return s.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_seen",
+        "n1",
+        F.expr(
+            f"round(element_at({fold}, 2) * {_SPRT_L1} "
+            f"+ (element_at({fold}, 1) - element_at({fold}, 2)) * {_SPRT_L0}, 6)"
+        ).alias("llr_final"),
+        F.expr(
+            f"CASE WHEN element_at({fold}, 3) > 0.5 THEN 'accept_h1' "
+            f"WHEN element_at({fold}, 3) < -0.5 THEN 'accept_h0' "
+            f"ELSE 'continue' END"
+        ).alias("decision"),
+        F.expr(f"CAST(element_at({fold}, 4) AS BIGINT)").alias("decided_at"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution over 3 marketing channels (Shapley 1953; the
+# data-driven attribution model behind ad platforms): coalition value
+# v(S) = conversion rate of users whose touch-set is EXACTLY S, and with
+# |N| = 3 the permutation average collapses to a closed form over the 8
+# subset rates — all from ONE conditional aggregation of integer counts
+# (map-side combinable; at 100 TB the shuffle is 16 longs), no
+# permutation enumeration, no window. Weights: marginal from empty set
+# 1/3, from 1-sets 1/6 each, completing the grand coalition 1/3.
+# ---------------------------------------------------------------------------
+
+def _shap_rate(c: str, v: str) -> str:
+    return f"(CASE WHEN {c} = 0 THEN 0.0 ELSE CAST({v} AS DOUBLE) / {c} END)"
+
+
+def _shap_phi(i: str, j: str, k: str) -> str:
+    """Shapley value of channel i against the other two (j, k): shared-text
+    expression over the subset count/conversion columns c_<set>, v_<set>
+    where set names are sorted channel concatenations ('' for empty)."""
+    def r(chans: str) -> str:
+        key = "".join(sorted(chans)) or "none"
+        return _shap_rate(f"c_{key}", f"v_{key}")
+
+    return (
+        f"(({r(i)} - {r('')}) / 3"
+        f" + ({r(i + j)} - {r(j)}) / 6"
+        f" + ({r(i + k)} - {r(k)}) / 6"
+        f" + ({r(i + j + k)} - {r(j + k)}) / 3)"
+    )
+
+
+_SHAP_SETS = ["none", "c", "s", "v", "cs", "cv", "sv", "csv"]
+
+
+def _shap_agg_sql() -> str:
+    cols = []
+    for key in _SHAP_SETS:
+        cond = " AND ".join(
+            f"has_{ch} = {1 if (key != 'none' and ch in key) else 0}" for ch in "csv"
+        )
+        cols.append(f"count(*) FILTER ({cond})::BIGINT AS c_{key}")
+        cols.append(f"sum(CASE WHEN {cond} THEN conv ELSE 0 END)::BIGINT AS v_{key}")
+    return ",\n             ".join(cols)
+
+
+@register(
+    "analytic_shapley_channels",
+    f"""
+    WITH touch AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_s,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT {_shap_agg_sql()}
+      FROM touch
+    ),
+    chan AS (SELECT unnest(['click', 'signup', 'view']) AS channel)
+    SELECT channel,
+           round(CASE channel
+                   WHEN 'click' THEN {_shap_phi('c', 's', 'v')}
+                   WHEN 'signup' THEN {_shap_phi('s', 'c', 'v')}
+                   ELSE {_shap_phi('v', 'c', 's')} END, 6) AS shapley,
+           round({_shap_rate('c_csv', 'v_csv')} - {_shap_rate('c_none', 'v_none')}, 6)
+             AS grand_minus_null
+    FROM agg CROSS JOIN chan
+    """,
+    doc="exact 3-channel Shapley attribution (Shapley 1953): coalition "
+        "value = conversion rate of users touched by EXACTLY that channel "
+        "set; with |N|=3 the permutation average closes over the 8 subset "
+        "rates — ONE conditional aggregation of 16 longs (map-side "
+        "combinable), zero permutation enumeration; the additive credit "
+        "split ad attribution uses when last-touch double-counts",
+)
+def analytic_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    touch = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_c"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("has_s"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    aggs = []
+    for key in _SHAP_SETS:
+        cond = None
+        for ch in "csv":
+            want = 1 if (key != "none" and ch in key) else 0
+            c = F.col(f"has_{ch}") == want
+            cond = c if cond is None else (cond & c)
+        aggs.append(F.count(F.when(cond, 1)).cast("long").alias(f"c_{key}"))
+        aggs.append(F.sum(F.when(cond, F.col("conv")).otherwise(0)).cast("long").alias(f"v_{key}"))
+    agg = touch.agg(*aggs)
+    chan = spark.createDataFrame([("click",), ("signup",), ("view",)], "channel string")
+    return agg.crossJoin(F.broadcast(chan)).select(
+        "channel",
+        F.expr(
+            f"round(CASE channel WHEN 'click' THEN {_shap_phi('c', 's', 'v')} "
+            f"WHEN 'signup' THEN {_shap_phi('s', 'c', 'v')} "
+            f"ELSE {_shap_phi('v', 'c', 's')} END, 6)"
+        ).alias("shapley"),
+        F.expr(
+            f"round({_shap_rate('c_csv', 'v_csv')} - {_shap_rate('c_none', 'v_none')}, 6)"
+        ).alias("grand_minus_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes (beta-binomial) shrinkage: per-brand discounted-item
+# rates shrunk toward a method-of-moments beta prior — the small-n
+# correction every per-segment rate dashboard needs (a brand with 3 items
+# should not show rate 1.0). Group sums are exact longs; the prior's
+# mean/variance over the 25 brand rates is an ordered fold (deterministic
+# double order), and the shrinkage is a shared-text expression.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_empirical_bayes",
+    """
+    WITH g AS (
+      SELECT p.p_brand, count(*)::BIGINT AS n,
+             sum(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END)::BIGINT AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    rates AS (SELECT p_brand, n, x, CAST(x AS DOUBLE) / n AS r FROM g),
+    prior AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(r ORDER BY p_brand)), (a, b) -> a + b) / count(*) AS m,
+             count(*)::BIGINT AS k
+      FROM rates
+    ),
+    prior2 AS (
+      SELECT prior.m,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((r - prior.m) * (r - prior.m) ORDER BY p_brand)),
+               (a, b) -> a + b) / prior.k AS v
+      FROM rates CROSS JOIN prior GROUP BY prior.m, prior.k
+    ),
+    ab AS (
+      SELECT m, v, m * (m * (1 - m) / v - 1) AS alpha,
+             (1 - m) * (m * (1 - m) / v - 1) AS beta
+      FROM prior2
+    )
+    SELECT r.p_brand, r.n, r.x, round(r.r, 6) AS raw_rate,
+           round((r.x + ab.alpha) / (r.n + ab.alpha + ab.beta), 6) AS shrunk_rate,
+           round(ab.alpha, 6) AS prior_alpha, round(ab.beta, 6) AS prior_beta
+    FROM rates r CROSS JOIN ab
+    """,
+    doc="empirical-Bayes beta-binomial shrinkage of per-brand discount "
+        "rates: method-of-moments prior (alpha, beta) from the 25 brand "
+        "rates' mean/variance (ordered fold — deterministic double order), "
+        "shrunk = (x + alpha)/(n + alpha + beta); exact long group sums, "
+        "shared-text float arithmetic — the small-n dashboard correction",
+)
+def analytic_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0)).cast("long").alias("x"),
+        )
+    )
+    rates = g.select("p_brand", "n", "x", F.expr("CAST(x AS DOUBLE) / n").alias("r"))
+    prior = rates.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(p_brand, r))), "
+            "p -> p.r), CAST(0.0 AS DOUBLE), (a, b) -> a + b) / count(*)"
+        ).alias("m"),
+        F.count("*").cast("long").alias("k"),
+    )
+    prior2 = (
+        rates.crossJoin(F.broadcast(prior))
+        .groupBy("m", "k")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(p_brand, "
+                "(r - m) * (r - m) AS d))), p -> p.d), CAST(0.0 AS DOUBLE), "
+                "(a, b) -> a + b) / first(k)"
+            ).alias("v")
+        )
+    )
+    ab = prior2.select(
+        "m", "v",
+        F.expr("m * (m * (1 - m) / v - 1)").alias("alpha"),
+        F.expr("(1 - m) * (m * (1 - m) / v - 1)").alias("beta"),
+    )
+    return rates.crossJoin(F.broadcast(ab)).select(
+        "p_brand", "n", "x",
+        F.round("r", 6).alias("raw_rate"),
+        F.expr("round((x + alpha) / (n + alpha + beta), 6)").alias("shrunk_rate"),
+        F.round("alpha", 6).alias("prior_alpha"),
+        F.round("beta", 6).alias("prior_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey-Kramer HSD post-hoc (Tukey 1949): after ANOVA says "some group
+# differs", WHICH pairs differ — the studentized-range statistic per
+# priority pair over order totals (cents). Every input (group counts,
+# sums, sum of squares) is an exact long from ONE aggregation; MSW and
+# the 10 pairwise q statistics are shared-text float expressions over a
+# bounded 5x5 group self-join. Completes analytic_anova_oneway.
+# ---------------------------------------------------------------------------
+
+_TUKEY_Q = (
+    "((ma - mb) / sqrt(msw / 2 * (1.0 / na + 1.0 / nb)))"
+)
+
+
+@register(
+    "analytic_tukey_hsd",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority AS pri, count(*)::BIGINT AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS ss
+      FROM orders GROUP BY o_orderpriority
+    ),
+    msw AS (
+      SELECT (sum(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n))
+             / (sum(n) - count(*)) AS msw
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.pri AS pri_a, b.pri AS pri_b,
+             a.n AS na_l, b.n AS nb_l,
+             CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+             CAST(a.s AS DOUBLE) / a.n AS ma, CAST(b.s AS DOUBLE) / b.n AS mb
+      FROM g a JOIN g b ON a.pri < b.pri
+    )
+    SELECT pri_a, pri_b, na_l AS n_a, nb_l AS n_b,
+           round(ma - mb, 6) AS mean_diff_cents,
+           round({_TUKEY_Q}, 6) AS q_stat
+    FROM pairs CROSS JOIN msw
+    """,
+    doc="Tukey-Kramer HSD post-hoc on order totals by priority: "
+        "studentized-range q per group pair from exact long (n, sum, "
+        "sum-of-squares) in one aggregation; MSW and the 10 pairwise "
+        "statistics are shared-text floats over a bounded 5x5 self-join "
+        "— the which-pair-differs step after analytic_anova_oneway",
+)
+def analytic_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    msw = g.agg(
+        F.expr(
+            "(sum(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)) "
+            "/ (sum(n) - count(*))"
+        ).alias("msw")
+    )
+    a = g.select(
+        F.col("pri").alias("pri_a"), F.col("n").alias("na_l"),
+        F.expr("CAST(s AS DOUBLE) / n").alias("ma"),
+    )
+    b = g.select(
+        F.col("pri").alias("pri_b"), F.col("n").alias("nb_l"),
+        F.expr("CAST(s AS DOUBLE) / n").alias("mb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("pri_a") < F.col("pri_b")).select(
+        "pri_a", "pri_b", "na_l", "nb_l",
+        F.col("na_l").cast("double").alias("na"),
+        F.col("nb_l").cast("double").alias("nb"),
+        "ma", "mb",
+    )
+    return pairs.crossJoin(F.broadcast(msw)).select(
+        "pri_a", "pri_b",
+        F.col("na_l").alias("n_a"),
+        F.col("nb_l").alias("n_b"),
+        F.expr("round(ma - mb, 6)").alias("mean_diff_cents"),
+        F.expr(f"round({_TUKEY_Q}, 6)").alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity per source (Simpson, Nature 1949): the probability two
+# randomly drawn tokens differ — the corpus-health twin of per-doc entropy,
+# EXACT in integer arithmetic (sum c(c-1) over N(N-1), no logs), so the
+# score is reproducible bit-for-bit anywhere. One token groupBy, one
+# source groupBy; both map-side combinable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_simpson_diversity",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+      FROM documents
+    ),
+    tc AS (SELECT source, tk, count(*)::BIGINT AS c FROM tok GROUP BY source, tk),
+    s AS (
+      SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             sum(c * (c - 1))::BIGINT AS same_pairs
+      FROM tc GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(((n_tokens * (n_tokens - 1) - same_pairs) * 1000000)
+                // (n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+    FROM s
+    """,
+    doc="Simpson diversity index per source (1 - sum c(c-1)/N(N-1), the "
+        "probability two random tokens differ): EXACT integer ppm — no "
+        "logs, no floats, bit-reproducible on any engine; two map-side "
+        "combinable groupBys, the corpus-health gauge that flags a source "
+        "collapsing onto boilerplate vocabulary",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("tk"),
+    )
+    tc = tok.groupBy("source", "tk").agg(F.count("*").cast("long").alias("c"))
+    s = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("same_pairs"),
+    )
+    return s.select(
+        "source", "n_tokens", "n_types",
+        F.expr(
+            "((n_tokens * (n_tokens - 1) - same_pairs) * 1000000) "
+            "div (n_tokens * (n_tokens - 1))"
+        ).alias("simpson_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-truss filter (Cohen 2008): edges supported by >= k-2 triangles, the
+# community-core detector denser than k-core (every surviving edge sits in
+# k-2 triangles INSIDE the surviving subgraph). Two peel iterations, each
+# exact: per-edge support = popcount of the two endpoints' adjacency
+# BITMAP intersection (the engine's bitset device — the 400-id projected
+# domain packs into 7 longs), so a round is one broadcast join against a
+# 400-row bitmap table, never a wedge-enumeration join; the oracle
+# recomputes supports independently by common-neighbor counting joins.
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_k_truss",
+    """
+    WITH raw AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    d1 AS (SELECT a AS n, b AS m FROM raw UNION SELECT b, a FROM raw),
+    s1 AS (
+      SELECT r.a, r.b, count(*)::BIGINT AS sup
+      FROM raw r JOIN d1 x ON x.n = r.a JOIN d1 y ON y.n = r.b AND y.m = x.m
+      GROUP BY r.a, r.b
+    ),
+    e1 AS (SELECT a, b FROM s1 WHERE sup >= 2),
+    d2 AS (SELECT a AS n, b AS m FROM e1 UNION SELECT b, a FROM e1),
+    s2 AS (
+      SELECT r.a, r.b, count(*)::BIGINT AS sup
+      FROM e1 r JOIN d2 x ON x.n = r.a JOIN d2 y ON y.n = r.b AND y.m = x.m
+      GROUP BY r.a, r.b
+    )
+    SELECT a, b, sup AS support FROM s2 WHERE sup >= 2
+    """,
+    doc="4-truss edge filter (Cohen 2008), two peel iterations: per-edge "
+        "triangle support = popcount of the endpoints' adjacency-bitmap "
+        "AND (bitset device, 7 longs per node on the projected domain) — "
+        "each round is one broadcast bitmap join, no wedge-enumeration "
+        "blowup; recomputed on the SURVIVING subgraph so support is "
+        "truss-internal; oracle counts common neighbors via independent "
+        "joins. Unbounded-domain path: degree-ordered wedge join "
+        "(graph_triangle_count's shape) with per-edge aggregation",
+)
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 400
+    b = F.col("o_orderkey") % 400
+    raw = (
+        orders.filter((F.col("o_orderkey") % 5 == 0) & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_words = 7
+
+    def adj_bitmaps(edges: DataFrame) -> DataFrame:
+        d1 = edges.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+            edges.select(F.col("b").alias("n"), F.col("a").alias("m"))
+        ).distinct()
+        bit_of_m = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m % 64 AS INT))")
+        return d1.groupBy("n").agg(
+            *[
+                F.bit_or(
+                    F.when(F.expr("m div 64") == w, bit_of_m).otherwise(F.lit(0).cast("long"))
+                ).alias(f"w{w}")
+                for w in range(n_words)
+            ]
+        )
+
+    def support_filter(edges: DataFrame, k_minus_2: int) -> DataFrame:
+        adj = adj_bitmaps(edges)
+        aa = adj.select(F.col("n").alias("a"), *[F.col(f"w{w}").alias(f"aw{w}") for w in range(n_words)])
+        bb = adj.select(F.col("n").alias("b"), *[F.col(f"w{w}").alias(f"bw{w}") for w in range(n_words)])
+        sup = None
+        for w in range(n_words):
+            t = F.bit_count(F.col(f"aw{w}").bitwiseAND(F.col(f"bw{w}")))
+            sup = t if sup is None else sup + t
+        return (
+            edges.join(F.broadcast(aa), "a")
+            .join(F.broadcast(bb), "b")
+            .select("a", "b", sup.cast("long").alias("support"))
+            .filter(F.col("support") >= k_minus_2)
+        )
+
+    e1 = support_filter(raw, 2).select("a", "b").localCheckpoint(eager=False)
+    return support_filter(e1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping vs zone maps: the point-lookup pruning
+# comparison behind Parquet column Blooms / Delta bloom indexes. Zone maps
+# prune range-clustered keys; for a key UNCORRELATED with file order they
+# prune nothing — the per-file Bloom (1024 bits, 4 md5 hashes, the
+# engine's portable device) still skips most files at ~0.1% false-positive
+# cost. Everything is file-METADATA-sized: blooms are 32 words per file,
+# probes a fixed 40-key set, and the audit joins run on (files x probes).
+# ---------------------------------------------------------------------------
+
+@register(
+    "layout_bloom_file_skipping",
+    """
+    WITH files AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             min(o_custkey)::BIGINT AS zmin, max(o_custkey)::BIGINT AS zmax
+      FROM orders GROUP BY o_orderkey // 1000
+    ),
+    nf AS (SELECT count(*)::BIGINT AS n_files FROM files),
+    pos AS (
+      SELECT o_orderkey // 1000 AS file_id,
+             (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1 + 8*j.j, 8))::BIGINT
+              % 1024) AS p
+      FROM orders, unnest([0, 1, 2, 3]) AS j(j)
+    ),
+    bloom AS (
+      SELECT file_id, CAST(p // 32 AS INT) AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT))::BIGINT AS bits
+      FROM pos GROUP BY file_id, CAST(p // 32 AS INT)
+    ),
+    probes AS (SELECT unnest(generate_series(0, 39)) AS ck),
+    ppos AS (
+      SELECT ck,
+             (('0x' || substr(md5(CAST(ck AS VARCHAR)), 1 + 8*j.j, 8))::BIGINT
+              % 1024) AS p
+      FROM probes, unnest([0, 1, 2, 3]) AS j(j)
+    ),
+    bloom_hits AS (
+      SELECT pp.ck, f.file_id,
+             count(*) FILTER (b.bits IS NOT NULL
+                              AND (b.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0)
+               ::BIGINT AS set_bits
+      FROM ppos pp CROSS JOIN files f
+      LEFT JOIN bloom b ON b.file_id = f.file_id AND b.word_idx = CAST(pp.p // 32 AS INT)
+      GROUP BY pp.ck, f.file_id
+    ),
+    truth AS (
+      SELECT DISTINCT o_custkey AS ck, o_orderkey // 1000 AS file_id
+      FROM orders WHERE o_custkey < 40
+    )
+    SELECT p.ck AS probe_custkey, nf.n_files,
+           (SELECT count(*) FROM files f
+            WHERE p.ck < f.zmin OR p.ck > f.zmax)::BIGINT AS zone_skipped,
+           (SELECT count(*) FROM bloom_hits bh
+            WHERE bh.ck = p.ck AND bh.set_bits < 4)::BIGINT AS bloom_skipped,
+           (nf.n_files - (SELECT count(*) FROM truth t WHERE t.ck = p.ck))::BIGINT
+             AS truly_absent
+    FROM probes p CROSS JOIN nf
+    """,
+    doc="Bloom vs zone-map file skipping for point lookups (the Parquet "
+        "column-Bloom / Delta bloom-index trade): per simulated file a "
+        "1024-bit 4-hash md5 Bloom (32 words — file METADATA scale), 40 "
+        "probe keys; zone maps prune ~nothing for keys uncorrelated with "
+        "file order while the Bloom skips every truly-absent file minus "
+        "false positives (no false negatives — bloom_skipped <= "
+        "truly_absent, asserted in tests)",
+)
+def layout_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sketches import bloom_positions
+
+    orders = load_table(spark, sf_dir, "orders")
+    fid = F.expr("o_orderkey div 1000")
+    files = orders.groupBy(fid.alias("file_id")).agg(
+        F.min("o_custkey").cast("long").alias("zmin"),
+        F.max("o_custkey").cast("long").alias("zmax"),
+    ).localCheckpoint(eager=False)
+    nf = files.agg(F.count("*").cast("long").alias("n_files"))
+    pos = orders.select(
+        fid.alias("file_id"),
+        F.explode(bloom_positions(F.col("o_custkey"))).alias("p"),
+    )
+    bloom = pos.groupBy(
+        "file_id", F.expr("CAST(p div 32 AS INT)").alias("word_idx")
+    ).agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).alias("bits"))
+    probes = spark.range(40).select(F.col("id").alias("ck"))
+    ppos = probes.select("ck", F.explode(bloom_positions(F.col("ck"))).alias("p"))
+    # (probe-position x file) LEFT join on the bloom word, then count set bits
+    bh = (
+        ppos.crossJoin(files.select("file_id"))
+        .withColumn("word_idx", F.expr("CAST(p div 32 AS INT)"))
+        .join(F.broadcast(bloom), ["file_id", "word_idx"], "left")
+        .groupBy("ck", "file_id")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (
+                        F.col("bits").bitwiseAND(
+                            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+                        )
+                        != 0
+                    ),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("set_bits")
+        )
+    )
+    bloom_skipped = bh.filter(F.col("set_bits") < 4).groupBy("ck").agg(
+        F.count("*").cast("long").alias("bloom_skipped")
+    )
+    zone_skipped = (
+        probes.crossJoin(F.broadcast(files))
+        .filter((F.col("ck") < F.col("zmin")) | (F.col("ck") > F.col("zmax")))
+        .groupBy("ck")
+        .agg(F.count("*").cast("long").alias("zone_skipped"))
+    )
+    present = (
+        orders.filter(F.col("o_custkey") < 40)
+        .select(F.col("o_custkey").alias("ck"), fid.alias("file_id"))
+        .distinct()
+        .groupBy("ck")
+        .agg(F.count("*").cast("long").alias("n_present"))
+    )
+    return (
+        probes.crossJoin(F.broadcast(nf))
+        .join(F.broadcast(zone_skipped), "ck", "left")
+        .join(F.broadcast(bloom_skipped), "ck", "left")
+        .join(F.broadcast(present), "ck", "left")
+        .select(
+            F.col("ck").alias("probe_custkey"),
+            "n_files",
+            F.coalesce(F.col("zone_skipped"), F.lit(0)).cast("long").alias("zone_skipped"),
+            F.coalesce(F.col("bloom_skipped"), F.lit(0)).cast("long").alias("bloom_skipped"),
+            (F.col("n_files") - F.coalesce(F.col("n_present"), F.lit(0)))
+            .cast("long")
+            .alias("truly_absent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (the seed-biased variant behind related-item and
+# trust propagation): teleport mass returns to the SEED set instead of
+# all nodes, so rank localizes around the seeds. Same order-insensitive
+# integer fixed-point device as graph_pagerank (value-oracle-exact via
+# unrolled CTE stages); each iteration one edges-x-ranks join + one
+# groupBy(dst).
+# ---------------------------------------------------------------------------
+
+_PPR_SCALE = 1_000_000_000_000
+
+
+@register(
+    "graph_personalized_pagerank",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    seeds AS (SELECT node FROM nodes WHERE node % 10 = 0),
+    ns AS (SELECT count(*) AS ns FROM seeds),
+    r0 AS (SELECT nodes.node,
+                  CASE WHEN nodes.node % 10 = 0 THEN {_PPR_SCALE} // ns.ns ELSE 0 END AS r
+           FROM nodes CROSS JOIN ns),
+    c1 AS (SELECT e.dst, sum(r0.r // d.deg) AS s
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                  CASE WHEN nodes.node % 10 = 0
+                       THEN (15 * ({_PPR_SCALE} // ns.ns)) // 100 ELSE 0 END
+                  + (85 * coalesce(c1.s, 0)) // 100 AS r
+           FROM nodes CROSS JOIN ns LEFT JOIN c1 ON nodes.node = c1.dst),
+    c2 AS (SELECT e.dst, sum(r1.r // d.deg) AS s
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                  CASE WHEN nodes.node % 10 = 0
+                       THEN (15 * ({_PPR_SCALE} // ns.ns)) // 100 ELSE 0 END
+                  + (85 * coalesce(c2.s, 0)) // 100 AS r
+           FROM nodes CROSS JOIN ns LEFT JOIN c2 ON nodes.node = c2.dst),
+    c3 AS (SELECT e.dst, sum(r2.r // d.deg) AS s
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                  CASE WHEN nodes.node % 10 = 0
+                       THEN (15 * ({_PPR_SCALE} // ns.ns)) // 100 ELSE 0 END
+                  + (85 * coalesce(c3.s, 0)) // 100 AS r
+           FROM nodes CROSS JOIN ns LEFT JOIN c3 ON nodes.node = c3.dst)
+    SELECT node, r::BIGINT AS ppr FROM r3
+    """,
+    doc="personalized PageRank (3 iterations, damping 85/100, teleport to "
+        "the node%10=0 seed set): rank localizes around seeds — the "
+        "related-items / trust-propagation variant; same order-insensitive "
+        "integer fixed-point as graph_pagerank, value-oracle-exact via "
+        "unrolled CTEs, one join + one groupBy per iteration",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") % 100).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ns = nodes.filter(F.col("node") % 10 == 0).agg(F.count("*").alias("ns"))
+    seed_share = F.expr(f"CASE WHEN node % 10 = 0 THEN {_PPR_SCALE} div ns ELSE 0 END")
+    seed_base = F.expr(
+        f"CASE WHEN node % 10 = 0 THEN (15 * ({_PPR_SCALE} div ns)) div 100 ELSE 0 END"
+    )
+    ranks = nodes.crossJoin(F.broadcast(ns)).select("node", seed_share.alias("r"))
+    for _ in range(3):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(ns))
+            .join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (seed_base + F.expr("(85 * coalesce(s, 0)) div 100")).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("ppr"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-topic watermark alignment: a consumer over N partitioned CDC
+# topics can only emit results up to the MINIMUM per-topic watermark (the
+# slowest topic gates the join frontier — Structured Streaming's
+# multi-source semantics, Kafka Streams' stream-time alignment). Per-topic
+# max event time and the global min are two tiny aggregations; the lag
+# column is the backpressure signal a rebalancer keys on.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_watermark_alignment",
+    """
+    WITH t AS (
+      SELECT 'orders_' || CAST(o_orderkey % 3 AS VARCHAR) AS topic,
+             max(epoch(o_orderdate))::BIGINT AS wm_epoch_s,
+             count(*)::BIGINT AS n_events
+      FROM orders GROUP BY o_orderkey % 3
+    ),
+    g AS (SELECT min(wm_epoch_s)::BIGINT AS global_wm_s FROM t)
+    SELECT topic, n_events, wm_epoch_s, g.global_wm_s,
+           wm_epoch_s - g.global_wm_s AS lead_s
+    FROM t CROSS JOIN g
+    """,
+    doc="multi-topic watermark alignment: the emit frontier of an N-topic "
+        "consumer is the MIN of per-topic max event times (the slowest "
+        "topic gates joins/windows — Structured Streaming multi-source "
+        "semantics); per-topic lead over the global watermark is the "
+        "skew/backpressure signal; two map-side-combinable aggregations",
+)
+def cdc_watermark_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.groupBy(
+        F.concat(F.lit("orders_"), (F.col("o_orderkey") % 3).cast("string")).alias("topic")
+    ).agg(
+        F.max(F.unix_timestamp("o_orderdate")).cast("long").alias("wm_epoch_s"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    g = t.agg(F.min("wm_epoch_s").cast("long").alias("global_wm_s"))
+    return t.crossJoin(F.broadcast(g)).select(
+        "topic", "n_events", "wm_epoch_s", "global_wm_s",
+        (F.col("wm_epoch_s") - F.col("global_wm_s")).alias("lead_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPF raking (Deming & Stephan 1940): calibrate cell weights so both
+# marginals match targets — the survey-weighting / dataset-rebalancing
+# device (e.g. force a training mix to uniform strata x segment without
+# per-cell resampling). Three row/column scaling rounds over the bounded
+# 5x5 cell table; every marginal sum is an ordered fold so the float
+# arithmetic is deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+def _ipf_round_sql(win: str, wout: str) -> str:
+    """One IPF round (rows then columns) as DuckDB CTE text."""
+    return f"""
+    {wout}_r AS (
+      SELECT stratum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w ORDER BY segment)), (x, y) -> x + y) AS rsum
+      FROM {win} GROUP BY stratum
+    ),
+    {wout}_a AS (
+      SELECT c.stratum, c.segment, c.n, c.w * (t.row_target / r.rsum) AS w
+      FROM {win} c JOIN {wout}_r r ON r.stratum = c.stratum CROSS JOIN targets t
+    ),
+    {wout}_c AS (
+      SELECT segment,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w ORDER BY stratum)), (x, y) -> x + y) AS csum
+      FROM {wout}_a GROUP BY segment
+    ),
+    {wout} AS (
+      SELECT a.stratum, a.segment, a.n, a.w * (t.col_target / c.csum) AS w
+      FROM {wout}_a a JOIN {wout}_c c ON c.segment = a.segment CROSS JOIN targets t
+    )"""
+
+
+@register(
+    "sample_raking_ipf",
+    f"""
+    WITH cells AS (
+      SELECT c_nationkey % 5 AS stratum, c_mktsegment AS segment,
+             count(*)::BIGINT AS n, CAST(count(*) AS DOUBLE) AS w
+      FROM customer GROUP BY c_nationkey % 5, c_mktsegment
+    ),
+    targets AS (
+      SELECT CAST(sum(n) AS DOUBLE) / 5 AS row_target,
+             CAST(sum(n) AS DOUBLE) / 5 AS col_target
+      FROM cells
+    ),{_ipf_round_sql('cells', 'w1')},{_ipf_round_sql('w1', 'w2')},{_ipf_round_sql('w2', 'w3')}
+    SELECT stratum, segment, n, round(w, 6) AS w_raked
+    FROM w3
+    """,
+    doc="IPF raking (Deming-Stephan 1940), 3 row/column rounds: calibrate "
+        "the 5x5 (stratum, segment) cell weights until both marginals hit "
+        "uniform targets — the survey-weighting / training-mix-rebalance "
+        "device that needs no per-row resampling; marginal sums are "
+        "ordered folds (deterministic doubles), the cell table is bounded "
+        "so every round is marginal-table-sized",
+)
+def sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        (F.col("c_nationkey") % 5).alias("stratum"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").cast("long").alias("n")).withColumn(
+        "w", F.col("n").cast("double")
+    )
+    targets = cells.agg(
+        F.expr("CAST(sum(n) AS DOUBLE) / 5").alias("row_target"),
+        F.expr("CAST(sum(n) AS DOUBLE) / 5").alias("col_target"),
+    )
+
+    def fold_sum(key_col: str, order_col: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(array_sort(collect_list(struct({order_col}, w))), "
+            "p -> p.w), CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        )
+
+    w = cells
+    for _ in range(3):
+        rsum = w.groupBy("stratum").agg(fold_sum("stratum", "segment").alias("rsum"))
+        w = (
+            w.join(F.broadcast(rsum), "stratum")
+            .crossJoin(F.broadcast(targets))
+            .select(
+                "stratum", "segment", "n",
+                F.expr("w * (row_target / rsum)").alias("w"),
+            )
+        )
+        csum = w.groupBy("segment").agg(fold_sum("segment", "stratum").alias("csum"))
+        w = (
+            w.join(F.broadcast(csum), "segment")
+            .crossJoin(F.broadcast(targets))
+            .select(
+                "stratum", "segment", "n",
+                F.expr("w * (col_target / csum)").alias("w"),
+            )
+        )
+    return w.select("stratum", "segment", "n", F.round("w", 6).alias("w_raked"))
 
 
 # ---------------------------------------------------------------------------
@@ -19944,11 +20877,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "graph_harmonic_hll",
 )
 
-# Round-9 leaves NO unverified backlog beyond the scheduled window: every
-# registered query is either driver-verified in some CORRECTNESS_r*.json or
-# in _DRIVER_WINDOW above. The lint (tests/test_driver_window.py) keeps it
-# that way — a new registration without a scheduled slot fails pytest.
-_R10_BACKLOG: tuple[str, ...] = ()
+# The round-9 wave-2 additions, scheduled for the round-10 window
+# (deliberate growth per VERDICT r8 #1's "freeze or resume deliberately":
+# wave 2 registered AFTER the r9 window was fixed at 50, so these ten take
+# the next rotation; the lint keeps the unverified backlog <= one window).
+_R10_BACKLOG: tuple[str, ...] = (
+    "analytic_sprt",
+    "analytic_shapley_channels",
+    "analytic_empirical_bayes",
+    "analytic_tukey_hsd",
+    "text_simpson_diversity",
+    "graph_k_truss",
+    "layout_bloom_file_skipping",
+    "graph_personalized_pagerank",
+    "cdc_watermark_alignment",
+    "sample_raking_ipf",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -274,3 +274,143 @@ def test_harmonic_hll_round_cost_scales_with_edges_not_nodes_squared(spark):
     # and stays an order of magnitude below the all-pairs ratio
     assert growth <= 3 * edge_ratio, (growth, edge_ratio)
     assert growth < nodes_sq_ratio / 3, (growth, nodes_sq_ratio)
+
+
+# --- wave 2 -----------------------------------------------------------------
+
+
+def test_sprt_llr_consistent_and_decision_matches_threshold(spark):
+    """llr_final must equal the count-linear form, and any decision must
+    be consistent with a first-crossing replay."""
+    import math
+
+    l1, l0, a = math.log(0.4 / 0.3), math.log(0.6 / 0.7), math.log(19)
+    for r in Q.QUERIES["analytic_sprt"].fn(spark, SF).collect():
+        expect = r["n1"] * l1 + (r["n_seen"] - r["n1"]) * l0
+        assert abs(r["llr_final"] - expect) < 1e-4
+        if r["decision"] == "continue":
+            assert r["decided_at"] == 0
+        else:
+            assert 0 < r["decided_at"] <= r["n_seen"]
+            assert r["decision"] in ("accept_h0", "accept_h1")
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley's efficiency axiom for this coalition form: the three values
+    sum to v(grand) - v(empty) (each output row repeats that difference)."""
+    rows = Q.QUERIES["analytic_shapley_channels"].fn(spark, SF).collect()
+    assert len(rows) == 3
+    total = sum(r["shapley"] for r in rows)
+    assert abs(total - rows[0]["grand_minus_null"]) < 1e-4
+
+
+def test_empirical_bayes_shrinks_toward_prior_mean(spark):
+    """Every shrunk rate must lie strictly between its raw rate and the
+    prior mean alpha/(alpha+beta) (or equal when raw == prior)."""
+    rows = Q.QUERIES["analytic_empirical_bayes"].fn(spark, SF).collect()
+    a, b = rows[0]["prior_alpha"], rows[0]["prior_beta"]
+    prior_mean = a / (a + b)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], prior_mean))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+        # more data -> less shrinkage
+    big = max(rows, key=lambda r: r["n"])
+    small = min(rows, key=lambda r: r["n"])
+    assert abs(big["shrunk_rate"] - big["raw_rate"]) <= abs(
+        small["shrunk_rate"] - small["raw_rate"]
+    ) + 1e-6
+
+
+def test_tukey_pairs_complete_and_antisymmetric_free(spark):
+    """All 10 unordered priority pairs present, each once, q finite."""
+    rows = Q.QUERIES["analytic_tukey_hsd"].fn(spark, SF).collect()
+    pairs = {(r["pri_a"], r["pri_b"]) for r in rows}
+    assert len(pairs) == 10
+    assert all(a < b for a, b in pairs)
+    for r in rows:
+        assert math.isfinite(r["q_stat"])
+
+
+def test_simpson_diversity_exact_integer_recompute(spark):
+    """Recompute one source's Simpson ppm in plain Python from token
+    counts and compare exactly (the metric is integer arithmetic)."""
+    import collections
+    import duckdb
+
+    texts = duckdb.connect().execute(
+        f"SELECT text FROM '{SF}/documents.parquet' WHERE source = 'src0'"
+    ).fetchall()
+    counts = collections.Counter()
+    for (t,) in texts:
+        counts.update(t.strip().lower().split())
+    n = sum(counts.values())
+    same = sum(c * (c - 1) for c in counts.values())
+    expect = ((n * (n - 1) - same) * 1_000_000) // (n * (n - 1))
+    row = [
+        r for r in Q.QUERIES["text_simpson_diversity"].fn(spark, SF).collect()
+        if r["source"] == "src0"
+    ][0]
+    assert row["simpson_ppm"] == expect
+    assert row["n_tokens"] == n
+
+
+def test_k_truss_edges_have_internal_support(spark):
+    """Truss property: every surviving edge has >= 2 common neighbors
+    WITHIN the surviving edge set (recomputed independently)."""
+    rows = Q.QUERIES["graph_k_truss"].fn(spark, SF).collect()
+    edges = {(r["a"], r["b"]) for r in rows}
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    for r in rows:
+        common = len(adj[r["a"]] & adj[r["b"]])
+        assert common == r["support"]
+        assert common >= 2
+
+
+def test_bloom_skipping_no_false_negatives_and_beats_zone(spark):
+    """Bloom must never skip a file that truly contains the probe
+    (bloom_skipped <= truly_absent), and in aggregate must prune at least
+    as much as zone maps for this unclustered key."""
+    rows = Q.QUERIES["layout_bloom_file_skipping"].fn(spark, SF).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["bloom_skipped"] <= r["truly_absent"]
+        assert r["zone_skipped"] <= r["truly_absent"]
+    assert sum(r["bloom_skipped"] for r in rows) >= sum(
+        r["zone_skipped"] for r in rows
+    )
+
+
+def test_ppr_mass_localizes_on_seeds(spark):
+    """PPR sanity: total rank mass is conserved-ish under integer floor
+    division, and the seed set holds more mass per node than non-seeds."""
+    rows = Q.QUERIES["graph_personalized_pagerank"].fn(spark, SF).collect()
+    seeds = [r["ppr"] for r in rows if r["node"] % 10 == 0]
+    rest = [r["ppr"] for r in rows if r["node"] % 10 != 0]
+    assert seeds and rest
+    assert sum(seeds) / len(seeds) > sum(rest) / len(rest)
+
+
+def test_raking_hits_both_marginals(spark):
+    """After 3 IPF rounds both marginals must be within 0.5% of uniform
+    targets (IPF converges geometrically on a strictly positive table)."""
+    rows = Q.QUERIES["sample_raking_ipf"].fn(spark, SF).collect()
+    total = sum(r["w_raked"] for r in rows)
+    row_sums, col_sums = {}, {}
+    for r in rows:
+        row_sums[r["stratum"]] = row_sums.get(r["stratum"], 0) + r["w_raked"]
+        col_sums[r["segment"]] = col_sums.get(r["segment"], 0) + r["w_raked"]
+    target = total / 5
+    for v in list(row_sums.values()) + list(col_sums.values()):
+        assert abs(v - target) / target < 0.005
+
+
+def test_watermark_alignment_min_gates(spark):
+    rows = Q.QUERIES["cdc_watermark_alignment"].fn(spark, SF).collect()
+    assert len(rows) == 3
+    g = rows[0]["global_wm_s"]
+    assert all(r["global_wm_s"] == g for r in rows)
+    assert min(r["wm_epoch_s"] for r in rows) == g
+    assert all(r["lead_s"] == r["wm_epoch_s"] - g and r["lead_s"] >= 0 for r in rows)
