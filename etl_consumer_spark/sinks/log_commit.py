@@ -454,6 +454,13 @@ class LogCommitStateStore:
             version = self.current_version(table)
             if version is None:
                 raise FileNotFoundError(f"table {table!r} has no commits")
+        # a marker for a version with no commit file would make the NEXT
+        # truncate_log delete every real commit (all v < bogus marker) —
+        # total state loss from a one-argument typo (review r9 finding #4)
+        if not os.path.exists(self._commit_path(table, version)):
+            raise ValueError(
+                f"cannot checkpoint {table!r} at version {version}: no such commit"
+            )
         try:
             with open(self._checkpoint_marker(table, version), "x") as fh:
                 fh.write(json.dumps({"version": version}))
@@ -498,6 +505,12 @@ class LogCommitStateStore:
                 continue
             os.remove(path)
             removed.append(v)
+            # superseded checkpoint markers are dead weight (only the max
+            # is ever consulted); leaving them would regrow _log/ one
+            # marker per interval forever (review r9 finding #5)
+            marker = self._checkpoint_marker(table, v)
+            if os.path.exists(marker):
+                os.remove(marker)
         return removed
 
     def _log_versions(self, table: str) -> list[int]:

@@ -195,9 +195,13 @@ class CDCPipeline:
             )
         # K3 retry buffer root: failed slices gated by republish_gate spill
         # HERE as epoch-keyed parquet (distributed write) instead of
-        # collect()ing to the driver; defaults next to the checkpoint so a
-        # restart finds its pending retries
-        self.republish_path = republish_path or f"{cfg.checkpoint_dir.rstrip('/')}/_republish"
+        # collect()ing to the driver. When not given explicitly it binds
+        # LAZILY to the stream's actual checkpoint dir at start() — binding
+        # to cfg.checkpoint_dir at construction would hand every pipeline
+        # built from a default Config the SAME process-global /tmp spill
+        # root, where two streams (both at epoch 0) overwrite each other's
+        # pending retries (review r9 finding #1)
+        self.republish_path = republish_path
         self._scd2_maintainers: dict[str, object] = {}
         self.results: list[BatchResult] = []
 
@@ -440,6 +444,13 @@ class CDCPipeline:
                     try:
                         version = self.store.upsert(name, events, spec.pk_cols)
                         result.applied[name] = version
+                        # replay hygiene (review r9 finding #2): if THIS
+                        # (epoch, table) spilled on a previous attempt and
+                        # now succeeded on replay, the stale spill would
+                        # re-deliver already-committed OLD events on a later
+                        # requeue — regressing keys newer epochs updated.
+                        # Success must clear its own epoch's spill.
+                        self._clear_republish_slice(result.epoch_id, name)
                         if name in self.scd2_tables:
                             # own error channel: a history-write failure must
                             # NOT dead-letter/republish a slice already
@@ -474,7 +485,7 @@ class CDCPipeline:
                             # transactional result buffer; nothing stays
                             # cached, so no plan pins for the stream's life.
                             out = (
-                                f"{self.republish_path}/epoch={result.epoch_id}"
+                                f"{self._republish_base()}/epoch={result.epoch_id}"
                                 f"/table={name}"
                             )
                             republish_frame(
@@ -521,43 +532,91 @@ class CDCPipeline:
 
     # -- K3 retry-buffer drain ---------------------------------------------
 
+    def _republish_base(self) -> str:
+        """The bound retry-buffer root; binds to the config checkpoint dir
+        on first use when the pipeline runs batches without start() (tests
+        drive process_batch directly)."""
+        if self.republish_path is None:
+            self.republish_path = f"{self.cfg.checkpoint_dir.rstrip('/')}/_republish"
+        return self.republish_path
+
+    def _clear_republish_slice(self, epoch_id: int, table: str) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        if self.republish_path is None:
+            return
+        d = f"{self.republish_path}/epoch={epoch_id}/table={table}"
+        if _os.path.isdir(d):
+            _shutil.rmtree(d, ignore_errors=True)
+
+    def _republish_slices(self) -> list[str]:
+        """Leaf spill directories (epoch=*/table=*), a STABLE snapshot —
+        drain operates on exactly this list so rows spilled concurrently by
+        a live stream are never deleted un-requeued (review r9 finding #3)."""
+        import glob as _glob
+        import os as _os
+
+        base = self._republish_base()
+        if not _os.path.isdir(base):
+            return []
+        return sorted(
+            d for d in _glob.glob(f"{base}/epoch=*/table=*") if _os.path.isdir(d)
+        )
+
     def pending_republish(self) -> DataFrame | None:
         """The spilled retry buffer as a (topic, value, headers) DataFrame,
         or None when no batch has spilled. Rows already carry the
         incremented ``loop`` header and (when configured) the E3
         ``not_before`` deadline — ready to re-enter the transport, where
         :func:`sinks.republish.split_due` defers not-yet-due rows."""
-        import os as _os
-
-        if not _os.path.isdir(self.republish_path):
+        slices = self._republish_slices()
+        if not slices:
             return None
-        return self.spark.read.option("recursiveFileLookup", "true").parquet(
-            self.republish_path
-        )
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(*slices)
 
     def requeue_republish(self, transport_path: str) -> int:
         """Drain the retry buffer back into a file transport: one
-        distributed append of every pending (topic, value, headers) row,
-        then drop the spill — the file-transport equivalent of the
-        reference's re-produce to the source topic (main.go:174-203).
-        Returns the number of rows requeued; rows never visit the driver."""
+        distributed append of every pending (topic, value, headers) row —
+        the file-transport equivalent of the reference's re-produce to the
+        source topic (main.go:174-203). Returns the number of rows
+        requeued; rows never visit the driver.
+
+        Snapshot semantics: only the slice directories present when the
+        drain STARTED are read, counted, written, and removed — a spill
+        landing concurrently (the buffer lives beside a live checkpoint)
+        stays in the buffer for the next drain instead of being deleted
+        unrequeued; the materialized snapshot also pins count == written
+        rows."""
         import shutil as _shutil
 
         from etl_consumer_spark.sources.kafka import as_transport
 
-        pending = self.pending_republish()
-        if pending is None:
+        slices = self._republish_slices()
+        if not slices:
             return 0
+        pending = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(*slices)
+            .localCheckpoint(eager=True)  # one scan: count == written rows
+        )
         n = pending.count()
         if n:
             as_transport(pending).write.mode("append").parquet(transport_path)
-        _shutil.rmtree(self.republish_path, ignore_errors=True)
+        for d in slices:
+            _shutil.rmtree(d, ignore_errors=True)
         return n
 
     def start(self, transport: DataFrame, checkpoint_dir: str | None = None, trigger_available_now: bool = False):
         """Attach to a streaming transport DataFrame and run."""
+        ckpt = checkpoint_dir or self.cfg.checkpoint_dir
+        if self.republish_path is None:
+            # bind the retry buffer beside the ACTUAL checkpoint (restart
+            # finds its pending retries; distinct streams get distinct
+            # buffers because distinct streams need distinct checkpoints)
+            self.republish_path = f"{ckpt.rstrip('/')}/_republish"
         writer = transport.writeStream.foreachBatch(self.process_batch).option(
-            "checkpointLocation", checkpoint_dir or self.cfg.checkpoint_dir
+            "checkpointLocation", ckpt
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)

@@ -575,3 +575,31 @@ def test_two_pipelines_concurrent_commits_equal_serial(spark, tmp_path):
     # both streams committed: the log holds >= 2 DML commits and is gap-free
     versions = store._log_versions(tbl)
     assert versions == list(range(0, versions[-1] + 1))
+
+
+def test_checkpoint_rejects_nonexistent_version(spark, tmp_path):
+    """Review r9 finding #4: a marker for a version with no commit file
+    would make the next truncate_log delete EVERY real commit."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    seed(spark, store)
+    with pytest.raises(ValueError, match="no such commit"):
+        store.checkpoint("t", 999)
+    # the guard kept the log intact
+    assert store.truncate_log("t", retention_s=0) == []
+    assert store.current_version("t") == 0
+
+
+def test_truncate_removes_superseded_markers(spark, tmp_path):
+    """Review r9 finding #5: markers below the newest checkpoint are dead
+    (only max is consulted) and must go with the truncated commits, or
+    _log/ regrows one marker per interval forever."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=8, checkpoint_interval=2)
+    seed(spark, store)
+    for i in range(1, 7):
+        store.upsert("t", ev_rows(spark, [(None, Row(id=100 + i, v=i), i, 0)]))
+    assert store.latest_checkpoint("t") == 6
+    store.truncate_log("t", retention_s=0)
+    names = os.listdir(str(tmp_path / "t" / "_log"))
+    markers = sorted(n for n in names if n.endswith(".checkpoint"))
+    assert markers == ["00000006.checkpoint"]
+    assert store._log_versions("t") == [6]

@@ -171,3 +171,95 @@ def test_requeue_retry_converges_and_gate_exhausts(spark, tmp_path):
         src = nxt
     # attempts 1 and 2 republish; attempt 3 would reach the limit -> gated
     assert [r.republish for r in pipe2.results] == [10, 10, 0]
+
+
+def test_default_spill_roots_bind_to_stream_checkpoints(spark, tmp_path):
+    """Review r9 finding #1: two pipelines built WITHOUT an explicit
+    republish_path must not share a spill root — the buffer binds to each
+    stream's actual checkpoint dir at start()."""
+    inner = ParquetStateStore(spark, str(tmp_path / "state"))
+    inner.init("batch_seq", spark.createDataFrame([], "id long, seq long"))
+
+    def mk():
+        cfg = Config()
+        cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+        return CDCPipeline(
+            spark, cfg, [TableSpec("batch_seq", FIELDS, PK)],
+            PoisonStore(inner, fail_times=10**9),
+            dead_letter_path=str(tmp_path / "dl"),
+        )
+
+    transport = str(tmp_path / "t")
+    (
+        spark.range(4)
+        .select(
+            F.lit(TOPIC).alias("topic"),
+            F.encode(F.format_string(_ENV_TMPL, F.col("id"), F.col("id")), "utf-8").alias("value"),
+            F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
+        .write.mode("overwrite")
+        .parquet(transport)
+    )
+    pa, pb = mk(), mk()
+    assert pa.republish_path is None and pb.republish_path is None
+    _run(spark, pa, transport, str(tmp_path / "ck_a"))
+    _run(spark, pb, transport, str(tmp_path / "ck_b"))
+    assert pa.republish_path != pb.republish_path
+    assert pa.republish_path.startswith(str(tmp_path / "ck_a"))
+    assert pb.republish_path.startswith(str(tmp_path / "ck_b"))
+    # both buffers intact — neither stream clobbered the other's epoch 0
+    assert pa.pending_republish().count() == 4
+    assert pb.pending_republish().count() == 4
+
+
+def test_replay_success_clears_stale_epoch_spill(spark, tmp_path):
+    """Review r9 finding #2: a spill from a crashed epoch whose upsert
+    SUCCEEDS on replay must be cleared — otherwise a later requeue
+    re-delivers already-committed old events."""
+    inner = ParquetStateStore(spark, str(tmp_path / "state"))
+    inner.init("batch_seq", spark.createDataFrame([], "id long, seq long"))
+    store = PoisonStore(inner, fail_times=1)
+    pipe = _mk_pipe(spark, tmp_path, store)
+    batch = spark.createDataFrame(
+        [(TOPIC, _ENV_TMPL.replace("%s", "7", 2).encode(), None, None)],
+        "topic string, value binary, "
+        "headers array<struct<key:string,value:binary>>, timestamp timestamp",
+    )
+    # first delivery of epoch 0 fails -> spill
+    pipe.process_batch(batch, 0)
+    assert pipe.pending_republish().count() == 1
+    # replay of the SAME epoch succeeds -> spill for (0, table) cleared
+    pipe.process_batch(batch, 0)
+    assert inner.read("batch_seq").count() == 1
+    assert pipe.pending_republish() is None
+
+
+def test_requeue_drains_only_its_snapshot(spark, tmp_path, monkeypatch):
+    """Review r9 finding #3: a slice spilled concurrently with a drain
+    must survive for the next drain — requeue removes exactly the
+    directories in its snapshot."""
+    inner = ParquetStateStore(spark, str(tmp_path / "state"))
+    inner.init("batch_seq", spark.createDataFrame([], "id long, seq long"))
+    pipe = _mk_pipe(spark, tmp_path, PoisonStore(inner, fail_times=10**9))
+    batch = spark.createDataFrame(
+        [(TOPIC, _ENV_TMPL.replace("%s", "7", 2).encode(), None, None)],
+        "topic string, value binary, "
+        "headers array<struct<key:string,value:binary>>, timestamp timestamp",
+    )
+    pipe.process_batch(batch, 0)
+    pipe.process_batch(batch, 1)  # the "concurrent" spill
+    slices = pipe._republish_slices()
+    assert len(slices) == 2
+    # the drain's snapshot sees only epoch 0 (simulating a spill that
+    # landed after the snapshot was taken)
+    monkeypatch.setattr(
+        CDCPipeline, "_republish_slices", lambda self: [s for s in slices if "epoch=0" in s]
+    )
+    n = pipe.requeue_republish(str(tmp_path / "retry_t"))
+    monkeypatch.undo()
+    assert n == 1
+    # epoch 1's spill survived and is still pending
+    remaining = pipe.pending_republish()
+    assert remaining is not None and remaining.count() == 1
+    assert [s for s in pipe._republish_slices() if "epoch=1" in s]
