@@ -20207,9 +20207,12 @@ def analytic_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tukey-Kramer HSD post-hoc (Tukey 1949): after ANOVA says "some group
 # differs", WHICH pairs differ — the studentized-range statistic per
 # priority pair over order totals (cents). Every input (group counts,
-# sums, sum of squares) is an exact long from ONE aggregation; MSW and
-# the 10 pairwise q statistics are shared-text float expressions over a
-# bounded 5x5 group self-join. Completes analytic_anova_oneway.
+# sums, sum of squares) is an EXACT value from ONE aggregation; the
+# squared-cents power sum rides in DECIMAL(38,0) because its long twin
+# overflows at sf0.1 (5e7 cents squared x 30k rows/group > 2^63 — caught
+# by the round-9 bench; DuckDB auto-promotes the same sum to HUGEINT).
+# MSW and the 10 pairwise q statistics are shared-text float expressions
+# over a bounded 5x5 group self-join. Completes analytic_anova_oneway.
 # ---------------------------------------------------------------------------
 
 _TUKEY_Q = (
@@ -20223,8 +20226,9 @@ _TUKEY_Q = (
     WITH g AS (
       SELECT o_orderpriority AS pri, count(*)::BIGINT AS n,
              sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)
-                 * CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS ss
+             sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS ss
       FROM orders GROUP BY o_orderpriority
     ),
     msw AS (
@@ -20256,7 +20260,8 @@ def analytic_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(cents).cast("long").alias("s"),
-        F.sum(cents * cents).cast("long").alias("ss"),
+        # DECIMAL(38,0): the long sum of squared cents overflows at sf0.1
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("ss"),
     )
     msw = g.agg(
         F.expr(

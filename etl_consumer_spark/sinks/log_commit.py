@@ -24,9 +24,13 @@ Protocol (Delta-style OCC on a shared POSIX filesystem):
      data is still valid (state in our buckets is unchanged); re-compose
      the manifest on top of the new snapshot and claim the next version.
      No data rewrite.
-   * OVERLAP → **re-merge**: our merge read stale state for a shared
-     bucket; restart from the new snapshot (recompute the merge, write a
-     new data dir, retry). Bounded attempts, then raise.
+   * OVERLAP → **partial re-merge**: only the overlapping buckets read
+     stale state; they are re-merged against the new snapshot (event
+     slice bucket-filtered, cost O(conflicted slice) not O(batch)) while
+     disjoint buckets keep their written files — per-bucket validity
+     versions keep the conflict scan sound across rounds. A winning
+     EVOLVE (pk/schema/bucketing change) forces a full restart. Bounded
+     attempts, then raise.
 
 Equivalence: any successful interleaving is identical to SOME serial
 order of the same batches — the linearizability contract a real Delta
@@ -279,12 +283,36 @@ class LogCommitStateStore:
         # progress holds either way; this protects the individual writer)
         claim_failures = 0
         max_claim_failures = max(self.max_retries * 8, 16)
+        # PARTIAL re-merge state (round 9, the "finer conflict resolution"
+        # delta vs a full restart): dir_of maps each touched bucket to the
+        # newest data directory holding its merged rows; a conflict only
+        # invalidates the OVERLAPPING buckets, so the next round re-merges
+        # just those (`pending`) while disjoint buckets keep their already-
+        # written files. valid_v records, per bucket, the snapshot version
+        # its current merge incorporated — the conflict scan compares each
+        # winner against the PER-BUCKET validity (after a partial round,
+        # different buckets are valid as of different versions; a single
+        # scan cursor would miss winners that landed between the original
+        # scan and the partial round's snapshot for the buckets that were
+        # NOT re-merged). owned_dirs tracks every directory this call
+        # wrote, for cleanup on failure (uncommitted dirs are garbage).
+        dir_of: dict[str, str] = {}
+        valid_v: dict[str, int] = {}
+        owned_dirs: list[str] = []
+        pending: list[str] | None = None  # None => merge every touched bucket
+        touched: list[str] = []
+
+        def _cleanup() -> None:
+            for d in owned_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+
         while True:
             # meta is re-read EVERY attempt: a concurrent evolve() commits
             # a new pk/schema as a full-barrier conflict, and the re-merge
             # must run against the evolved definition, not the stale one
             meta = self._meta(table)
             if pk_cols is not None and list(pk_cols) != list(meta["pk"]):
+                _cleanup()
                 raise ValueError(
                     f"pk_cols {list(pk_cols)} do not match committed pk "
                     f"{list(meta['pk'])} for table {table!r}"
@@ -300,51 +328,94 @@ class LogCommitStateStore:
             )
             if not touched:
                 return self.current_version(table)
+            to_merge = touched if pending is None else pending
             base_v, commit = self._snapshot(table)
             manifest = dict(commit["manifest"])
-            # merge against the SNAPSHOT's view of the touched buckets
+            # merge against the SNAPSHOT's view of the buckets being
+            # (re)computed this round; on a partial round the event slice
+            # is bucket-filtered, so re-merge cost is O(conflicted slice),
+            # not O(batch)
+            round_events = events
+            if to_merge is not touched:
+                round_events = events.filter(
+                    bucket_of_event.isin([int(b) for b in to_merge])
+                )
             state_slice = self._scan_buckets(
-                table, {b: manifest[b] for b in touched if b in manifest}
+                table, {b: manifest[b] for b in to_merge if b in manifest}
             )
-            merged = apply_cdc(state_slice, events, merge_pk, missing_update=missing_update)
+            merged = apply_cdc(
+                state_slice, round_events, merge_pk, missing_update=missing_update
+            )
             data_dir = f"{self._data_root(table)}/{uuid.uuid4().hex}"
             (
                 # bucket with the COMMITTED count — see _bucket's docstring
                 merged.withColumn("_bucket", self._bucket(merge_pk, meta["n_buckets"]))
-                .repartition(max(len(touched), 1), "_bucket")
+                .repartition(max(len(to_merge), 1), "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(data_dir)
             )
+            owned_dirs.append(data_dir)
             surviving = {
                 d.split("=", 1)[1]
                 for d in os.listdir(data_dir)
                 if d.startswith("_bucket=")
             }
+            for b in to_merge:
+                valid_v[b] = base_v
+                if b in surviving:
+                    dir_of[b] = data_dir
+                else:
+                    # every row of the bucket deleted: drop it from the
+                    # manifest rather than pointing at a missing partition
+                    dir_of.pop(b, None)
             if self._pre_claim_hook is not None:
                 self._pre_claim_hook(table)
 
-            # claim loop: rebase past disjoint winners without rewriting data
-            merge_v = base_v
+            # claim loop: rebase past disjoint winners without rewriting
+            # data. A winner at version v conflicts with bucket b only when
+            # it touches b AND v > valid_v[b] — a winner the partial round
+            # already merged against is absorbed, not a conflict.
             while True:
                 latest = self.current_version(table)
-                conflict = False
-                for v in range(merge_v + 1, latest + 1):
+                scan_from = min(valid_v[b] for b in touched)
+                conflicted: set[str] = set()
+                meta_changed = False
+                for v in range(scan_from + 1, latest + 1):
                     winner = self._read_commit(table, v)
-                    if set(winner["touched"]) & set(touched):
-                        conflict = True
-                        break
-                if conflict:
-                    shutil.rmtree(data_dir, ignore_errors=True)
-                    break  # re-merge from the new snapshot
+                    overlap = {
+                        b
+                        for b in set(winner["touched"]) & set(touched)
+                        if v > valid_v[b]
+                    }
+                    if overlap:
+                        conflicted |= overlap
+                        if (
+                            winner.get("pk", meta["pk"]) != meta["pk"]
+                            or winner.get("n_buckets", meta["n_buckets"]) != meta["n_buckets"]
+                            or winner.get("schema", meta["schema"]) != meta["schema"]
+                        ):
+                            meta_changed = True
+                if conflicted:
+                    if meta_changed:
+                        # an evolve won: bucketing/pk/schema moved under us —
+                        # nothing we wrote is trustworthy; full restart
+                        _cleanup()
+                        dir_of.clear()
+                        valid_v.clear()
+                        owned_dirs.clear()
+                        pending = None
+                    else:
+                        # PARTIAL re-merge: only the overlapping buckets are
+                        # stale; disjoint buckets keep their written files
+                        pending = sorted(conflicted)
+                    break
                 # disjoint winners: rebase our manifest onto the latest
                 base = self._read_commit(table, latest)["manifest"] if latest > base_v else manifest
                 new_manifest = {
                     b: d for b, d in base.items() if b not in set(touched)
                 }
-                for b in touched:
-                    if b in surviving:
-                        new_manifest[b] = data_dir
+                new_manifest.update(dir_of)
                 next_commit = {
                     "version": latest + 1,
                     "manifest": new_manifest,
@@ -361,7 +432,7 @@ class LogCommitStateStore:
                     return latest + 1
                 claim_failures += 1
                 if claim_failures > max_claim_failures:
-                    shutil.rmtree(data_dir, ignore_errors=True)
+                    _cleanup()
                     raise CommitConflictError(
                         f"gave up after {claim_failures} lost claim races on "
                         f"{table!r} (disjoint writers outpacing this one)"
@@ -370,9 +441,11 @@ class LogCommitStateStore:
                 # N writers that lose together retry in lockstep and keep
                 # colliding (the thundering-herd shape of optimistic locks)
                 time.sleep(random.uniform(0, 0.02) * min(claim_failures, 10))
-                merge_v = latest  # lost the race; inspect the new winner(s)
+                # lost the race: loop re-scans; the per-bucket valid_v check
+                # keeps already-absorbed winners from re-flagging
             attempt += 1
             if attempt > self.max_retries:
+                _cleanup()
                 raise CommitConflictError(
                     f"gave up after {self.max_retries} re-merges on {table!r} "
                     f"(buckets {touched} contended)"

@@ -603,3 +603,49 @@ def test_truncate_removes_superseded_markers(spark, tmp_path):
     markers = sorted(n for n in names if n.endswith(".checkpoint"))
     assert markers == ["00000006.checkpoint"]
     assert store._log_versions("t") == [6]
+
+
+def test_partial_remerge_keeps_disjoint_bucket_files(spark, tmp_path):
+    """Round-9 partial re-merge: when a writer's batch touches buckets
+    {X, Y} and a concurrent winner touches only X, the retry must
+    re-merge ONLY X — Y's already-written file stays in the final
+    manifest (no second write of Y), and the result still equals the
+    serial order winner-then-us."""
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    base = seed(spark, a)
+    id_x, id_y = _distinct_bucket_ids(spark, 8, 2)
+
+    def b_commits_on_x(table):
+        a._pre_claim_hook = None  # fire once
+        b.upsert("t", ev_rows(spark, [(None, Row(id=id_x, v=111), 1, 0)]))
+
+    a._pre_claim_hook = b_commits_on_x
+    # A updates the same key id_x (bucket X conflicts) AND inserts id_y
+    # (bucket Y stays disjoint)
+    v = a.upsert(
+        "t",
+        ev_rows(
+            spark,
+            [
+                (Row(id=id_x, v=111), Row(id=id_x, v=222), 2, 0),
+                (None, Row(id=id_y, v=7), 2, 0),
+            ],
+        ),
+    )
+    assert v == 2
+    # serial B-then-A: B inserts (id_x, 111), A updates it to 222 + adds id_y
+    assert contents(a) == base | {(id_x, 222), (id_y, 7)}
+    # partial property: bucket Y's manifest entry is a DIFFERENT directory
+    # from bucket X's (X was re-merged into a fresh dir; Y kept its first
+    # write), proving the retry did not rewrite the disjoint bucket
+    commit = a._read_commit("t", 2)
+
+    def bucket_of(key: int) -> str:
+        # same typed hash the store uses: the pk column is LONG
+        row = spark.range(1).select(
+            F.pmod(F.hash(F.lit(key).cast("long")), F.lit(8)).alias("b")
+        ).collect()[0]
+        return str(row["b"])
+
+    assert commit["manifest"][bucket_of(id_x)] != commit["manifest"][bucket_of(id_y)]
