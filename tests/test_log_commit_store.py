@@ -649,3 +649,38 @@ def test_partial_remerge_keeps_disjoint_bucket_files(spark, tmp_path):
         return str(row["b"])
 
     assert commit["manifest"][bucket_of(id_x)] != commit["manifest"][bucket_of(id_y)]
+
+
+def test_partial_remerge_rewrites_only_conflicted_slice(spark, tmp_path):
+    """Quantitative partial-re-merge probe: a 400-key batch over 8 buckets
+    that conflicts on ONE bucket must rewrite ~1/8 of the batch on retry —
+    the retry directory holds only the conflicted bucket's rows, the first
+    write keeps serving the other seven."""
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=8)
+    seed(spark, a, n=2)
+    conflict_key = _distinct_bucket_ids(spark, 8, 1)[0]
+
+    def b_commits(table):
+        a._pre_claim_hook = None
+        b.upsert("t", ev_rows(spark, [(None, Row(id=conflict_key, v=1), 1, 0)]))
+
+    a._pre_claim_hook = b_commits
+    batch = [(None, Row(id=10_000 + i, v=i), 2, 0) for i in range(400)]
+    batch.append((Row(id=conflict_key, v=1), Row(id=conflict_key, v=2), 3, 0))
+    a.upsert("t", ev_rows(spark, batch))
+    commit = a._read_commit("t", 2)
+    by_dir: dict[str, int] = {}
+    for bk, d in commit["manifest"].items():
+        by_dir[d] = by_dir.get(d, 0) + 1
+    # three dirs referenced: seed remainder, A's first write, A's retry
+    dirs = sorted(by_dir, key=by_dir.get)
+    retry_rows = spark.read.parquet(dirs[0]).count()
+    first_rows = spark.read.parquet(dirs[1]).count() if len(dirs) > 2 else None
+    # the retry dir serves few buckets and holds a ~1/8 slice, not the batch
+    assert by_dir[dirs[0]] <= 2
+    assert retry_rows < 150, f"retry rewrote too much: {retry_rows} rows"
+    total = sum(spark.read.parquet(d).count() for d in set(by_dir))
+    assert total >= 400  # nothing lost
+    got = contents(a)
+    assert (conflict_key, 2) in got and (10_399, 399) in got
