@@ -84,6 +84,8 @@ class BatchResult:
     # never visit the driver — the old design collect()ed the failed slice
     # here, an O(batch) driver materialization on the poison path)
     republish: int = 0
+    # rows drained back into the transport this batch (closed-loop mode)
+    requeued: int = 0
     # SCD2 history-write failures (per table): separate from dead_letters
     # because the base-table slice WAS committed — replaying it would
     # double-apply; the history can be rebuilt from the base + later batches
@@ -151,6 +153,7 @@ class CDCPipeline:
         metrics_path: str | None = None,
         scd2_tables: set[str] | None = None,
         republish_path: str | None = None,
+        retry_transport_path: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -202,6 +205,14 @@ class CDCPipeline:
         # root, where two streams (both at epoch 0) overwrite each other's
         # pending retries (review r9 finding #1)
         self.republish_path = republish_path
+        # K3 closed-loop mode: when set (normally the SAME directory the
+        # file transport reads), every batch's spilled retries are
+        # requeued into it automatically at batch end, and E3 deferral
+        # runs on the consume side (not-yet-due rows re-feed verbatim) —
+        # the file-transport equivalent of the reference's automatic
+        # re-produce to the source topic (main.go:174-203). Leave None for
+        # Kafka deployments (write_republish) or manual-drain operation.
+        self.retry_transport_path = retry_transport_path
         self._scd2_maintainers: dict[str, object] = {}
         self.results: list[BatchResult] = []
 
@@ -514,11 +525,29 @@ class CDCPipeline:
         if batch.rdd.getNumPartitions() < min(parallelism, 32):
             batch = batch.repartition(min(parallelism, 32))
         result = BatchResult(epoch_id=epoch_id)
+        if self.retry_transport_path is not None:
+            # E3 consume side (closed-loop mode only): not-yet-due retries
+            # re-feed the transport VERBATIM (headers untouched — deferral
+            # never consumes an attempt) and only due rows process now
+            from etl_consumer_spark.sinks.republish import split_due
+            from etl_consumer_spark.sources.kafka import as_transport
+
+            due, deferred = split_due(batch)
+            if not deferred.isEmpty():
+                as_transport(deferred).write.mode("append").parquet(
+                    self.retry_transport_path
+                )
+                batch = due
         schema_events = route_schema(batch, self.cfg.server)                   # P1
         dml_events = route_dml(batch, self.cfg.server)
         # DDL strictly before DML (SURVEY §4: pause-the-world ordering)
         self._process_ddl(schema_events, result)
         self._process_dml(dml_events, result)
+        if self.retry_transport_path is not None and result.republish:
+            # K3 closed loop: this batch's spilled retries go straight back
+            # into the transport (snapshot drain — concurrent spills from a
+            # parallel failure path stay for the next batch's drain)
+            result.requeued = self.requeue_republish(self.retry_transport_path)
         self.results.append(result)
         if len(self.results) > self.cfg.max_results:
             # ring buffer: a long-running stream must not grow driver memory

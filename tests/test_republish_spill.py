@@ -263,3 +263,56 @@ def test_requeue_drains_only_its_snapshot(spark, tmp_path, monkeypatch):
     remaining = pipe.pending_republish()
     assert remaining is not None and remaining.count() == 1
     assert [s for s in pipe._republish_slices() if "epoch=1" in s]
+
+
+def test_closed_loop_retry_self_heals(spark, tmp_path):
+    """K3 closed-loop mode (reference main.go:174-203, the automatic
+    re-produce): with retry_transport_path pointing at the SAME directory
+    the stream reads, a transiently-failing sink self-heals — failed
+    slices spill, requeue into the transport at batch end, defer past
+    their E3 not_before deadline, and apply once the sink recovers. No
+    manual drain anywhere."""
+    import time
+
+    transport = str(tmp_path / "transport")
+    (
+        spark.range(10)
+        .select(
+            F.lit(TOPIC).alias("topic"),
+            F.encode(F.format_string(_ENV_TMPL, F.col("id"), F.col("id")), "utf-8").alias("value"),
+            F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
+        .write.mode("overwrite")
+        .parquet(transport)
+    )
+    inner = ParquetStateStore(spark, str(tmp_path / "state"))
+    inner.init("batch_seq", spark.createDataFrame([], "id long, seq long"))
+    store = PoisonStore(inner, fail_times=2)  # two failing batches, then ok
+    cfg = Config()
+    cfg.server, cfg.db_name, cfg.tables = SERVER, DB, ["batch_seq"]
+    cfg.republish_limit = 5
+    pipe = CDCPipeline(
+        spark,
+        cfg,
+        [TableSpec("batch_seq", FIELDS, PK)],
+        store,
+        dead_letter_path=str(tmp_path / "dl"),
+        retry_transport_path=transport,
+    )
+    q = pipe.start(
+        file_envelope_stream(spark, transport),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        deadline = time.time() + 150
+        while time.time() < deadline:
+            if inner.read("batch_seq").count() == 10:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert inner.read("batch_seq").count() == 10, "closed loop failed to converge"
+    # at least one batch requeued automatically, and the buffer is drained
+    assert any(r.requeued > 0 for r in pipe.results)
+    assert pipe.pending_republish() is None
