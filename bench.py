@@ -228,6 +228,25 @@ HEADLINE = [
     "graph_personalized_pagerank",# seed-teleport integer fixed point
     "cdc_watermark_alignment",    # multi-topic min-watermark frontier
     "sample_raking_ipf",          # 3-round IPF marginal calibration
+    # round-9 wave 3: eval/causal/survival stats, curation filters,
+    # CDC chunking, arena ranking, NB baseline, multimodal QA gates
+    "graph_adamic_adar",          # 1/ln(deg) link prediction, micro-int
+    "analytic_mcnemar",           # paired classifier comparison cells
+    "analytic_hhi_concentration", # exact int128 HHI ppm per nation
+    "analytic_tost_equivalence",  # two one-sided equivalence z-tests
+    "analytic_pinball_loss",      # quantile-forecast proper scoring
+    "analytic_logrank_test",      # censoring-aware survival A/B
+    "text_gopher_quality_full",   # full Gopher rule card, integer flags
+    "dedup_cdc_chunks",           # content-defined chunking dedup ppm
+    "analytic_chi2_feature_select",  # one-vs-rest chi2 top terms
+    "analytic_krippendorff_alpha",   # 3-rater panel agreement
+    "analytic_iptw_att",          # stratified propensity reweighting
+    "sketch_countsketch_topk",    # signed-register median estimates
+    "analytic_bradley_terry",     # MM-solved arena strengths (runtime fold)
+    "analytic_naive_bayes_langid",   # in-engine NB train+confusion
+    "analytic_ar2_yule_walker",   # AR(2) fit + forecast per series
+    "mm_audio_clipping_detect",   # clip/DC audio QA via real WAV decode
+    "mm_image_letterbox_detect",  # uniform-bar detection via real decode
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

@@ -667,6 +667,136 @@ def extract_audio_frames(media: DataFrame, frame_size: int = 8) -> DataFrame:
     )
 
 
+AUDIO_CLIP_SCHEMA = (
+    "media_id long, n_samples long, n_clipped long, dc_sum long, peak_abs long"
+)
+
+
+def audio_clip_stats(media: DataFrame, threshold: int = 28) -> DataFrame:
+    """Clipping / DC-offset audio QA through the real WAV decode: count
+    samples at or beyond ``threshold`` absolute amplitude (the clipped
+    tally a loudness-normalization pass gates on), the exact integer DC
+    sum (a nonzero mean betrays a miswired ADC or a bad decode), and the
+    absolute peak. All outputs exact integers over the decoded PCM, so a
+    SQL oracle can replay them value-for-value."""
+    from etl_consumer_spark.extensions.audio import decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, samples = decode_wav(bytes(row["blob"]))
+                s = samples.astype(np.int64)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_samples": int(s.size),
+                        "n_clipped": int((np.abs(s) >= threshold).sum()),
+                        "dc_sum": int(s.sum()),
+                        "peak_abs": int(np.abs(s).max()) if s.size else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "n_clipped", "dc_sum", "peak_abs"],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, AUDIO_CLIP_SCHEMA
+    )
+
+
+def synthesize_letterboxed_media_table(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Letterboxed twin of :func:`synthesize_media_table`: same
+    deterministic 4-row PPM raster, but for every third id (``id % 3 = 0``)
+    the top and bottom rows are replaced by a CONSTANT row (the first hex
+    char of the payload md5 repeated across the full ``w*3`` bytes) — a
+    real letterbox/pillarbox bar. Pure Spark string expressions, so the
+    construction (and therefore any detector run on it) is replayable in
+    SQL byte-for-byte."""
+    w = (F.length(payload_col) % 8 + 8).cast("int")
+    hexes = F.md5(F.col(payload_col).cast("binary"))
+    full = F.repeat(hexes, 6).substr(F.lit(1), w * 12)
+    row_len = w * 3
+    border = F.repeat(hexes.substr(1, 1), row_len)
+    lb = F.col(id_col) % 3 == 0
+    raster = F.concat(
+        F.when(lb, border).otherwise(full.substr(F.lit(1), row_len)),
+        F.substring(full, row_len + 1, row_len * 2),
+        F.when(lb, border).otherwise(
+            F.substring(full, row_len * 3 + 1, row_len)
+        ),
+    )
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" 4\n255\n"))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.concat(header, raster).cast("binary").alias("blob"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("ppm").alias("format"),
+            w.alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+LETTERBOX_SCHEMA = (
+    "media_id long, width int, height int, top_rows int, bottom_rows int, "
+    "letterboxed int"
+)
+
+
+def letterbox_stats(media: DataFrame) -> DataFrame:
+    """Letterbox detection through the real PPM decode: a row is uniform
+    when every byte of the decoded ``(w, 3)`` row equals its first byte
+    (all channels, all columns). ``top_rows`` counts leading uniform rows,
+    ``bottom_rows`` trailing uniform rows over what the top didn't consume
+    (an all-uniform frame is all top, bottom 0), and the letterbox flag
+    requires bars on BOTH edges — the crop-before-embed QA gate of a
+    vision-training pipeline."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                w, h, raster = decode_ppm(bytes(row["blob"]))
+                flat = raster.reshape(h, w * 3)
+                uniform = [bool((r == r[0]).all()) for r in flat]
+                top = 0
+                while top < h and uniform[top]:
+                    top += 1
+                bottom = 0
+                while bottom < h - top and uniform[h - 1 - bottom]:
+                    bottom += 1
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": int(w),
+                        "height": int(h),
+                        "top_rows": top,
+                        "bottom_rows": bottom,
+                        "letterboxed": int(top > 0 and bottom > 0),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "top_rows", "bottom_rows",
+                    "letterboxed",
+                ],
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, LETTERBOX_SCHEMA
+    )
+
+
 EQUALIZE_SCHEMA = "media_id long, n_px long, n_levels int, sum_eq long, eq_md5 string"
 
 

@@ -20813,6 +20813,1833 @@ def sample_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 wave 3 — eval/causal/survival statistics, market structure, and
+# the Adamic-Adar completion of the link-prediction family. Same discipline
+# as every other registered query: exact integer aggregates wherever a value
+# can be exact, shared-text float expressions for everything derived, zero
+# global windows.
+# ---------------------------------------------------------------------------
+
+# Adamic-Adar link prediction (Adamic & Adar, Social Networks 2003) — the
+# third member of the link-prediction family beside graph_jaccard_linkpred
+# (set overlap) and graph_resource_allocation (1/deg): each common neighbor
+# z contributes 1/ln(deg(z)), the classic "friends-of-friends weighted by
+# how selective the mutual friend is" score. The per-neighbor weight is
+# quantized to integer micro-units through ONE shared expression (a common
+# neighbor always has deg >= 2, so ln(deg) >= ln 2 > 0), making the pair
+# sum pure long arithmetic. Same hub cap + capped-world degree discipline
+# as the other two.
+
+_AA_W = "CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
+
+
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH raw AS (
+      SELECT DISTINCT least(o_custkey % 400, o_orderkey % 400) AS a,
+             greatest(o_custkey % 400, o_orderkey % 400) AS b
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_custkey % 400 <> o_orderkey % 400
+    ),
+    adj AS (
+      SELECT a AS n, b AS m FROM raw UNION ALL SELECT b, a FROM raw
+    ),
+    deg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY n),
+    keep AS (SELECT n FROM deg WHERE deg <= 100),
+    capped AS (
+      SELECT adj.n, adj.m FROM adj
+      JOIN keep k1 ON k1.n = adj.n
+      JOIN keep k2 ON k2.n = adj.m
+    ),
+    cdeg AS (SELECT n, count(*)::BIGINT AS deg FROM capped GROUP BY n),
+    wedges AS (
+      SELECT l.m AS node_a, r.m AS node_b, {_AA_W} AS w
+      FROM capped l
+      JOIN capped r ON r.n = l.n AND l.m < r.m
+      JOIN cdeg d ON d.n = l.n
+    ),
+    scored AS (
+      SELECT node_a, node_b, count(*)::BIGINT AS n_common,
+             sum(w)::BIGINT AS aa_micro
+      FROM wedges GROUP BY node_a, node_b
+      HAVING count(*) >= 2
+    )
+    SELECT s.node_a, s.node_b, s.n_common, s.aa_micro
+    FROM scored s
+    LEFT JOIN raw e ON e.a = s.node_a AND e.b = s.node_b
+    WHERE e.a IS NULL
+    """,
+    doc="Adamic-Adar link prediction: non-adjacent pairs scored by "
+        "sum over common neighbors of 1/ln(deg(z)), the weight quantized "
+        "to exact integer micro-units through one shared expression (deg "
+        ">= 2 for any common neighbor, so ln > 0) — the pair aggregation "
+        "is pure long arithmetic; hubs (deg > 100) removed before the "
+        "wedge expansion, degrees recomputed on the capped world, new "
+        "links only (adjacent pairs anti-joined), min 2 common neighbors",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 400
+    b = F.col("o_orderkey") % 400
+    raw = (
+        orders.filter((F.col("o_orderkey") % 3 == 0) & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    adj = raw.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        raw.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = adj.groupBy("n").agg(F.count("*").cast("long").alias("deg"))
+    keep = deg.filter(F.col("deg") <= 100).select("n")
+    capped = adj.join(keep, "n", "left_semi").join(
+        keep.select(F.col("n").alias("m")), "m", "left_semi"
+    )
+    cdeg = capped.groupBy("n").agg(F.count("*").cast("long").alias("deg"))
+    l = capped.select(F.col("n").alias("c"), F.col("m").alias("x"))
+    r = capped.select(F.col("n").alias("c"), F.col("m").alias("y"))
+    wedges = (
+        l.join(r, "c")
+        .filter(F.col("x") < F.col("y"))
+        .join(cdeg.select(F.col("n").alias("c"), "deg"), "c")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.expr(_AA_W).alias("w"),
+        )
+    )
+    scored = (
+        wedges.groupBy("node_a", "node_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    return scored.join(
+        raw.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test (McNemar, Psychometrika 1947) — THE paired comparison of
+# two classifiers evaluated on the SAME examples (model A vs model B on one
+# eval set: are their error rates actually different, given that most
+# examples are easy for both?). Two deterministic document classifiers for
+# the label lang='en' (a length gate and a word-count gate) produce the
+# 2x2 concordance table; only the DISCORDANT cells b (A right, B wrong)
+# and c (A wrong, B right) carry information. Continuity-corrected
+# chi-square from exact integers, one float division at the end.
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CHI2 = (
+    "(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / CAST(b + c AS DOUBLE))"
+)
+
+
+@register(
+    "analytic_mcnemar",
+    f"""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred_a,
+             CASE WHEN length(trim(text)) - length(replace(trim(text), ' ', ''))
+                       + 1 >= 50 THEN 1 ELSE 0 END AS pred_b
+      FROM documents
+    ),
+    cells AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN pred_a = truth AND pred_b = truth THEN 1 ELSE 0 END)::BIGINT AS both_right,
+             sum(CASE WHEN pred_a = truth AND pred_b <> truth THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN pred_a <> truth AND pred_b = truth THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN pred_a <> truth AND pred_b <> truth THEN 1 ELSE 0 END)::BIGINT AS both_wrong
+      FROM d
+    )
+    SELECT n, both_right, b AS only_a_right, c AS only_b_right, both_wrong,
+           CASE WHEN b + c > 0 THEN round({_MCNEMAR_CHI2}, 6) ELSE NULL END AS mcnemar_chi2,
+           CASE WHEN b + c > 0 AND {_MCNEMAR_CHI2} > 3.841 THEN 1 ELSE 0 END AS significant
+    FROM cells
+    """,
+    doc="McNemar's paired classifier comparison on the documents eval set: "
+        "2x2 concordance cells for two deterministic lang='en' classifiers "
+        "(char-length gate vs word-count gate) in ONE combinable "
+        "aggregation; continuity-corrected chi-square (|b-c|-1)^2/(b+c) "
+        "from exact integers — the statistically honest way to compare two "
+        "models scored on the same examples (a two-proportion z-test on "
+        "overlapping eval sets overstates significance)",
+)
+def analytic_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("pred_a"),
+        F.expr(
+            "CASE WHEN length(trim(text)) - length(replace(trim(text), ' ', ''))"
+            " + 1 >= 50 THEN 1 ELSE 0 END"
+        ).alias("pred_b"),
+    )
+    cells = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("pred_a") == F.col("truth")) & (F.col("pred_b") == F.col("truth")), 1).otherwise(0)
+        ).cast("long").alias("both_right"),
+        F.sum(
+            F.when((F.col("pred_a") == F.col("truth")) & (F.col("pred_b") != F.col("truth")), 1).otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when((F.col("pred_a") != F.col("truth")) & (F.col("pred_b") == F.col("truth")), 1).otherwise(0)
+        ).cast("long").alias("c"),
+        F.sum(
+            F.when((F.col("pred_a") != F.col("truth")) & (F.col("pred_b") != F.col("truth")), 1).otherwise(0)
+        ).cast("long").alias("both_wrong"),
+    )
+    return cells.select(
+        "n",
+        "both_right",
+        F.col("b").alias("only_a_right"),
+        F.col("c").alias("only_b_right"),
+        "both_wrong",
+        F.when(F.col("b") + F.col("c") > 0, F.expr(f"round({_MCNEMAR_CHI2}, 6)")).alias("mcnemar_chi2"),
+        F.when(
+            (F.col("b") + F.col("c") > 0) & (F.expr(_MCNEMAR_CHI2) > 3.841), 1
+        )
+        .otherwise(0)
+        .alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration (Herfindahl 1950; the DOJ/FTC
+# merger-screen statistic) per supplier nation: HHI = sum over firms of
+# (share_i)^2 = sum(rev_i^2) / total^2 — so with revenues as exact cents
+# the WHOLE statistic reduces to two exact integer aggregates (the squared
+# sum rides in DECIMAL(38,0); its long twin overflows at sf1) and one
+# shared-text float at the end. The concentration gauge for corpus sources
+# as much as markets: swap nation->source and revenue->bytes.
+# ---------------------------------------------------------------------------
+
+# exact integer ppm: int128/decimal floor division, so the monopoly case
+# is exactly 1e6 (a double-floor form loses the last ulp once total^2
+# exceeds 2^53)
+_HHI_PPM_SQL = (
+    "((ssq * 1000000) // (CAST(total AS HUGEINT) * total))::BIGINT"
+)
+_HHI_PPM_SPARK = (
+    "CAST((ssq * 1000000) div (CAST(total AS DECIMAL(38,0))"
+    " * CAST(total AS DECIMAL(38,0))) AS BIGINT)"
+)
+
+
+@register(
+    "analytic_hhi_concentration",
+    f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))::BIGINT AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    m AS (
+      SELECT nationkey, count(*)::BIGINT AS n_firms, sum(r)::BIGINT AS total,
+             sum(CAST(r AS HUGEINT) * r) AS ssq
+      FROM rev GROUP BY nationkey
+    )
+    SELECT m.nationkey, n.n_name AS nation, n_firms, total AS total_cents,
+           {_HHI_PPM_SQL} AS hhi_ppm
+    FROM m JOIN nation n ON n.n_nationkey = m.nationkey
+    """,
+    doc="Herfindahl-Hirschman concentration per supplier nation: "
+        "HHI = sum(rev_i^2)/total^2 over per-supplier revenue in exact "
+        "cents — two combinable aggregations (squared sum in "
+        "DECIMAL(38,0)/HUGEINT, long twin overflows at sf1), ppm by "
+        "EXACT int128 floor division (the monopoly case is exactly 1e6); "
+        "the concentration gauge that flags "
+        "a market (or a training-corpus source mix) dominated by few "
+        "producers — 2500 ppm-scaled is the antitrust 'highly "
+        "concentrated' line",
+)
+def analytic_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    )
+    rev = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum(cents).cast("long").alias("r"))
+    )
+    m = rev.groupBy("nationkey").agg(
+        F.count("*").cast("long").alias("n_firms"),
+        F.sum("r").cast("long").alias("total"),
+        F.expr("sum(CAST(r AS DECIMAL(38,0)) * r)").alias("ssq"),
+    )
+    return m.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("nationkey"), "n_name")),
+        "nationkey",
+    ).select(
+        "nationkey",
+        F.col("n_name").alias("nation"),
+        "n_firms",
+        F.col("total").alias("total_cents"),
+        F.expr(_HHI_PPM_SPARK).alias("hhi_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (Schuirmann, J. Pharmacokinet. 1987) — the flipped
+# hypothesis the A/B toolkit above cannot answer: not "did the treatment
+# change anything" but "can we CLAIM the arms are the same within a margin"
+# (the ship-it test for a refactor, a cheaper model, a new data pipeline —
+# absence of evidence is not evidence of absence; TOST is). Two one-sided
+# z-tests against +/-delta, delta = 2% of the pooled mean; equivalent iff
+# BOTH reject at 1.645. Exact integer power sums in one combinable pass,
+# everything derived via shared-text float expressions.
+# ---------------------------------------------------------------------------
+
+_TOST_EXPRS: tuple[tuple[str, str], ...] = (
+    ("mean_a", "CAST(s1a AS DOUBLE) / 100.0 / CAST(na AS DOUBLE)"),
+    ("mean_b", "CAST(s1b AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE)"),
+    ("var_a",
+     "(CAST(s2a AS DOUBLE) / 10000.0 - CAST(na AS DOUBLE) * mean_a * mean_a)"
+     " / (CAST(na AS DOUBLE) - 1)"),
+    ("var_b",
+     "(CAST(s2b AS DOUBLE) / 10000.0 - CAST(nb AS DOUBLE) * mean_b * mean_b)"
+     " / (CAST(nb AS DOUBLE) - 1)"),
+    ("se", "sqrt(var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE))"),
+    ("delta",
+     "0.02 * ((CAST(s1a AS DOUBLE) + CAST(s1b AS DOUBLE)) / 100.0"
+     " / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"),
+    ("t_lower", "((mean_a - mean_b) + delta) / se"),
+    ("t_upper", "(delta - (mean_a - mean_b)) / se"),
+)
+
+
+@register(
+    "analytic_tost_equivalence",
+    f"""
+    WITH x AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS y,
+             CASE WHEN (('0x' || substr(md5('tost' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS arm_a
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT sum(CASE WHEN arm_a = 1 THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(CASE WHEN arm_a = 1 THEN y ELSE 0 END)::BIGINT AS s1a,
+             sum(CASE WHEN arm_a = 1 THEN y * y ELSE 0 END)::BIGINT AS s2a,
+             sum(CASE WHEN arm_a = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+             sum(CASE WHEN arm_a = 0 THEN y ELSE 0 END)::BIGINT AS s1b,
+             sum(CASE WHEN arm_a = 0 THEN y * y ELSE 0 END)::BIGINT AS s2b
+      FROM x
+    ),
+    m AS (SELECT *, {_TOST_EXPRS[0][1]} AS mean_a, {_TOST_EXPRS[1][1]} AS mean_b FROM s),
+    vv AS (SELECT *, {_TOST_EXPRS[2][1]} AS var_a, {_TOST_EXPRS[3][1]} AS var_b FROM m),
+    se AS (SELECT *, {_TOST_EXPRS[4][1]} AS se, {_TOST_EXPRS[5][1]} AS delta FROM vv),
+    t AS (SELECT *, {_TOST_EXPRS[6][1]} AS t_lower, {_TOST_EXPRS[7][1]} AS t_upper FROM se)
+    SELECT na AS n_a, nb AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(delta, 6) AS margin,
+           round(t_lower, 6) AS t_lower, round(t_upper, 6) AS t_upper,
+           CASE WHEN t_lower > 1.645 AND t_upper > 1.645 THEN 1 ELSE 0 END AS equivalent
+    FROM t
+    """,
+    doc="TOST equivalence test on the hashed 50/50 purchase-value split: "
+        "two one-sided z-statistics against a +/-2%-of-pooled-mean margin "
+        "from exact integer power sums in ONE combinable aggregation — "
+        "equivalent iff BOTH one-sided tests reject at 1.645; the ship-it "
+        "gate for claiming a refactor/cheaper-variant changed nothing, "
+        "which a non-significant t-test can never license",
+)
+def analytic_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.when(hash_fraction(F.col("user_id"), "tost") < 0.5, 1)
+        .otherwise(0)
+        .alias("arm_a"),
+    )
+    is_a = F.col("arm_a") == 1
+    s = x.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(is_a, F.col("y")).otherwise(0)).cast("long").alias("s1a"),
+        F.sum(F.when(is_a, F.expr("y * y")).otherwise(0)).cast("long").alias("s2a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(~is_a, F.col("y")).otherwise(0)).cast("long").alias("s1b"),
+        F.sum(F.when(~is_a, F.expr("y * y")).otherwise(0)).cast("long").alias("s2b"),
+    )
+    for name, expr in _TOST_EXPRS:
+        s = s.withColumn(name, F.expr(expr))
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("round(mean_a, 6)").alias("mean_a"),
+        F.expr("round(mean_b, 6)").alias("mean_b"),
+        F.expr("round(delta, 6)").alias("margin"),
+        F.expr("round(t_lower, 6)").alias("t_lower"),
+        F.expr("round(t_upper, 6)").alias("t_upper"),
+        F.when((F.col("t_lower") > 1.645) & (F.col("t_upper") > 1.645), 1)
+        .otherwise(0)
+        .alias("equivalent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss backtest — the proper scoring rule for quantile
+# forecasts (Koenker & Bassett 1978): train p10/p50/p90 on the first 20
+# days of event values, score them on the holdout tail. A model that
+# minimizes pinball loss at quantile q IS the q-quantile, so this is the
+# evaluation beside analytic_forecast_backtest (which scores the mean
+# path). Forecasts are the exact linear-interpolation percentiles (shared
+# Spark percentile / DuckDB quantile_cont device); each holdout row's loss
+# is quantized to an exact integer micro-unit through ONE shared-text
+# expression, so the sum is pure long arithmetic — no float accumulation.
+# ---------------------------------------------------------------------------
+
+_PINBALL_TERM = (
+    "CAST(round(CASE WHEN CAST(y AS DOUBLE) >= f"
+    " THEN CAST(qt AS DOUBLE) * (CAST(y AS DOUBLE) - f)"
+    " ELSE (10.0 - CAST(qt AS DOUBLE)) * (f - CAST(y AS DOUBLE)) END / 10.0)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "analytic_pinball_loss",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(value * 1000000) AS BIGINT) AS y,
+             CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-21' THEN 1 ELSE 0 END AS is_train
+      FROM events
+    ),
+    q AS (
+      SELECT quantile_cont(y, 0.1) AS p10, quantile_cont(y, 0.5) AS p50,
+             quantile_cont(y, 0.9) AS p90
+      FROM v WHERE is_train = 1
+    ),
+    f AS (
+      SELECT 1::BIGINT AS qt, p10 AS f FROM q
+      UNION ALL SELECT 5::BIGINT, p50 FROM q
+      UNION ALL SELECT 9::BIGINT, p90 FROM q
+    ),
+    terms AS (
+      SELECT f.qt, f.f, {_PINBALL_TERM} AS loss_micro
+      FROM v CROSS JOIN f WHERE v.is_train = 0
+    )
+    SELECT qt AS quantile_tenths, count(*)::BIGINT AS n_eval,
+           round(max(f) / 1000000.0, 6) AS forecast,
+           sum(loss_micro)::BIGINT AS loss_sum_micro,
+           round(CAST(sum(loss_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0, 9) AS mean_pinball
+    FROM terms GROUP BY qt
+    """,
+    doc="pinball-loss backtest of p10/p50/p90 event-value forecasts: "
+        "train quantiles on days 1-20 (shared percentile/quantile_cont "
+        "device), score the holdout tail with the proper scoring rule for "
+        "quantile forecasts — per-row losses quantized to exact integer "
+        "micro-units through one shared expression so the aggregation is "
+        "pure long arithmetic; 3-row broadcast forecast table, one "
+        "combinable groupBy",
+)
+def analytic_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.round(F.col("value") * 1000000).cast("long").alias("y"),
+        F.when(F.date_format("ts", "yyyy-MM-dd") < "2024-01-21", 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    q = v.filter(F.col("is_train") == 1).agg(
+        F.expr("percentile(y, 0.1)").alias("p10"),
+        F.expr("percentile(y, 0.5)").alias("p50"),
+        F.expr("percentile(y, 0.9)").alias("p90"),
+    )
+    f = q.select(
+        F.explode(
+            F.expr(
+                "array(struct(CAST(1 AS BIGINT) AS qt, p10 AS f),"
+                " struct(CAST(5 AS BIGINT) AS qt, p50 AS f),"
+                " struct(CAST(9 AS BIGINT) AS qt, p90 AS f))"
+            )
+        ).alias("r")
+    ).select("r.qt", "r.f")
+    terms = (
+        v.filter(F.col("is_train") == 0)
+        .crossJoin(F.broadcast(f))
+        .select("qt", "f", F.expr(_PINBALL_TERM).alias("loss_micro"))
+    )
+    return terms.groupBy(F.col("qt").alias("quantile_tenths")).agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.expr("round(max(f) / 1000000.0, 6)").alias("forecast"),
+        F.sum("loss_micro").cast("long").alias("loss_sum_micro"),
+        F.expr(
+            "round(CAST(sum(loss_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            " / 1000000.0, 9)"
+        ).alias("mean_pinball"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (Mantel 1966) — does survival DIFFER between two cohorts,
+# the hypothesis test on top of the registered Kaplan-Meier curve (which
+# only estimates one group's survival). Same lifetime/censoring derivation
+# as analytic_kaplan_meier, cohorts from the hashed user split; at each
+# death time the observed group-A deaths are compared with the
+# hypergeometric expectation d*n_a/n. All d/n counts exact integers via
+# the same bounded death-time table + broadcast non-equi join; E and V are
+# ordered folds over the <= 64-row table (zero-seeded, identical addition
+# order both engines); chi-square is one shared float expression.
+# ---------------------------------------------------------------------------
+
+_LOGRANK_CHI2 = "((CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a) / v)"
+
+
+@register(
+    "analytic_logrank_test",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 AS secs FROM events
+    ),
+    g AS (SELECT max(secs) AS gmax FROM ev),
+    u AS (
+      SELECT user_id,
+             (max(secs) - min(secs)) // 3600 AS dur,
+             CASE WHEN max(secs) <= (SELECT gmax FROM g) - 6 * 3600
+                  THEN 1 ELSE 0 END AS churned,
+             CASE WHEN (('0x' || substr(md5('logrank' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5
+                  THEN 1 ELSE 0 END AS grp_a
+      FROM ev GROUP BY user_id
+    ),
+    dt AS (
+      SELECT dur AS t, count(*)::BIGINT AS d,
+             sum(CASE WHEN grp_a = 1 THEN 1 ELSE 0 END)::BIGINT AS d_a
+      FROM u WHERE churned = 1 GROUP BY dur ORDER BY t LIMIT 64
+    ),
+    risk AS (
+      SELECT dt.t, count(*)::BIGINT AS n,
+             sum(CASE WHEN u.grp_a = 1 THEN 1 ELSE 0 END)::BIGINT AS n_a
+      FROM dt JOIN u ON u.dur >= dt.t GROUP BY dt.t
+    ),
+    l AS (
+      SELECT list({{'t': dt.t, 'd': dt.d, 'da': dt.d_a,
+                   'n': risk.n, 'na': risk.n_a}} ORDER BY dt.t) AS a
+      FROM dt JOIN risk ON dt.t = risk.t
+    ),
+    s AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(a, y -> y.da)), (p, q) -> p + q) AS o_a,
+        list_reduce(list_prepend(0.0,
+          list_transform(a, y -> CAST(y.d AS DOUBLE) * CAST(y.na AS DOUBLE)
+                                 / CAST(y.n AS DOUBLE))),
+          (p, q) -> p + q) AS e_a,
+        list_reduce(list_prepend(0.0,
+          list_transform(a, y -> CASE WHEN y.n > 1 THEN
+            CAST(y.d AS DOUBLE) * (CAST(y.na AS DOUBLE) / CAST(y.n AS DOUBLE))
+            * (1.0 - CAST(y.na AS DOUBLE) / CAST(y.n AS DOUBLE))
+            * (CAST(y.n AS DOUBLE) - CAST(y.d AS DOUBLE))
+            / (CAST(y.n AS DOUBLE) - 1.0) ELSE 0.0 END)),
+          (p, q) -> p + q) AS v
+      FROM l
+    )
+    SELECT o_a, round(e_a, 6) AS e_a, round(v, 6) AS v,
+           round({_LOGRANK_CHI2}, 6) AS logrank_chi2,
+           CASE WHEN {_LOGRANK_CHI2} > 3.841 THEN 1 ELSE 0 END AS significant
+    FROM s
+    """,
+    doc="log-rank survival comparison between hashed user cohorts: same "
+        "censored-lifetime derivation as analytic_kaplan_meier, observed "
+        "vs hypergeometric-expected group-A deaths at each of the "
+        "earliest 64 death times — exact integer d/n via the bounded "
+        "death table + broadcast non-equi join, E/V as zero-seeded "
+        "ordered folds (identical addition order both engines), "
+        "chi-square one shared expression; the A/B test for retention "
+        "curves, where a means test is biased by censoring",
+)
+def analytic_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / 1_000_000).cast("long").alias("secs")
+    )
+    g = ev.agg(F.max("secs").alias("gmax"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("secs").alias("lo"), F.max("secs").alias("hi"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            ((F.col("hi") - F.col("lo")) / 3600).cast("long").alias("dur"),
+            F.when(F.col("hi") <= F.col("gmax") - 6 * 3600, 1)
+            .otherwise(0)
+            .alias("churned"),
+            F.when(hash_fraction(F.col("user_id"), "logrank") < 0.5, 1)
+            .otherwise(0)
+            .alias("grp_a"),
+        )
+    )
+    dt = (
+        u.filter(F.col("churned") == 1)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(
+            F.count("*").cast("long").alias("d"),
+            F.sum(F.when(F.col("grp_a") == 1, 1).otherwise(0)).cast("long").alias("d_a"),
+        )
+        .orderBy("t")
+        .limit(64)
+    )
+    risk = (
+        u.join(F.broadcast(dt), u.dur >= dt.t)
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("grp_a") == 1, 1).otherwise(0)).cast("long").alias("n_a"),
+        )
+    )
+    rows = dt.join(risk, "t")
+    l = rows.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "d_a", "n", "n_a"))).alias("a")
+    )
+    s = l.select(
+        F.expr(
+            "aggregate(a, CAST(0 AS BIGINT), (acc, y) -> acc + y.d_a)"
+        ).alias("o_a"),
+        F.expr(
+            "aggregate(a, 0.0D, (acc, y) -> acc"
+            " + CAST(y.d AS DOUBLE) * CAST(y.n_a AS DOUBLE) / CAST(y.n AS DOUBLE))"
+        ).alias("e_a"),
+        F.expr(
+            "aggregate(a, 0.0D, (acc, y) -> acc + CASE WHEN y.n > 1 THEN"
+            " CAST(y.d AS DOUBLE) * (CAST(y.n_a AS DOUBLE) / CAST(y.n AS DOUBLE))"
+            " * (1.0D - CAST(y.n_a AS DOUBLE) / CAST(y.n AS DOUBLE))"
+            " * (CAST(y.n AS DOUBLE) - CAST(y.d AS DOUBLE))"
+            " / (CAST(y.n AS DOUBLE) - 1.0D) ELSE 0.0D END)"
+        ).alias("v"),
+    )
+    return s.select(
+        "o_a",
+        F.expr("round(e_a, 6)").alias("e_a"),
+        F.expr("round(v, 6)").alias("v"),
+        F.expr(f"round({_LOGRANK_CHI2}, 6)").alias("logrank_chi2"),
+        F.when(F.expr(_LOGRANK_CHI2) > 3.841, 1).otherwise(0).alias("significant"),
+    )
+
+
+# Full Gopher quality-rule document filter (Rae et al. 2021, "Scaling
+# Language Models: Gopher", Table A1) — the registered
+# text_repetition_gopher covers the repetition rules; this is the REST of
+# the rule card: word count bounds, mean-word-length band, stop-word
+# presence, alphabetic-word ratio, and symbol-density caps, each emitted
+# as its own flag so a curation pipeline can tune per-rule. Thresholds
+# follow the paper where the synthetic corpus exercises them (word count,
+# mean word length, stop words) and keep the paper's values elsewhere.
+# Everything is exact integer arithmetic over one token explode + one
+# combinable groupBy; zero windows, zero floats.
+
+@register(
+    "text_gopher_quality_full",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS wc,
+             sum(length(tk))::BIGINT AS wchars,
+             count(DISTINCT CASE WHEN tk IN ('the','be','to','of','and','that','have','with','a')
+                            THEN tk END)::BIGINT AS n_stop,
+             sum(CASE WHEN regexp_matches(tk, '[a-z]') THEN 1 ELSE 0 END)::BIGINT AS n_alpha
+      FROM tok GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+             ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis
+      FROM documents
+    ),
+    flags AS (
+      SELECT a.doc_id, a.wc, (a.wchars * 1000) // a.wc AS mean_wlen_milli,
+             a.n_stop, a.n_alpha,
+             CASE WHEN a.wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS ok_word_count,
+             CASE WHEN (a.wchars * 1000) // a.wc BETWEEN 3000 AND 10000
+                  THEN 1 ELSE 0 END AS ok_mean_wlen,
+             CASE WHEN a.n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+             CASE WHEN a.n_alpha * 10 >= a.wc * 8 THEN 1 ELSE 0 END AS ok_alpha_ratio,
+             CASE WHEN (s.n_hash + s.n_ellipsis) * 10 <= a.wc THEN 1 ELSE 0 END AS ok_symbols
+      FROM agg a JOIN sym s ON s.doc_id = a.doc_id
+    )
+    SELECT doc_id, wc, mean_wlen_milli, n_stop,
+           ok_word_count, ok_mean_wlen, ok_stopwords, ok_alpha_ratio, ok_symbols,
+           CASE WHEN ok_word_count + ok_mean_wlen + ok_stopwords
+                     + ok_alpha_ratio + ok_symbols = 5 THEN 1 ELSE 0 END AS gopher_pass
+    FROM flags
+    """,
+    doc="full Gopher quality-rule card (Rae et al. 2021 Table A1, minus "
+        "the repetition rules registered as text_repetition_gopher): "
+        "word-count bounds, mean-word-length band, >= 2 distinct stop "
+        "words, >= 80% alphabetic words, symbol-density cap — each rule "
+        "its own flag plus the conjunction, ALL exact integer arithmetic "
+        "(ratios compared cross-multiplied), one token explode + one "
+        "combinable groupBy, zero windows; the doc-level keep/drop gate "
+        "of a Gopher/MassiveText-style curation pipeline",
+)
+def text_gopher_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tk")
+    )
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("wc"),
+        F.sum(F.length("tk")).cast("long").alias("wchars"),
+        F.count_distinct(
+            F.when(
+                F.col("tk").isin(
+                    "the", "be", "to", "of", "and", "that", "have", "with", "a"
+                ),
+                F.col("tk"),
+            )
+        ).cast("long").alias("n_stop"),
+        F.sum(F.when(F.col("tk").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    sym = docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+        .cast("long")
+        .alias("n_hash"),
+        F.expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)")
+        .alias("n_ellipsis"),
+    )
+    flags = agg.join(sym, "doc_id").select(
+        "doc_id", "wc",
+        F.expr("(wchars * 1000) div wc").alias("mean_wlen_milli"),
+        "n_stop", "n_alpha",
+        F.when(F.col("wc").between(20, 80), 1).otherwise(0).alias("ok_word_count"),
+        F.when(F.expr("(wchars * 1000) div wc").between(3000, 10000), 1)
+        .otherwise(0)
+        .alias("ok_mean_wlen"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("ok_stopwords"),
+        F.when(F.col("n_alpha") * 10 >= F.col("wc") * 8, 1)
+        .otherwise(0)
+        .alias("ok_alpha_ratio"),
+        F.when((F.col("n_hash") + F.col("n_ellipsis")) * 10 <= F.col("wc"), 1)
+        .otherwise(0)
+        .alias("ok_symbols"),
+    )
+    return flags.select(
+        "doc_id", "wc", "mean_wlen_milli", "n_stop",
+        "ok_word_count", "ok_mean_wlen", "ok_stopwords", "ok_alpha_ratio",
+        "ok_symbols",
+        F.when(
+            F.col("ok_word_count") + F.col("ok_mean_wlen") + F.col("ok_stopwords")
+            + F.col("ok_alpha_ratio") + F.col("ok_symbols")
+            == 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (the LBFS/FastCDC idea — Muthitacharoen
+# SOSP'01, Xia ATC'16 — at word granularity): cut AFTER any word whose
+# hash lands in 1/8 of the space, so chunk boundaries depend only on LOCAL
+# content and survive insertions/deletions that shift byte offsets — the
+# property fixed-size chunking lacks and the reason every dedup store
+# (Venti, Data Domain, restic, casync) uses CDC. Per-doc prefix sums are
+# windows over <= ~100 words (bounded by doc length, never corpus size);
+# chunk hashes land in one combinable per-source groupBy.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cdc_chunks",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos - 1 AS pos, tk,
+             CASE WHEN ('0x' || substr(md5(tk), 1, 8))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tk,
+               generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+        FROM documents
+      )
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tk,
+             coalesce(sum(is_cut) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             md5(string_agg(tk, ' ' ORDER BY pos)) AS chunk_hash,
+             count(*)::BIGINT AS chunk_words
+      FROM chunked GROUP BY doc_id, chunk_idx
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT s.source,
+           count(*)::BIGINT AS n_chunks,
+           count(DISTINCT c.chunk_hash)::BIGINT AS n_distinct,
+           sum(c.chunk_words)::BIGINT AS total_words,
+           ((count(*) - count(DISTINCT c.chunk_hash)) * 1000000 // count(*))::BIGINT
+             AS dup_ratio_ppm
+    FROM chunks c JOIN src s ON s.doc_id = c.doc_id
+    GROUP BY s.source
+    """,
+    doc="content-defined chunking dedup (LBFS/FastCDC at word granularity): "
+        "cut after words whose md5 lands in 1/8 of the space, so chunk "
+        "boundaries are shift-resistant (insertions move offsets but not "
+        "downstream cuts — the property fixed-size chunking lacks); chunk "
+        "identity = md5 of the order-joined words; per-source chunk counts, "
+        "distinct chunks, and duplicate-ratio ppm in exact integers. "
+        "Prefix sums are per-doc windows (bounded by doc length); the "
+        "chunk and source aggregations are combinable — no corpus-wide "
+        "window anywhere",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tk"),
+    ).withColumn(
+        "is_cut",
+        F.when(
+            F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long") % 8 == 0, 1
+        ).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk_idx", F.coalesce(F.sum("is_cut").over(w), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tk))),"
+                " x -> x.tk), ' ')"
+            )
+        ).alias("chunk_hash"),
+        F.count("*").cast("long").alias("chunk_words"),
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        chunks.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_hash").cast("long").alias("n_distinct"),
+            F.sum("chunk_words").cast("long").alias("total_words"),
+            F.expr(
+                "CAST((count(*) - count(DISTINCT chunk_hash)) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("dup_ratio_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature selection (Yang & Pedersen ICML'97) — which terms are
+# DISCRIMINATIVE for each class label, the feature-selection step before
+# training any shallow text classifier (and the "what words define this
+# source" diagnostic). One-vs-rest 2x2 contingency per (term, lang) from
+# exact integer counts; chi2 through one shared-text float expression;
+# top-10 per class with a deterministic term tie-break. The ranking window
+# is vocabulary-bounded (term-level rows), never corpus-bounded.
+# ---------------------------------------------------------------------------
+
+_CHI2_EXPR = (
+    "(CAST(n AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+    "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))"
+)
+
+
+@register(
+    "analytic_chi2_feature_select",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    lt AS (SELECT lang, term, count(*)::BIGINT AS n_lt FROM tok GROUP BY lang, term),
+    t AS (SELECT term, sum(n_lt)::BIGINT AS n_t FROM lt GROUP BY term),
+    l AS (SELECT lang, sum(n_lt)::BIGINT AS n_l FROM lt GROUP BY lang),
+    tot AS (SELECT sum(n_lt)::BIGINT AS n FROM lt),
+    cells AS (
+      SELECT lt.lang, lt.term,
+             lt.n_lt AS a, t.n_t - lt.n_lt AS b,
+             l.n_l - lt.n_lt AS c, tot.n - t.n_t - l.n_l + lt.n_lt AS d,
+             tot.n AS n
+      FROM lt JOIN t USING (term) JOIN l USING (lang) CROSS JOIN tot
+      WHERE t.n_t >= 5
+    ),
+    scored AS (
+      SELECT lang, term, a AS n_term_in_class,
+             round({_CHI2_EXPR}, 6) AS chi2,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_CHI2_EXPR} DESC, term ASC) AS rnk
+      FROM cells
+    )
+    SELECT lang, term, n_term_in_class, chi2, rnk FROM scored WHERE rnk <= 10
+    """,
+    doc="chi-square feature selection (Yang-Pedersen ICML'97): top-10 "
+        "discriminative terms per language label via one-vs-rest 2x2 "
+        "contingency from exact integer counts (terms with >= 5 "
+        "occurrences), chi2 one shared float expression, deterministic "
+        "term tie-break; the ranking window is vocabulary-bounded — the "
+        "feature-selection pass before any shallow classifier, and the "
+        "what-words-define-this-slice corpus diagnostic",
+)
+def analytic_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    lt = tok.groupBy("lang", "term").agg(F.count("*").cast("long").alias("n_lt"))
+    t = lt.groupBy("term").agg(F.sum("n_lt").cast("long").alias("n_t"))
+    l = lt.groupBy("lang").agg(F.sum("n_lt").cast("long").alias("n_l"))
+    tot = lt.agg(F.sum("n_lt").cast("long").alias("n"))
+    cells = (
+        lt.join(F.broadcast(t), "term")
+        .join(F.broadcast(l), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_t") >= 5)
+        .select(
+            "lang", "term",
+            F.col("n_lt").alias("a"),
+            (F.col("n_t") - F.col("n_lt")).alias("b"),
+            (F.col("n_l") - F.col("n_lt")).alias("c"),
+            (F.col("n") - F.col("n_t") - F.col("n_l") + F.col("n_lt")).alias("d"),
+            "n",
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(_CHI2_EXPR).desc(), F.col("term").asc()
+    )
+    return (
+        cells.select(
+            "lang", "term",
+            F.col("a").alias("n_term_in_class"),
+            F.expr(f"round({_CHI2_EXPR}, 6)").alias("chi2"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (Krippendorff 1970; nominal data) — the
+# inter-rater reliability statistic for a PANEL of raters (the registered
+# analytic_cohens_kappa handles exactly two). Three deterministic
+# synthetic raters relabel each document's language with 70% fidelity;
+# with complete data and m=3 raters the whole coincidence-matrix
+# computation collapses to THREE exact integers (doubled off-diagonal
+# coincidences A, doubled marginals total B, doubled-marginal cross
+# product C) and alpha = 1 - A(B-2)/C — one float division, everything
+# else pure long arithmetic. The LLM-judge-panel agreement gate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_krippendorff_alpha",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'es' THEN 2
+                       WHEN 'fr' THEN 3 ELSE 4 END AS true_c
+      FROM documents
+    ),
+    ru AS (
+      SELECT b.doc_id, b.true_c,
+             ('0x' || substr(md5('rater' || CAST(r.r AS VARCHAR) || ':'
+              || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+      FROM base b CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) r
+    ),
+    ratings AS (
+      SELECT doc_id,
+             CASE WHEN u % 10 < 7 THEN true_c
+                  ELSE (true_c + 1 + ((u // 10) % 4)) % 5 END AS cat
+      FROM ru
+    ),
+    uc AS (
+      SELECT doc_id, cat, count(*)::BIGINT AS n_uc
+      FROM ratings GROUP BY doc_id, cat
+    ),
+    o2 AS (
+      SELECT a.cat AS c, b.cat AS k,
+             sum(a.n_uc * (b.n_uc - CASE WHEN a.cat = b.cat THEN 1 ELSE 0 END))::BIGINT
+               AS o2
+      FROM uc a JOIN uc b ON a.doc_id = b.doc_id
+      GROUP BY a.cat, b.cat
+    ),
+    marg AS (SELECT c, sum(o2)::BIGINT AS nc2 FROM o2 GROUP BY c),
+    s AS (
+      SELECT (SELECT sum(o2) FROM o2 WHERE c <> k)::BIGINT AS a,
+             (SELECT sum(nc2) FROM marg)::BIGINT AS b,
+             (SELECT sum(m1.nc2 * m2.nc2) FROM marg m1
+              JOIN marg m2 ON m1.c <> m2.c)::BIGINT AS c
+    )
+    SELECT a AS off_diag_2, b AS n_pairable_2, c AS cross_marg_2,
+           round(1.0 - CAST(a AS DOUBLE) * (CAST(b AS DOUBLE) - 2.0)
+                       / CAST(c AS DOUBLE), 9) AS krippendorff_alpha
+    FROM s
+    """,
+    doc="Krippendorff's alpha (nominal) over a 3-rater deterministic "
+        "panel relabeling document language at 70% fidelity: with "
+        "complete data the coincidence-matrix computation collapses to "
+        "three exact integers — doubled off-diagonal coincidences A, "
+        "doubled pairable total B, doubled marginal cross product C — and "
+        "alpha = 1 - A(B-2)/C, ONE float division; the multi-rater "
+        "agreement gate for LLM-judge panels that analytic_cohens_kappa "
+        "(2 raters) cannot score",
+)
+def analytic_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'es' THEN 2"
+            " WHEN 'fr' THEN 3 ELSE 4 END"
+        ).alias("true_c"),
+    )
+    raters = spark.range(1, 4).select(F.col("id").alias("r"))
+    ratings = (
+        d.crossJoin(F.broadcast(raters))
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rater"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN u % 10 < 7 THEN true_c"
+                " ELSE (true_c + 1 + ((u div 10) % 4)) % 5 END"
+            ).alias("cat"),
+        )
+    )
+    uc = ratings.groupBy("doc_id", "cat").agg(F.count("*").cast("long").alias("n_uc"))
+    a_side = uc.select("doc_id", F.col("cat").alias("c"), F.col("n_uc").alias("na"))
+    b_side = uc.select("doc_id", F.col("cat").alias("k"), F.col("n_uc").alias("nb"))
+    o2 = (
+        a_side.join(b_side, "doc_id")
+        .groupBy("c", "k")
+        .agg(
+            F.sum(
+                F.col("na")
+                * (F.col("nb") - F.when(F.col("c") == F.col("k"), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("o2")
+        )
+    )
+    marg = o2.groupBy("c").agg(F.sum("o2").cast("long").alias("nc2"))
+    a_val = o2.filter(F.col("c") != F.col("k")).agg(
+        F.sum("o2").cast("long").alias("a")
+    )
+    b_val = marg.agg(F.sum("nc2").cast("long").alias("b"))
+    c_val = (
+        marg.select(F.col("c").alias("c1"), F.col("nc2").alias("m1"))
+        .join(
+            F.broadcast(marg.select(F.col("c").alias("c2"), F.col("nc2").alias("m2"))),
+            F.col("c1") != F.col("c2"),
+        )
+        .agg(F.sum(F.col("m1") * F.col("m2")).cast("long").alias("c"))
+    )
+    s = a_val.crossJoin(F.broadcast(b_val)).crossJoin(F.broadcast(c_val))
+    return s.select(
+        F.col("a").alias("off_diag_2"),
+        F.col("b").alias("n_pairable_2"),
+        F.col("c").alias("cross_marg_2"),
+        F.expr(
+            "round(1.0 - CAST(a AS DOUBLE) * (CAST(b AS DOUBLE) - 2.0)"
+            " / CAST(c AS DOUBLE), 9)"
+        ).alias("krippendorff_alpha"),
+    )
+
+
+# Stratified inverse-propensity-weighted ATT (Rosenbaum & Rubin 1983;
+# Horvitz-Thompson weighting) — the observational-causal estimator when
+# treatment probability VARIES by stratum (here deterministically: the
+# assignment rate rises with the day-of-month stratum, exactly the
+# confounding IPTW exists to undo). Propensities are exact per-stratum
+# rationals from ONE combinable aggregation; the control re-weighting
+# e/(1-e) and the ATT contrast are zero-seeded ordered folds over the
+# 5-row stratum table — identical addition order both engines.
+
+@register(
+    "analytic_iptw_att",
+    """
+    WITH x AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS y,
+             (day(ts) % 5)::BIGINT AS stratum,
+             CASE WHEN (('0x' || substr(md5('iptw' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                        / 4294967296.0) < (0.2 + 0.1 * (day(ts) % 5))
+                  THEN 1 ELSE 0 END AS treated
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT stratum,
+             sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS s_t,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+             sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS s_c
+      FROM x GROUP BY stratum
+    ),
+    l AS (
+      SELECT list({'st': stratum, 'nt': n_t, 'st_': s_t, 'nc': n_c, 'sc': s_c}
+                  ORDER BY stratum) AS a
+      FROM s
+    ),
+    f AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(a, y -> y.nt)), (p, q) -> p + q) AS n_t_tot,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(a, y -> y.st_)), (p, q) -> p + q) AS s_t_tot,
+        list_reduce(list_prepend(0.0,
+          list_transform(a, y ->
+            (CAST(y.nt AS DOUBLE) / (CAST(y.nt AS DOUBLE) + CAST(y.nc AS DOUBLE)))
+            / (1.0 - CAST(y.nt AS DOUBLE) / (CAST(y.nt AS DOUBLE) + CAST(y.nc AS DOUBLE)))
+            * CAST(y.sc AS DOUBLE))), (p, q) -> p + q) AS wnum,
+        list_reduce(list_prepend(0.0,
+          list_transform(a, y ->
+            (CAST(y.nt AS DOUBLE) / (CAST(y.nt AS DOUBLE) + CAST(y.nc AS DOUBLE)))
+            / (1.0 - CAST(y.nt AS DOUBLE) / (CAST(y.nt AS DOUBLE) + CAST(y.nc AS DOUBLE)))
+            * CAST(y.nc AS DOUBLE))), (p, q) -> p + q) AS wden
+      FROM l
+    )
+    SELECT n_t_tot, s_t_tot,
+           round(CAST(s_t_tot AS DOUBLE) / CAST(n_t_tot AS DOUBLE), 6)
+             AS mean_treated_cents,
+           round(wnum / wden, 6) AS mean_control_weighted_cents,
+           round(CAST(s_t_tot AS DOUBLE) / CAST(n_t_tot AS DOUBLE)
+                 - wnum / wden, 6) AS att_cents
+    FROM f
+    """,
+    doc="stratified IPTW ATT: treatment assignment rate varies "
+        "deterministically by day-of-month stratum (the confounder), "
+        "propensities are exact per-stratum rationals from ONE combinable "
+        "aggregation, controls re-weighted by e/(1-e) via zero-seeded "
+        "ordered folds over the 5-row stratum table — the "
+        "Horvitz-Thompson estimator beside the matching (CEM) and "
+        "regression (DiD/CUPED) members of the causal family; a naive "
+        "means contrast here is confounded by construction",
+)
+def analytic_iptw_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        (F.dayofmonth("ts") % 5).cast("long").alias("stratum"),
+        F.when(
+            hash_fraction(F.col("event_id"), "iptw")
+            < (F.lit(0.2) + F.lit(0.1) * (F.dayofmonth("ts") % 5)),
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+    )
+    s = x.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("s_c"),
+    )
+    l = s.agg(
+        F.array_sort(
+            F.collect_list(F.struct("stratum", "n_t", "s_t", "n_c", "s_c"))
+        ).alias("a")
+    )
+    _E = "(CAST(y.n_t AS DOUBLE) / (CAST(y.n_t AS DOUBLE) + CAST(y.n_c AS DOUBLE)))"
+    f = l.select(
+        F.expr("aggregate(a, CAST(0 AS BIGINT), (acc, y) -> acc + y.n_t)").alias(
+            "n_t_tot"
+        ),
+        F.expr("aggregate(a, CAST(0 AS BIGINT), (acc, y) -> acc + y.s_t)").alias(
+            "s_t_tot"
+        ),
+        F.expr(
+            f"aggregate(a, 0.0D, (acc, y) -> acc + {_E} / (1.0D - {_E})"
+            " * CAST(y.s_c AS DOUBLE))"
+        ).alias("wnum"),
+        F.expr(
+            f"aggregate(a, 0.0D, (acc, y) -> acc + {_E} / (1.0D - {_E})"
+            " * CAST(y.n_c AS DOUBLE))"
+        ).alias("wden"),
+    )
+    return f.select(
+        "n_t_tot",
+        "s_t_tot",
+        F.expr("round(CAST(s_t_tot AS DOUBLE) / CAST(n_t_tot AS DOUBLE), 6)").alias(
+            "mean_treated_cents"
+        ),
+        F.expr("round(wnum / wden, 6)").alias("mean_control_weighted_cents"),
+        F.expr(
+            "round(CAST(s_t_tot AS DOUBLE) / CAST(n_t_tot AS DOUBLE)"
+            " - wnum / wden, 6)"
+        ).alias("att_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch top-k audit (Charikar, Chen & Farach-Colton ICALP 2002) —
+# the SIGNED sibling of the registered count-min sketch: each item hashes
+# to one bucket per depth with a +/-1 sign, collisions cancel in
+# expectation instead of stacking (count-min only over-estimates;
+# count-sketch is unbiased), and the point estimate is the MEDIAN over
+# depths. All registers and estimates are exact integers — the median of
+# five longs is an array sort + element pick — so the audit of estimate
+# vs exact count is bit-reproducible on any engine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_countsketch_topk",
+    """
+    WITH src AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+    d AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+    h AS (
+      SELECT d.j,
+             ('0x' || substr(md5(d.j || ':' || src.v), 1, 4))::BIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5('s' || d.j || ':' || src.v), 1, 4))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM src CROSS JOIN d
+    ),
+    reg AS (
+      SELECT j, bucket, sum(sgn)::BIGINT AS r FROM h GROUP BY j, bucket
+    ),
+    exact AS (
+      SELECT v, count(*)::BIGINT AS cnt FROM src GROUP BY v
+    ),
+    top AS (
+      SELECT v, cnt FROM exact
+      ORDER BY cnt DESC, v ASC LIMIT 10
+    ),
+    probes AS (
+      SELECT t.v, t.cnt, d.j,
+             ('0x' || substr(md5(d.j || ':' || t.v), 1, 4))::BIGINT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5('s' || d.j || ':' || t.v), 1, 4))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM top t CROSS JOIN d
+    ),
+    est AS (
+      SELECT p.v, p.cnt,
+             list_sort(list(p.sgn * r.r))[3] AS cs_estimate
+      FROM probes p JOIN reg r ON r.j = p.j AND r.bucket = p.bucket
+      GROUP BY p.v, p.cnt
+    )
+    SELECT v AS item, cnt AS exact_cnt, cs_estimate,
+           abs(cnt - cs_estimate)::BIGINT AS abs_err
+    FROM est
+    """,
+    doc="count-sketch top-k audit (Charikar 2002): 5x64 SIGNED integer "
+        "registers over event user_ids (salted-md5 bucket + sign hashes), "
+        "point estimate = median over depths of sign*register — unbiased "
+        "where count-min only over-counts; estimates for the top-10 exact "
+        "heavy hitters with absolute error, every value an exact integer "
+        "(median of 5 longs = sorted-array pick), registers mergeable by "
+        "elementwise sum across any partitioning",
+)
+def sketch_countsketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(F.col("user_id").cast("string").alias("v"))
+    d = spark.range(0, 5).select(F.col("id").alias("j"))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("v"))), 1, 4),
+        16,
+        10,
+    ).cast("long") % 64
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s"), F.col("j").cast("string"), F.lit(":"), F.col("v"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    h = src.crossJoin(F.broadcast(d)).select(
+        "j", bucket.alias("bucket"), sgn.alias("sgn")
+    )
+    reg = h.groupBy("j", "bucket").agg(F.sum("sgn").cast("long").alias("r"))
+    exact = src.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    top = exact.orderBy(F.col("cnt").desc(), F.col("v").asc()).limit(10)
+    probes = top.crossJoin(F.broadcast(d)).select(
+        "v", "cnt", "j", bucket.alias("bucket"), sgn.alias("sgn")
+    )
+    est = (
+        probes.join(F.broadcast(reg), ["j", "bucket"])
+        .groupBy("v", "cnt")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, sgn * r AS e))),"
+                " x -> x.e)"
+            ).alias("es")
+        )
+        .select(
+            "v",
+            "cnt",
+            F.expr("array_sort(es)[2]").alias("cs_estimate"),
+        )
+    )
+    return est.select(
+        F.col("v").alias("item"),
+        F.col("cnt").alias("exact_cnt"),
+        "cs_estimate",
+        F.abs(F.col("cnt") - F.col("cs_estimate")).cast("long").alias("abs_err"),
+    )
+
+
+# Bradley-Terry pairwise-preference ranking (Bradley & Terry 1952; MM
+# iterations per Hunter, Ann. Stat. 2004) — the model behind
+# chatbot-arena leaderboards and RLHF preference aggregation: given
+# "a beat b" counts, find strengths pi maximizing the likelihood
+# prod (pi_a/(pi_a+pi_b))^w_ab. Matches are derived deterministically
+# from events with a built-in skill gradient (higher player index wins
+# more), so the recovered ranking is testable. The pair-count table is
+# BOUNDED (16 players -> <= 240 ordered pairs) after one combinable
+# aggregation; the 8 MM iterations run on a single collected row via
+# identical nested array folds on both engines (fixed iteration count,
+# fixed fold order -> bit-identical doubles).
+
+_BT_PLAYERS = 16
+_BT_ITERS = 8
+
+
+# The MM loop runs at RUNTIME inside one fold (accumulator = the pi
+# array, folded over a dummy iteration sequence), so the expression tree
+# stays one-step-sized on both engines. Unrolling the iterations as
+# chained projections is a trap on BOTH sides: Catalyst's CollapseProject
+# (and DuckDB's CTE inlining) substitutes each stage into the next and
+# the tree grows ~3^k — the optimizer hangs before the query runs.
+
+# raw_i(pi) = W_i / sum over matches involving i of n_m/(pi_a+pi_b)
+_BT_RAW_SQL = (
+    f"list_transform(generate_series(0, {_BT_PLAYERS - 1}), i -> "
+    f"list_reduce(list_prepend(0.0, list_transform(ms, m -> "
+    f"CASE WHEN m.a = i THEN CAST(m.w AS DOUBLE) ELSE 0.0 END)), (p, q) -> p + q)"
+    f" / list_reduce(list_prepend(0.0, list_transform(ms, m -> "
+    f"CASE WHEN m.a = i OR m.b = i THEN CAST(m.n AS DOUBLE)"
+    f" / (pi[m.a + 1] + pi[m.b + 1])"
+    f" ELSE 0.0 END)), (p, q) -> p + q))"
+)
+# full solve: fold k = 1.._BT_ITERS, each step normalizes raw to sum 1
+_BT_SOLVE_SQL = (
+    f"list_reduce(list_transform(generate_series(0, {_BT_ITERS}), k -> "
+    f"list_transform(generate_series(0, {_BT_PLAYERS - 1}), i -> 1.0 / {_BT_PLAYERS})),"
+    f" (pi, x) -> list_transform({_BT_RAW_SQL}, v -> v /"
+    f" list_reduce(list_prepend(0.0, {_BT_RAW_SQL}), (p, q) -> p + q)))"
+)
+_BT_RAW_SPARK = (
+    f"transform(sequence(0, {_BT_PLAYERS - 1}), i -> "
+    f"aggregate(ms, 0.0D, (p, m) -> p +"
+    f" CASE WHEN m.a = i THEN CAST(m.w AS DOUBLE) ELSE 0.0D END)"
+    f" / aggregate(ms, 0.0D, (p, m) -> p +"
+    f" CASE WHEN m.a = i OR m.b = i THEN CAST(m.n AS DOUBLE)"
+    f" / (element_at(pi, CAST(m.a + 1 AS INT)) + element_at(pi, CAST(m.b + 1 AS INT)))"
+    f" ELSE 0.0D END))"
+)
+_BT_SOLVE_SPARK = (
+    f"aggregate(sequence(1, {_BT_ITERS}),"
+    f" transform(sequence(0, {_BT_PLAYERS - 1}), i -> 1.0D / {_BT_PLAYERS}),"
+    f" (pi, k) -> transform({_BT_RAW_SPARK}, v -> v /"
+    f" aggregate({_BT_RAW_SPARK}, 0.0D, (p, q) -> p + q)))"
+)
+
+
+@register(
+    "analytic_bradley_terry",
+    f"""
+    WITH m0 AS (
+      SELECT (user_id % {_BT_PLAYERS})::BIGINT AS pa,
+             ((user_id // {_BT_PLAYERS} + event_id) % {_BT_PLAYERS})::BIGINT AS pb,
+             ('0x' || substr(md5('bt' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM events
+    ),
+    m1 AS (
+      SELECT pa, pb,
+             CASE WHEN u < (CAST(pa AS DOUBLE) + 1.0)
+                           / (CAST(pa AS DOUBLE) + CAST(pb AS DOUBLE) + 2.0)
+                  THEN pa ELSE pb END AS winner
+      FROM m0 WHERE pa <> pb
+    ),
+    pairs AS (
+      SELECT least(pa, pb) AS a, greatest(pa, pb) AS b,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN winner = least(pa, pb) THEN 1 ELSE 0 END)::BIGINT AS w
+      FROM m1 GROUP BY least(pa, pb), greatest(pa, pb)
+    ),
+    packed AS (
+      SELECT list({{'a': a, 'b': b, 'n': n, 'w': w}} ORDER BY a, b) AS ms0
+      FROM pairs
+    ),
+    mirrored AS (
+      SELECT list_concat(ms0,
+               list_transform(ms0, m -> {{'a': m.b, 'b': m.a, 'n': m.n, 'w': m.n - m.w}}))
+             AS ms
+      FROM packed
+    ),
+    solved AS (SELECT {_BT_SOLVE_SQL} AS pi FROM mirrored)
+    SELECT CAST(i - 1 AS BIGINT) AS player,
+           round(pi[i] * 1000.0, 6) AS strength_permille
+    FROM solved, unnest(generate_series(1, {_BT_PLAYERS})) AS t(i)
+    """,
+    doc="Bradley-Terry preference ranking (the chatbot-arena/RLHF "
+        "leaderboard model), solved by 8 Hunter-2004 MM iterations: "
+        "deterministic skill-graded matches from events, ordered-pair "
+        "win counts in ONE combinable aggregation (bounded at 16 players "
+        "-> <= 240 pairs), iterations as identical nested array folds "
+        "over the single packed row on both engines (fixed order -> "
+        "bit-identical doubles), strengths normalized to sum 1",
+)
+def analytic_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    m0 = ev.select(
+        (F.col("user_id") % _BT_PLAYERS).cast("long").alias("pa"),
+        (
+            (F.expr(f"user_id div {_BT_PLAYERS}") + F.col("event_id")) % _BT_PLAYERS
+        ).cast("long").alias("pb"),
+        hash_fraction(F.col("event_id"), "bt").alias("u"),
+    )
+    m1 = m0.filter(F.col("pa") != F.col("pb")).select(
+        "pa",
+        "pb",
+        F.expr(
+            "CASE WHEN u < (CAST(pa AS DOUBLE) + 1.0D)"
+            " / (CAST(pa AS DOUBLE) + CAST(pb AS DOUBLE) + 2.0D)"
+            " THEN pa ELSE pb END"
+        ).alias("winner"),
+    )
+    pairs = (
+        m1.groupBy(
+            F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("winner") == F.least("pa", "pb"), 1).otherwise(0))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    packed = pairs.agg(
+        F.array_sort(F.collect_list(F.struct("a", "b", "n", "w"))).alias("ms0")
+    )
+    both = packed.select(
+        F.expr(
+            "concat(ms0, transform(ms0, m ->"
+            " struct(m.b AS a, m.a AS b, m.n AS n, m.n - m.w AS w))) AS ms"
+        )
+    )
+    solved = both.select(F.expr(_BT_SOLVE_SPARK).alias("pi"))
+    return solved.select(
+        F.posexplode("pi").alias("player", "strength")
+    ).select(
+        F.col("player").cast("long").alias("player"),
+        F.expr("round(strength * 1000.0D, 6)").alias("strength_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language ID (the classic text-classification
+# baseline; McCallum & Nigam AAAI'98 workshop) trained and evaluated
+# IN-ENGINE: word-given-class counts with Laplace +1 smoothing, per-doc
+# class scores as ordered folds of count * ln(p) over the doc's sorted
+# term table, argmax with a deterministic class tie-break — then the
+# confusion matrix against the true labels. Count tables are
+# vocabulary-bounded broadcasts (the bigram-LM discipline); scoring joins
+# the per-doc term counts once; ln/products/adds run in identical order
+# on both engines so scores are bit-identical.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_naive_bayes_langid",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT lang AS c, w, count(*)::BIGINT AS n_wc FROM tok GROUP BY lang, w),
+    cls AS (SELECT c, sum(n_wc)::BIGINT AS n_c FROM wc GROUP BY c),
+    vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM wc),
+    prior AS (
+      SELECT lang AS c, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+    grid AS (
+      SELECT dw.doc_id, dw.w, dw.cnt, cl.c,
+             coalesce(wc2.n_wc, 0) AS n_wc, cls.n_c, vocab.v
+      FROM (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, w) dw
+      CROSS JOIN (SELECT DISTINCT c FROM cls) cl
+      LEFT JOIN wc wc2 ON wc2.c = cl.c AND wc2.w = dw.w
+      JOIN cls ON cls.c = cl.c
+      CROSS JOIN vocab
+    ),
+    scores AS (
+      SELECT doc_id, c,
+             list_reduce(list_prepend(0.0, list(
+               CAST(cnt AS DOUBLE)
+               * ln((CAST(n_wc AS DOUBLE) + 1.0) / (CAST(n_c AS DOUBLE) + CAST(v AS DOUBLE)))
+               ORDER BY w)), (p, q) -> p + q) AS loglik
+      FROM grid GROUP BY doc_id, c
+    ),
+    full_scores AS (
+      SELECT s.doc_id, s.c,
+             s.loglik + ln(CAST(p.n_docs AS DOUBLE) / CAST(n.n_all AS DOUBLE)) AS score
+      FROM scores s JOIN prior p ON p.c = s.c CROSS JOIN n
+    ),
+    pred AS (
+      SELECT doc_id, c AS predicted,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rnk
+      FROM full_scores
+    )
+    SELECT d.lang AS true_lang, p.predicted, count(*)::BIGINT AS n_docs
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    WHERE p.rnk = 1
+    GROUP BY d.lang, p.predicted
+    """,
+    doc="multinomial Naive Bayes language ID trained AND evaluated "
+        "in-engine: Laplace-smoothed word-given-class log-probabilities "
+        "from exact vocabulary-bounded count broadcasts, per-doc class "
+        "scores as ordered folds (identical ln/mul/add order both "
+        "engines), argmax with deterministic class tie-break, output = "
+        "the confusion matrix vs true labels — the shallow-classifier "
+        "baseline a corpus pipeline runs before reaching for a model; "
+        "near-chance on this synthetic corpus (shared vocabulary), "
+        "measured honestly like text_langid_confusion",
+)
+def analytic_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    wc = tok.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count("*").cast("long").alias("n_wc")
+    )
+    cls = wc.groupBy("c").agg(F.sum("n_wc").cast("long").alias("n_c"))
+    vocab = wc.agg(F.count_distinct("w").cast("long").alias("v"))
+    prior = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    n_all = docs.agg(F.count("*").cast("long").alias("n_all"))
+    dw = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("cnt"))
+    classes = cls.select("c").distinct()
+    grid = (
+        dw.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(wc), ["c", "w"], "left")
+        .fillna(0, subset=["n_wc"])
+        .join(F.broadcast(cls), "c")
+        .crossJoin(F.broadcast(vocab))
+    )
+    scores = grid.groupBy("doc_id", "c").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(w, cnt, n_wc, n_c, v))),"
+            " x -> CAST(x.cnt AS DOUBLE)"
+            " * ln((CAST(x.n_wc AS DOUBLE) + 1.0D)"
+            " / (CAST(x.n_c AS DOUBLE) + CAST(x.v AS DOUBLE)))),"
+            " 0.0D, (p, q) -> p + q)"
+        ).alias("loglik")
+    )
+    full_scores = (
+        scores.join(F.broadcast(prior), "c")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "doc_id", "c",
+            F.expr(
+                "loglik + ln(CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE))"
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    pred = (
+        full_scores.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("c").alias("predicted"))
+    )
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# AR(2) fit via Yule-Walker (Yule 1927; Walker 1931) per user series —
+# the autoregression on top of the registered analytic_autocorrelation:
+# phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2) from the same exact
+# integer cross-sums, plus the one-step-ahead forecast
+# mean + phi1(x_n - mean) + phi2(x_{n-1} - mean). Everything derived
+# through shared-text float expressions over exact longs; one shuffle on
+# user_id, per-series work linear in-executor.
+# ---------------------------------------------------------------------------
+
+_AR2_R = "({num} / " + _ACF_DEN + ")"
+_AR2_R1 = _AR2_R.format(num=_ACF_NUM.format(k=1))
+_AR2_R2 = _AR2_R.format(num=_ACF_NUM.format(k=2))
+_AR2_PHI1 = f"({_AR2_R1} * (1.0 - {_AR2_R2}) / (1.0 - {_AR2_R1} * {_AR2_R1}))"
+_AR2_PHI2 = f"(({_AR2_R2} - {_AR2_R1} * {_AR2_R1}) / (1.0 - {_AR2_R1} * {_AR2_R1}))"
+_AR2_FC = (
+    "((CAST(s AS DOUBLE) / n)"
+    f" + {_AR2_PHI1} * (CAST(xn AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+    f" + {_AR2_PHI2} * (CAST(xp AS DOUBLE) - CAST(s AS DOUBLE) / n))"
+)
+
+
+@register(
+    "analytic_ar2_yule_walker",
+    f"""
+    WITH q AS (
+      SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS x, ts, event_id
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n, list(x ORDER BY ts, event_id) AS vs
+      FROM q GROUP BY user_id
+    ),
+    sums AS (
+      SELECT user_id, n,
+             list_sum(vs) AS s,
+             list_sum(list_transform(vs, v -> v * v)) AS s2,
+             list_sum(list_transform(generate_series(1, len(vs)-1), i -> vs[i] * vs[i+1])) AS c1,
+             list_sum(list_transform(generate_series(1, len(vs)-1), i -> vs[i])) AS sh1,
+             list_sum(list_transform(generate_series(2, len(vs)), i -> vs[i])) AS st1,
+             list_sum(list_transform(generate_series(1, len(vs)-2), i -> vs[i] * vs[i+2])) AS c2,
+             list_sum(list_transform(generate_series(1, len(vs)-2), i -> vs[i])) AS sh2,
+             list_sum(list_transform(generate_series(3, len(vs)), i -> vs[i])) AS st2,
+             vs[len(vs)] AS xn, vs[len(vs)-1] AS xp
+      FROM a WHERE n > 4
+    )
+    SELECT user_id, n::BIGINT AS n_events,
+           round({_AR2_PHI1}, 9) AS phi1,
+           round({_AR2_PHI2}, 9) AS phi2,
+           round({_AR2_FC} / 1000.0, 9) AS forecast_next
+    FROM sums
+    """,
+    doc="AR(2) autoregression per user series via Yule-Walker: phi1/phi2 "
+        "in closed form from the SAME exact integer cross-sums as "
+        "analytic_autocorrelation (shared-text float expressions, "
+        "bit-identical), plus the one-step-ahead mean-reverting forecast "
+        "— the minimal linear-dynamics model before reaching for "
+        "Holt-Winters/ARIMA; one shuffle on user_id, per-series work "
+        "linear in-executor",
+)
+def analytic_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 1000).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                x.alias("v"),
+            )
+        )
+    )
+    g = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), arr.alias("a"))
+        .filter(F.col("n") > 4)
+        .withColumn("vs", F.expr("transform(a, p -> p.v)"))
+    )
+    sums = g.select(
+        "user_id",
+        "n",
+        F.expr("aggregate(vs, 0L, (acc, v) -> acc + v)").alias("s"),
+        F.expr("aggregate(vs, 0L, (acc, v) -> acc + v * v)").alias("s2"),
+        F.expr(
+            "aggregate(zip_with(slice(vs, 1, size(vs)-1), slice(vs, 2, size(vs)-1),"
+            " (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+        ).alias("c1"),
+        F.expr("aggregate(slice(vs, 1, size(vs)-1), 0L, (acc, v) -> acc + v)").alias("sh1"),
+        F.expr("aggregate(slice(vs, 2, size(vs)-1), 0L, (acc, v) -> acc + v)").alias("st1"),
+        F.expr(
+            "aggregate(zip_with(slice(vs, 1, size(vs)-2), slice(vs, 3, size(vs)-2),"
+            " (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+        ).alias("c2"),
+        F.expr("aggregate(slice(vs, 1, size(vs)-2), 0L, (acc, v) -> acc + v)").alias("sh2"),
+        F.expr("aggregate(slice(vs, 3, size(vs)-2), 0L, (acc, v) -> acc + v)").alias("st2"),
+        F.expr("element_at(vs, -1)").alias("xn"),
+        F.expr("element_at(vs, -2)").alias("xp"),
+    )
+    return sums.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(f"round({_AR2_PHI1}, 9)").alias("phi1"),
+        F.expr(f"round({_AR2_PHI2}, 9)").alias("phi2"),
+        F.expr(f"round({_AR2_FC} / 1000.0, 9)").alias("forecast_next"),
+    )
+
+
+# Audio clipping / DC-offset QA through the real RIFF/WAVE decode — the
+# first gate of a speech-data pipeline: clipped samples mean the recording
+# chain saturated (features computed on them are garbage), a nonzero DC
+# mean betrays a miswired ADC or a broken decode. The Arrow kernel ships
+# only exact integers (clip tally at |s| >= 28, DC sum, absolute peak)
+# over the decoded PCM; the clip ratio is exact integer ppm; the oracle
+# replays the deterministic synthesis arithmetic sample-for-sample.
+
+@register(
+    "mm_audio_clipping_detect",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id, ascii(substr(hx, u.i, 1)) - 77 AS v
+      FROM d, unnest(generate_series(1, 32)) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           count(*)::BIGINT AS n_samples,
+           sum(CASE WHEN abs(v) >= 28 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+           sum(v)::BIGINT AS dc_sum,
+           max(abs(v))::BIGINT AS peak_abs,
+           (sum(CASE WHEN abs(v) >= 28 THEN 1 ELSE 0 END) * 1000000
+            // count(*))::BIGINT AS clip_ppm
+    FROM s GROUP BY doc_id
+    """,
+    doc="audio clipping / DC-offset QA through the REAL RIFF/WAVE decode: "
+        "exact integer clip tally at |s| >= 28 full-scale, DC sum, and "
+        "absolute peak per clip from the Arrow kernel, clip ratio in "
+        "exact integer ppm — the saturation gate a speech pipeline runs "
+        "before loudness normalization; Python touches bytes only inside "
+        "the decode kernel, the oracle replays the synthesis "
+        "sample-for-sample",
+)
+def mm_audio_clipping_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_wav_media_table(docs, "doc_id", "text")
+    stats = M.audio_clip_stats(media, threshold=28)
+    return stats.select(
+        "media_id",
+        "n_samples",
+        "n_clipped",
+        "dc_sum",
+        "peak_abs",
+        F.expr("CAST(n_clipped * 1000000 div n_samples AS BIGINT)").alias("clip_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Letterbox detection through the real PPM decode — the crop-before-embed
+# QA gate of a vision pipeline: constant bars (letterbox/pillarbox,
+# black borders from aspect-ratio padding) dilute patch embeddings and
+# perceptual hashes, so frames are scanned for uniform edge rows before
+# feature extraction. The synthesis plants REAL constant bars on every
+# third image (Spark string expressions, byte-replayable in SQL); the
+# Arrow kernel decodes the PPM and counts leading/trailing uniform rows;
+# the oracle replays both the synthesis and the detection byte-for-byte.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_image_letterbox_detect",
+    """
+    WITH r AS (
+      SELECT doc_id, (8 + length(text) % 8) AS w,
+             substr(repeat(md5(text), 6), 1, (8 + length(text) % 8) * 12) AS ful,
+             md5(text) AS hx
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, w,
+             CASE WHEN doc_id % 3 = 0 THEN repeat(substr(hx, 1, 1), w * 3)
+                  ELSE substr(ful, 1, w * 3) END AS r0,
+             substr(ful, w * 3 + 1, w * 3) AS r1,
+             substr(ful, w * 6 + 1, w * 3) AS r2,
+             CASE WHEN doc_id % 3 = 0 THEN repeat(substr(hx, 1, 1), w * 3)
+                  ELSE substr(ful, w * 9 + 1, w * 3) END AS r3
+      FROM r
+    ),
+    u AS (
+      SELECT doc_id, w,
+             CASE WHEN r0 = repeat(substr(r0, 1, 1), w * 3) THEN 1 ELSE 0 END AS u0,
+             CASE WHEN r1 = repeat(substr(r1, 1, 1), w * 3) THEN 1 ELSE 0 END AS u1,
+             CASE WHEN r2 = repeat(substr(r2, 1, 1), w * 3) THEN 1 ELSE 0 END AS u2,
+             CASE WHEN r3 = repeat(substr(r3, 1, 1), w * 3) THEN 1 ELSE 0 END AS u3
+      FROM rws
+    ),
+    tb AS (
+      SELECT doc_id, w,
+             CASE WHEN u0 = 0 THEN 0 WHEN u1 = 0 THEN 1
+                  WHEN u2 = 0 THEN 2 WHEN u3 = 0 THEN 3 ELSE 4 END AS top_rows,
+             CASE WHEN u0 = 1 AND u1 = 1 AND u2 = 1 AND u3 = 1 THEN 0
+                  WHEN u3 = 0 THEN 0 WHEN u2 = 0 THEN 1
+                  WHEN u1 = 0 THEN 2 ELSE 3 END AS bottom_rows
+      FROM u
+    )
+    SELECT doc_id AS media_id, w::INT AS width, 4::INT AS height,
+           top_rows::INT AS top_rows, bottom_rows::INT AS bottom_rows,
+           (CASE WHEN top_rows > 0 AND bottom_rows > 0 THEN 1 ELSE 0 END)::INT
+             AS letterboxed
+    FROM tb
+    """,
+    doc="letterbox detection through the REAL PPM decode: the synthesis "
+        "plants constant top/bottom bars on every third image (pure Spark "
+        "string expressions, byte-replayable), the Arrow kernel decodes "
+        "the raster and counts leading/trailing uniform rows (every byte "
+        "of the row equals its first — all channels, all columns), "
+        "letterboxed = bars on BOTH edges; the crop-before-embed QA gate "
+        "run before patch embeddings or perceptual hashes, which constant "
+        "bars dilute",
+)
+def mm_image_letterbox_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_letterboxed_media_table(docs, "doc_id", "text")
+    return M.letterbox_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # Driver verification window ordering (round 9).
 #
 # The driver's correctness snapshot covers the FIRST 50 entries of queries()
@@ -20897,6 +22724,24 @@ _R10_BACKLOG: tuple[str, ...] = (
     "graph_personalized_pagerank",
     "cdc_watermark_alignment",
     "sample_raking_ipf",
+    # round-9 wave 3 (registered after the r9 window froze; next rotation)
+    "graph_adamic_adar",
+    "analytic_mcnemar",
+    "analytic_hhi_concentration",
+    "analytic_tost_equivalence",
+    "analytic_pinball_loss",
+    "analytic_logrank_test",
+    "text_gopher_quality_full",
+    "dedup_cdc_chunks",
+    "analytic_chi2_feature_select",
+    "analytic_krippendorff_alpha",
+    "analytic_iptw_att",
+    "sketch_countsketch_topk",
+    "analytic_bradley_terry",
+    "analytic_naive_bayes_langid",
+    "analytic_ar2_yule_walker",
+    "mm_audio_clipping_detect",
+    "mm_image_letterbox_detect",
 )
 
 

@@ -182,3 +182,73 @@ def streaming_session_agg(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def streaming_topk_values(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-key running top-k values via Spark 4's
+    ``transformWithStateInPandas`` — the richer stateful API (named state
+    variables, list/map state, TTL, timers) that supersedes
+    ``applyInPandasWithState``'s single state tuple. A ``ListState`` keeps
+    at most ``k`` values per key; each micro-batch merges its arrivals and
+    re-emits the refreshed ranked leaderboard for the keys it touched
+    (update semantics — the live "best n per user" view).
+
+    State is bounded at k values per key BY CONSTRUCTION (the merge
+    truncates before writing), so the state store never grows with stream
+    length — the property that keeps this runnable against an unbounded
+    topic; key-hash parallelism distributes the merge.
+
+    Deployment requirements (Spark 4 transformWithState protocol):
+    - the RocksDB state store provider
+      (``spark.sql.streaming.stateStore.providerClass`` =
+      ``...state.RocksDBStateStoreProvider``) — the HDFS-backed provider
+      does not implement the named-state-variable API;
+    - ``google.protobuf`` on the Python workers (the state server speaks
+      protobuf). This container ships no protobuf, so
+      ``tests/test_stateful.py`` skips the live e2e when the import
+      fails; the applyInPandasWithState operators above cover the
+      cross-batch-state semantics in CI.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            current = [t[0] for t in self._top.get()] if self._top.exists() else []
+            for pdf in rows:
+                current.extend(float(v) for v in pdf[value_col].tolist())
+            merged = sorted(current, reverse=True)[:k]
+            self._top.put([(v,) for v in merged])
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(merged),
+                    "rank": list(range(1, len(merged) + 1)),
+                    "value": merged,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        TopKProcessor(), out_schema, "update", "none"
+    )

@@ -152,3 +152,43 @@ def test_streaming_session_agg_same_batch_gap_split(spark, tmp_path):
             for r in spark.table("sess2_sink").collect()}
     q.stop()
     assert rows == {(7, t0, t0, 1)}
+
+
+def test_streaming_topk_values_transform_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas path: per-key ListState top-k
+    merges across batches and stays truncated at k. The TWS state protocol
+    needs google.protobuf on the Python workers and the RocksDB state
+    store; this container ships neither protobuf nor a way to install it,
+    so the live e2e skips when the import fails (the operator's
+    requirements are documented in its docstring)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: TWS python worker cannot start")
+    from etl_consumer_spark.streaming.stateful import streaming_topk_values
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def build(stream):
+        out = streaming_topk_values(stream, "k", "v", k=2)
+        return (
+            out.writeStream.format("memory")
+            .queryName("topk_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_topk"))
+            .start()
+        )
+
+    first, second = _run_two_batches(spark, tmp_path, build)
+    # batch 1: key 1 saw [10, 20] -> top2 (20, 10); key 2 saw [5]
+    assert set(first) == {(1, 1, 20.0), (1, 2, 10.0), (2, 1, 5.0)}
+    # batch 2 touches keys 1 (value 1.0 -> does not displace) and 3 (new);
+    # update sink keeps batch-1 rows and appends the refreshed ones
+    assert set(second) == {
+        (1, 1, 20.0), (1, 2, 10.0), (2, 1, 5.0), (3, 1, 7.0),
+    }
