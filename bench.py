@@ -247,6 +247,12 @@ HEADLINE = [
     "analytic_ar2_yule_walker",   # AR(2) fit + forecast per series
     "mm_audio_clipping_detect",   # clip/DC audio QA via real WAV decode
     "mm_image_letterbox_detect",  # uniform-bar detection via real decode
+    # round-9 wave 4
+    "analytic_elo_per_day",       # runtime Elo fold per day partition
+    "cdc_change_data_feed",       # Delta-CDF pre/postimage row feed
+    "analytic_item_item_cf",      # also-bought cosine neighbor lists
+    "text_burstiness",            # Fano-factor topicality top-20
+    "sim_gram_power_iteration",   # exact-Gram dominant eigenvector
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

@@ -1496,3 +1496,30 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
 
     par = media.sparkSession.sparkContext.defaultParallelism
     return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)
+
+
+RASTER_HIST_SCHEMA = "media_id long, v int, cnt long"
+
+
+def raster_value_counts(media: DataFrame) -> DataFrame:
+    """Exact per-image byte-value histogram through the real PPM decode:
+    one (media_id, value, count) row per distinct raster byte value —
+    the input shared by entropy, equalization, and posterization QA.
+    Counts are exact integers, so everything derived stays SQL-checkable;
+    output size is bounded by 256 levels per image regardless of raster
+    size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, _, raster = decode_ppm(bytes(row["blob"]))
+                vals, cnts = np.unique(raster.reshape(-1), return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    out.append({"media_id": row["media_id"], "v": int(v), "cnt": int(c)})
+            yield pd.DataFrame(out, columns=["media_id", "v", "cnt"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, RASTER_HIST_SCHEMA
+    )

@@ -647,3 +647,49 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "negative_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def gram_matrix_long(df: DataFrame, vec_col: str, dim: int, scale: int = 1000) -> DataFrame:
+    """Exact integer Gram matrix of an embedding column: vectors are
+    quantized to ``round(x * scale)`` longs (the k-means device, so any
+    engine reproduces the same integers), then G = sum over rows of the
+    outer product q q^T, returned as ``(idx, gsum)`` rows with
+    ``idx = i * dim + j``.
+
+    The naive formulation explodes d^2 rows per input row (a 4096x row
+    blowup at d=64 — 20M rows per 5k vectors, forever linear-in-d^2 on
+    the shuffle); this kernel instead computes each Arrow batch's partial
+    Gram with ONE integer matmul (numpy/BLAS) and emits d^2 rows per
+    BATCH, so the shuffle is O(partitions * d^2) regardless of row count.
+    Partial Grams merge by elementwise sum — the map-side-combinable
+    property the final groupBy exploits. int64 matmul keeps every partial
+    exact (|q| <= scale, so a batch of n rows is bounded by n * scale^2,
+    far under 2^63 for any realistic Arrow batch)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            y = np.array(
+                [np.asarray(v, dtype=np.float64) * scale for v in pdf["_v"]],
+                dtype=np.float64,
+            )
+            # round half AWAY FROM ZERO — SQL round() semantics on both
+            # engines; np.round is banker's and would diverge on exact .5
+            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            g = q.T @ q
+            yield pd.DataFrame(
+                {"idx": np.arange(dim * dim, dtype=np.int64), "gsum": g.reshape(-1)}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    partials = (
+        df.select(F.col(vec_col).alias("_v"))
+        .repartition(par)
+        .mapInPandas(kernel, "idx long, gsum long")
+    )
+    return partials.groupBy("idx").agg(F.sum("gsum").cast("long").alias("gsum"))

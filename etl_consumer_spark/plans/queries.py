@@ -22639,6 +22639,580 @@ def mm_image_letterbox_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.letterbox_stats(media)
 
 
+# Per-day Elo ratings (Elo 1978; the online sibling of the registered
+# Bradley-Terry batch solve) — the sequential rating update every arena
+# leaderboard publishes between batch re-fits. Online ratings are
+# inherently order-dependent, so the fold is partitioned by DAY (each
+# day's ladder starts fresh at 1000): per-group work is linear and
+# bounded by the day's match count, groups parallelize across the
+# cluster, and no global sequential pass exists anywhere. The update
+# runs at RUNTIME inside one array fold (the analytic_bradley_terry
+# device); the expected-score/pow arithmetic is identical text on both
+# engines.
+
+_ELO_K = "16.0"
+# expected score of player a in match m given the rating array r.
+# power(10, x) is NOT bit-identical between Java Math.pow and C libm
+# (measured: ~10% of values differ in the last ulp), so a raw float fold
+# would diverge across engines. The per-match rating DELTA is therefore
+# quantized to integer micro-points — K*(s-e) agrees to ~1e-16 relative,
+# so round(.*1e6) flips only within ~1e-10 of a boundary — and both
+# players move by the same quantized delta (zero-sum preserved exactly).
+_ELO_E_SPARK = (
+    "(1.0D / (1.0D + power(10.0D,"
+    " (element_at(r, CAST(m.pb + 1 AS INT)) - element_at(r, CAST(m.pa + 1 AS INT)))"
+    " / 400.0D)))"
+)
+_ELO_S_SPARK = "(CASE WHEN m.winner = m.pa THEN 1.0D ELSE 0.0D END)"
+_ELO_D_SPARK = (
+    f"(CAST(round({_ELO_K}D * ({_ELO_S_SPARK} - {_ELO_E_SPARK}) * 1000000.0D)"
+    f" AS BIGINT) / 1000000.0D)"
+)
+_ELO_E_SQL = (
+    "(1.0 / (1.0 + power(10.0, (a.r[m.pb + 1] - a.r[m.pa + 1]) / 400.0)))"
+)
+_ELO_S_SQL = "(CASE WHEN m.winner = m.pa THEN 1.0 ELSE 0.0 END)"
+_ELO_D_SQL = (
+    f"(CAST(round({_ELO_K} * ({_ELO_S_SQL} - {_ELO_E_SQL}) * 1000000.0)"
+    f" AS BIGINT) / 1000000.0)"
+)
+
+
+@register(
+    "analytic_elo_per_day",
+    f"""
+    WITH m0 AS (
+      SELECT day(ts)::BIGINT AS d, epoch_ns(ts) AS t, event_id,
+             (user_id % 16)::BIGINT AS pa,
+             ((user_id // 16 + event_id) % 16)::BIGINT AS pb,
+             ('0x' || substr(md5('bt' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM events
+    ),
+    m1 AS (
+      SELECT d, t, event_id, pa, pb,
+             CASE WHEN u < (CAST(pa AS DOUBLE) + 1.0)
+                           / (CAST(pa AS DOUBLE) + CAST(pb AS DOUBLE) + 2.0)
+                  THEN pa ELSE pb END AS winner
+      FROM m0 WHERE pa <> pb
+    ),
+    packed AS (
+      SELECT d, list({{'t': t, 'e': event_id, 'pa': pa, 'pb': pb, 'winner': winner,
+                       'r': CAST(NULL AS DOUBLE[])}}
+                     ORDER BY t, event_id) AS ms
+      FROM m1 GROUP BY d
+    ),
+    folded AS (
+      SELECT d,
+             list_reduce(list_prepend(
+               {{'t': 0::BIGINT, 'e': 0::BIGINT, 'pa': 0::BIGINT, 'pb': 0::BIGINT,
+                 'winner': 0::BIGINT,
+                 'r': list_transform(generate_series(0, 15), i -> 1000.0)}}, ms),
+               (a, m) -> {{'t': 0::BIGINT, 'e': 0::BIGINT, 'pa': 0::BIGINT,
+                           'pb': 0::BIGINT, 'winner': 0::BIGINT,
+                 'r': list_transform(generate_series(0, 15), i ->
+                   CASE WHEN i = m.pa THEN a.r[m.pa + 1] + {_ELO_D_SQL}
+                        WHEN i = m.pb THEN a.r[m.pb + 1] - {_ELO_D_SQL}
+                        ELSE a.r[i + 1] END)}}).r AS r
+      FROM packed
+    )
+    SELECT d AS day, CAST(i - 1 AS BIGINT) AS player,
+           round(r[i], 6) AS rating
+    FROM folded, unnest(generate_series(1, 16)) AS t(i)
+    """,
+    doc="per-day Elo ladder (K=16, start 1000) over the same "
+        "deterministic skill-graded matches as analytic_bradley_terry: "
+        "the ORDER-DEPENDENT online rating update runs as a runtime array "
+        "fold per day partition (linear per group, parallel across days, "
+        "no global sequential pass), expected score 1/(1+10^(dr/400)) as "
+        "identical text both engines — the live-leaderboard companion to "
+        "the batch MM solve",
+)
+def analytic_elo_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    m0 = ev.select(
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        (F.col("user_id") % 16).cast("long").alias("pa"),
+        ((F.expr("user_id div 16") + F.col("event_id")) % 16)
+        .cast("long")
+        .alias("pb"),
+        hash_fraction(F.col("event_id"), "bt").alias("u"),
+    )
+    m1 = m0.filter(F.col("pa") != F.col("pb")).select(
+        "d", "t", "event_id", "pa", "pb",
+        F.expr(
+            "CASE WHEN u < (CAST(pa AS DOUBLE) + 1.0D)"
+            " / (CAST(pa AS DOUBLE) + CAST(pb AS DOUBLE) + 2.0D)"
+            " THEN pa ELSE pb END"
+        ).alias("winner"),
+    )
+    packed = m1.groupBy("d").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", F.col("event_id").alias("e"), "pa", "pb", "winner"))
+        ).alias("ms")
+    )
+    upd = (
+        f"transform(sequence(0, 15), i ->"
+        f" CASE WHEN i = m.pa THEN element_at(r, CAST(m.pa + 1 AS INT)) + {_ELO_D_SPARK}"
+        f" WHEN i = m.pb THEN element_at(r, CAST(m.pb + 1 AS INT)) - {_ELO_D_SPARK}"
+        f" ELSE element_at(r, i + 1) END)"
+    )
+    folded = packed.select(
+        "d",
+        F.expr(
+            f"aggregate(ms, transform(sequence(0, 15), i -> 1000.0D),"
+            f" (r, m) -> {upd})"
+        ).alias("r"),
+    )
+    return folded.select(
+        F.col("d").alias("day"), F.posexplode("r").alias("player", "rating")
+    ).select(
+        "day",
+        F.col("player").cast("long").alias("player"),
+        F.expr("round(rating, 6)").alias("rating"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between two table versions (the Delta Lake CDF output
+# contract: _change_type in insert/delete/update_preimage/update_postimage,
+# updates emitting BOTH images as separate rows) — what a downstream
+# incremental consumer subscribes to instead of diffing snapshots itself.
+# The registered cdc_state_diff classifies one row per changed key; this
+# emits the row-per-image feed form. Versions are two prefixes of the same
+# synthetic keyed log (thresholds relative to the key domain, so the
+# semantics are sf-stable); per-version latest-row resolution is the
+# compacted-log device (one key-partitioned ranking window each).
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_change_data_feed",
+    """
+    WITH log AS (
+      SELECT o_orderkey AS k, o_orderkey * 2 AS pos, 'upsert' AS op,
+             o_totalprice AS v
+      FROM orders WHERE o_orderkey % 4 <> 3
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 2 + 1, 'delete', NULL
+      FROM orders WHERE o_orderkey % 16 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 2 + 2, 'upsert', o_totalprice + 77.0
+      FROM orders WHERE o_orderkey % 8 = 2
+    ),
+    cut AS (SELECT max(k) AS maxk FROM log),
+    v1 AS (
+      SELECT k, v FROM (
+        SELECT k, op, v, row_number() OVER (PARTITION BY k ORDER BY pos DESC) AS rn
+        FROM log, cut WHERE pos <= maxk
+      ) WHERE rn = 1 AND op = 'upsert'
+    ),
+    v2 AS (
+      SELECT k, v FROM (
+        SELECT k, op, v, row_number() OVER (PARTITION BY k ORDER BY pos DESC) AS rn
+        FROM log
+      ) WHERE rn = 1 AND op = 'upsert'
+    ),
+    joined AS (
+      SELECT coalesce(v1.k, v2.k) AS k, v1.v AS v_old, v2.v AS v_new,
+             v1.k IS NOT NULL AS in1, v2.k IS NOT NULL AS in2
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT 'insert' AS _change_type, k, v_new AS v FROM joined
+      WHERE NOT in1 AND in2
+    UNION ALL
+    SELECT 'delete', k, v_old FROM joined WHERE in1 AND NOT in2
+    UNION ALL
+    SELECT 'update_preimage', k, v_old FROM joined
+      WHERE in1 AND in2 AND v_old IS DISTINCT FROM v_new
+    UNION ALL
+    SELECT 'update_postimage', k, v_new FROM joined
+      WHERE in1 AND in2 AND v_old IS DISTINCT FROM v_new
+    """,
+    doc="change data feed between two versions of a keyed log (the Delta "
+        "CDF contract): _change_type insert/delete/update_preimage/"
+        "update_postimage with updates emitting BOTH images as rows — the "
+        "subscription feed for incremental downstream consumers; two "
+        "compacted-log snapshots (key-partitioned ranking windows), one "
+        "full-outer key join, null-safe change classification; version "
+        "thresholds relative to the key domain so semantics are sf-stable",
+)
+def cdc_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    up1 = orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") * 2).alias("pos"),
+        F.lit("upsert").alias("op"),
+        F.col("o_totalprice").alias("v"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 16 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") * 2 + 1).alias("pos"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    up2 = orders.filter(F.col("o_orderkey") % 8 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") * 2 + 2).alias("pos"),
+        F.lit("upsert").alias("op"),
+        (F.col("o_totalprice") + 77.0).alias("v"),
+    )
+    log = up1.unionAll(dels).unionAll(up2)
+    cut = log.agg(F.max("k").alias("maxk"))
+
+    def snapshot(df):
+        w = Window.partitionBy("k").orderBy(F.col("pos").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+            .select("k", "v")
+        )
+
+    v1 = snapshot(log.crossJoin(F.broadcast(cut)).filter(F.col("pos") <= F.col("maxk")))
+    v2 = snapshot(log)
+    j = (
+        v1.select(F.col("k").alias("k1"), F.col("v").alias("v_old"))
+        .join(
+            v2.select(F.col("k").alias("k2"), F.col("v").alias("v_new")),
+            F.col("k1") == F.col("k2"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("k1", "k2").alias("k"),
+            "v_old",
+            "v_new",
+            F.col("k1").isNotNull().alias("in1"),
+            F.col("k2").isNotNull().alias("in2"),
+        )
+    )
+    ins = j.filter(~F.col("in1") & F.col("in2")).select(
+        F.lit("insert").alias("_change_type"), "k", F.col("v_new").alias("v")
+    )
+    dele = j.filter(F.col("in1") & ~F.col("in2")).select(
+        F.lit("delete").alias("_change_type"), "k", F.col("v_old").alias("v")
+    )
+    changed = j.filter(
+        F.col("in1") & F.col("in2") & ~F.col("v_old").eqNullSafe(F.col("v_new"))
+    )
+    pre = changed.select(
+        F.lit("update_preimage").alias("_change_type"), "k", F.col("v_old").alias("v")
+    )
+    post = changed.select(
+        F.lit("update_postimage").alias("_change_type"), "k", F.col("v_new").alias("v")
+    )
+    return ins.unionAll(dele).unionAll(pre).unionAll(post)
+
+
+# Item-item collaborative filtering (Sarwar et al. WWW'01; the
+# "customers who bought X also bought Y" primitive behind every
+# recommender shelf) over order baskets: co-occurrence counts are exact
+# integers from a self-join bounded by basket size (<= 7 items per order
+# in this schema — the analytic_market_basket discipline, linear in
+# lineitems), cosine similarity co/sqrt(n_i*n_j) is one shared float
+# expression, and the top-5 neighbor ranking windows are item-bounded
+# (vocabulary-scale, never corpus-scale). Distinct from
+# analytic_market_basket (rules with support/confidence thresholds):
+# this emits the per-item NEIGHBOR LIST a serving layer would cache.
+
+_IICF_COS = (
+    "(CAST(co AS DOUBLE) / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)))"
+)
+
+
+@register(
+    "analytic_item_item_cf",
+    f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, (l_partkey % 200)::BIGINT AS item
+      FROM lineitem
+    ),
+    n AS (SELECT item, count(*)::BIGINT AS n_orders FROM baskets GROUP BY item),
+    co AS (
+      SELECT a.item AS i, b.item AS j, count(*)::BIGINT AS co
+      FROM baskets a JOIN baskets b ON a.o = b.o AND a.item < b.item
+      GROUP BY a.item, b.item HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT i, j, co FROM co
+      UNION ALL
+      SELECT j, i, co FROM co
+    ),
+    scored AS (
+      SELECT s.i AS item, s.j AS neighbor, s.co,
+             ni.n_orders AS n_i, nj.n_orders AS n_j
+      FROM sym s
+      JOIN n ni ON ni.item = s.i
+      JOIN n nj ON nj.item = s.j
+    ),
+    ranked AS (
+      SELECT item, neighbor, co, n_i, n_j,
+             round({_IICF_COS}, 9) AS cosine,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY {_IICF_COS} DESC, neighbor ASC) AS rnk
+      FROM scored
+    )
+    SELECT item, neighbor, co AS n_co_orders, cosine, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="item-item collaborative filtering (Sarwar WWW'01): top-5 "
+        "also-bought neighbors per item by cosine over order-basket "
+        "co-occurrence — exact integer co/marginal counts (pair expansion "
+        "bounded by basket size, the market-basket discipline), cosine "
+        "one shared float expression, ranking windows item-bounded; the "
+        "neighbor-list build a recommender serving layer caches, distinct "
+        "from the support/confidence RULES of analytic_market_basket",
+)
+def analytic_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % 200).cast("long").alias("item"),
+    ).distinct()
+    n = baskets.groupBy("item").agg(F.count("*").cast("long").alias("n_orders"))
+    a = baskets.select("o", F.col("item").alias("i"))
+    b = baskets.select("o", F.col("item").alias("j"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    sym = co.unionAll(co.select(F.col("j").alias("i"), F.col("i").alias("j"), "co"))
+    scored = (
+        sym.join(F.broadcast(n.select(F.col("item").alias("i"), F.col("n_orders").alias("n_i"))), "i")
+        .join(F.broadcast(n.select(F.col("item").alias("j"), F.col("n_orders").alias("n_j"))), "j")
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            "co", "n_i", "n_j",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.expr(_IICF_COS).desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "item",
+            "neighbor",
+            F.col("co").alias("n_co_orders"),
+            F.expr(f"round({_IICF_COS}, 9)").alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word burstiness / Fano factor (Church & Gale 1995): variance-to-mean
+# ratio of a word's per-document counts across the WHOLE corpus (zeros
+# included — they enter the power sums implicitly, so no densification
+# is ever materialized). VMR = 1 is Poisson scatter; content words burst
+# (VMR >> 1: absent from most docs, dense where they appear) while
+# function words hug 1 — the signal separating topical terms from glue,
+# and a corpus-QA check that synthetic or deduplicated text hasn't lost
+# natural burstiness. Exact integer power sums, one shared float, a
+# vocabulary-bounded top-20 ranking.
+# ---------------------------------------------------------------------------
+
+_VMR = (
+    "((CAST(s2 AS DOUBLE) - CAST(n_docs AS DOUBLE)"
+    " * (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    " * (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+    " / (CAST(n_docs AS DOUBLE) - 1.0)"
+    " / (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+)
+
+
+@register(
+    "text_burstiness",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, w),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    agg AS (
+      SELECT w, count(*)::BIGINT AS df,
+             sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS s2
+      FROM dc GROUP BY w
+    ),
+    scored AS (
+      SELECT w, df, s AS total_count,
+             round({_VMR}, 9) AS vmr,
+             row_number() OVER (ORDER BY {_VMR} DESC, w ASC) AS rnk
+      FROM agg CROSS JOIN n
+      WHERE df >= 5
+    )
+    SELECT w AS word, df, total_count, vmr, rnk FROM scored WHERE rnk <= 20
+    """,
+    doc="word burstiness / Fano factor (Church-Gale 1995): top-20 words "
+        "by variance-to-mean ratio of per-doc counts across the corpus, "
+        "zeros entering the power sums implicitly (no densification) — "
+        "VMR ~ 1 is Poisson glue, VMR >> 1 is topical burst; exact "
+        "integer (df, sum, sum-of-squares) in one combinable pass, VMR "
+        "one shared float expression, vocabulary-bounded ranking; the "
+        "topicality signal and the corpus-QA check that dedup/synthesis "
+        "hasn't flattened natural burstiness",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    dc = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    agg = dc.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.expr("c * c")).cast("long").alias("s2"),
+    )
+    scored = agg.crossJoin(F.broadcast(n)).filter(F.col("df") >= 5)
+    # TakeOrderedAndProject (per-partition top-k + merge), then ranks from
+    # the packed 20-row array — no global window anywhere in the plan
+    top = scored.orderBy(F.expr(_VMR).desc(), F.col("w").asc()).limit(20)
+    packed = top.agg(
+        F.expr(
+            f"array_sort(collect_list(struct(-({_VMR}) AS nk, w, df,"
+            f" s, round({_VMR}, 9) AS vmr)))"
+        ).alias("a")
+    )
+    return packed.select(F.posexplode("a").alias("pos", "r")).select(
+        F.col("r.w").alias("word"),
+        F.col("r.df").alias("df"),
+        F.col("r.s").alias("total_count"),
+        F.col("r.vmr").alias("vmr"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via power iteration on the embedding Gram
+# matrix (von Mises & Pollaczek-Geiringer 1929; the dominant-eigenvector
+# step of PCA/spectral methods) — run ENTIRELY in-engine: embeddings are
+# quantized to integer milli-units (the kmeans device) so the 64x64 Gram
+# matrix is EXACT long sums (one combinable element-wise aggregation —
+# per-row work is d^2, linear in rows, mergeable across any partitioning);
+# the 8 power iterations then run at runtime inside one array fold over
+# the packed 4096-long Gram row (the Bradley-Terry device), with
+# matrix-vector products and normalizations in identical op order on both
+# engines. Output: the dominant eigenvector and its Rayleigh-quotient
+# eigenvalue — the direction embedding whitening/deduplication would
+# remove first.
+# ---------------------------------------------------------------------------
+
+_PI_DIM = 64
+# 64 iterations: the synthetic spectrum is nearly degenerate
+# (lambda2/lambda1 ~ 0.93), so 8 rounds leave ~10% Rayleigh error while
+# 64 reach ~5e-5 (measured); each round is ~8k flops on one packed row,
+# so the count is free
+_PI_ITERS = 64
+
+# matrix-vector product over the packed gram g (1-based list) and v
+_PI_GV_SQL = (
+    f"list_transform(generate_series(0, {_PI_DIM - 1}), i ->"
+    f" list_reduce(list_prepend(0.0, list_transform(generate_series(0, {_PI_DIM - 1}),"
+    f" j -> CAST(g[i * {_PI_DIM} + j + 1] AS DOUBLE) * v[j + 1])), (p, q) -> p + q))"
+)
+_PI_SOLVE_SQL = (
+    # 0.125 must be cast: a bare DuckDB float literal is DECIMAL and the
+    # whole fold silently runs in decimal arithmetic (measured: 3-decimal
+    # precision on the eigvec) — Spark's 0.125D twin is DOUBLE
+    f"list_reduce(list_transform(generate_series(0, {_PI_ITERS}), k ->"
+    f" list_transform(generate_series(1, {_PI_DIM}), i -> 0.125::DOUBLE)),"
+    f" (v, x) -> list_transform({_PI_GV_SQL}, w -> w /"
+    f" sqrt(list_reduce(list_prepend(0.0, list_transform({_PI_GV_SQL},"
+    f" y -> y * y)), (p, q) -> p + q))))"
+)
+_PI_GV_SPARK = (
+    f"transform(sequence(0, {_PI_DIM - 1}), i ->"
+    f" aggregate(sequence(0, {_PI_DIM - 1}), 0.0D, (p, j) -> p"
+    f" + CAST(element_at(g, i * {_PI_DIM} + j + 1) AS DOUBLE)"
+    f" * element_at(v, j + 1)))"
+)
+_PI_SOLVE_SPARK = (
+    f"aggregate(sequence(1, {_PI_ITERS}),"
+    f" transform(sequence(1, {_PI_DIM}), i -> 0.125D),"
+    f" (v, k) -> transform({_PI_GV_SPARK}, w -> w /"
+    f" sqrt(aggregate(transform({_PI_GV_SPARK}, y -> y * y), 0.0D,"
+    f" (p, q) -> p + q))))"
+)
+
+
+@register(
+    "sim_gram_power_iteration",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT (i - 1) * {_PI_DIM} + (j - 1) AS idx,
+             sum(qe[i] * qe[j])::BIGINT AS gsum
+      FROM q, unnest(generate_series(1, {_PI_DIM})) AS a(i),
+             unnest(generate_series(1, {_PI_DIM})) AS b(j)
+      GROUP BY (i - 1) * {_PI_DIM} + (j - 1)
+    ),
+    packed AS (SELECT list(gsum ORDER BY idx) AS g FROM cells),
+    solved AS (SELECT g, {_PI_SOLVE_SQL} AS v FROM packed),
+    lam AS (
+      SELECT v,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, {_PI_DIM}),
+                 i -> v[i] * ({_PI_GV_SQL})[i])), (p, q) -> p + q) AS eigval
+      FROM solved
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS component,
+           round(v[i], 9) AS eigvec,
+           round(eigval, 3) AS eigenvalue
+    FROM lam, unnest(generate_series(1, {_PI_DIM})) AS t(i)
+    """,
+    doc="dominant principal component of the embedding set via 64 power "
+        "iterations on the Gram matrix: embeddings quantized to integer "
+        "milli-units so the 64x64 Gram is EXACT long sums (element-wise "
+        "combinable aggregation, per-row work d^2 — linear in rows, "
+        "mergeable across any partitioning); iterations run at runtime "
+        "inside one array fold (the Bradley-Terry device) with identical "
+        "op order both engines; output the eigenvector + Rayleigh "
+        "eigenvalue — the direction embedding whitening removes first, "
+        "and the spectral summary of a vector corpus",
+    scale_safe=True,
+)
+def sim_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions.similarity import gram_matrix_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one integer matmul per Arrow batch (d^2 rows per PARTITION on the
+    # shuffle) instead of a d^2-per-ROW explode — same exact integers,
+    # measured 2.3x at sf0.01 and the gap grows linearly with rows
+    cells = gram_matrix_long(emb, "embedding", _PI_DIM, scale=1000)
+    packed = cells.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(idx, gsum))), x -> x.gsum)"
+        ).alias("g")
+    )
+    solved = packed.select("g", F.expr(_PI_SOLVE_SPARK).alias("v"))
+    lam = solved.select(
+        "v",
+        F.expr(
+            f"aggregate(transform(sequence(1, {_PI_DIM}), i ->"
+            f" element_at(v, i) * element_at({_PI_GV_SPARK}, i)),"
+            f" 0.0D, (p, q) -> p + q)"
+        ).alias("eigval"),
+    )
+    return lam.select(F.posexplode("v").alias("c", "ev"), F.col("eigval")).select(
+        F.col("c").cast("long").alias("component"),
+        F.expr("round(ev, 9)").alias("eigvec"),
+        F.expr("round(eigval, 3)").alias("eigenvalue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering (round 9).
 #
@@ -22742,6 +23316,12 @@ _R10_BACKLOG: tuple[str, ...] = (
     "analytic_ar2_yule_walker",
     "mm_audio_clipping_detect",
     "mm_image_letterbox_detect",
+    # round-9 wave 4
+    "analytic_elo_per_day",
+    "cdc_change_data_feed",
+    "analytic_item_item_cf",
+    "text_burstiness",
+    "sim_gram_power_iteration",
 )
 
 
