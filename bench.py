@@ -253,6 +253,10 @@ HEADLINE = [
     "analytic_item_item_cf",      # also-bought cosine neighbor lists
     "text_burstiness",            # Fano-factor topicality top-20
     "sim_gram_power_iteration",   # exact-Gram dominant eigenvector
+    # round-9 wave 5
+    "analytic_gtest_collocations",  # Dunning LLR 2x2, TakeOrdered top-20
+    "analytic_mann_kendall",      # nonparametric trend + Sen slope
+    "mm_image_entropy",           # pixel-entropy QA via real decode
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

@@ -23213,6 +23213,310 @@ def sim_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Log-likelihood-ratio (G-test) collocations (Dunning, Computational
+# Linguistics 1993) — the statistically honest collocation ranker beside
+# the registered text_pmi_collocations: PMI overweights rare pairs
+# (a hapax bigram of two hapax words maxes PMI), while Dunning's LLR
+# scores the full 2x2 contingency so evidence mass matters. All four
+# cells are exact integers from the same adjacent-bigram counts; LLR is
+# one shared float expression (x*ln(x/E) terms written in a fixed order,
+# 0*ln(0) guarded to 0); top-20 via TakeOrdered.
+
+def _llr_term(o: str, e: str) -> str:
+    return (
+        f"(CASE WHEN {o} > 0 THEN CAST({o} AS DOUBLE)"
+        f" * ln(CAST({o} AS DOUBLE) / ({e})) ELSE 0.0 END)"
+    )
+
+
+# expected cell counts under independence: E_ij = row_i * col_j / n
+_LLR_E11 = "(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+_LLR_E12 = "(CAST(c_a AS DOUBLE) * CAST(n_pairs - c_b AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+_LLR_E21 = "(CAST(n_pairs - c_a AS DOUBLE) * CAST(c_b AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+_LLR_E22 = (
+    "(CAST(n_pairs - c_a AS DOUBLE) * CAST(n_pairs - c_b AS DOUBLE)"
+    " / CAST(n_pairs AS DOUBLE))"
+)
+_LLR_EXPR = (
+    "(2.0 * ("
+    + _llr_term("c_ab", _LLR_E11)
+    + " + " + _llr_term("(c_a - c_ab)", _LLR_E12)
+    + " + " + _llr_term("(c_b - c_ab)", _LLR_E21)
+    + " + " + _llr_term("(n_pairs - c_a - c_b + c_ab)", _LLR_E22)
+    + "))"
+)
+
+
+@register(
+    "analytic_gtest_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[^a-z]+') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      WHERE length(ws[i]) >= 2 AND length(ws[i + 1]) >= 2
+    ),
+    pc AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM pairs GROUP BY a, b),
+    tot AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+    ua AS (SELECT a, count(*)::BIGINT AS c_a FROM pairs GROUP BY a),
+    ub AS (SELECT b, count(*)::BIGINT AS c_b FROM pairs GROUP BY b),
+    scored AS (
+      SELECT pc.a, pc.b, pc.c_ab, ua.c_a, ub.c_b, tot.n_pairs,
+             {_LLR_EXPR} AS llr
+      FROM pc JOIN ua ON ua.a = pc.a JOIN ub ON ub.b = pc.b, tot
+      WHERE pc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, c_a, c_b, round(llr, 9) AS llr
+    FROM scored ORDER BY llr DESC, a, b LIMIT 20
+    """,
+    doc="Dunning G-test (log-likelihood ratio) collocations, top-20: the "
+        "full 2x2 adjacent-bigram contingency in exact integers, LLR = "
+        "2*sum O*ln(O/E) as one shared float expression with fixed term "
+        "order and 0*ln(0)=0 guarded — the evidence-weighted collocation "
+        "ranker that fixes PMI's rare-pair bias (Dunning CL 1993); "
+        "vocabulary-bounded count tables, global top via TakeOrdered",
+)
+def analytic_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), "[^a-z]+").alias("ws")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, size(ws)-2), "
+                "i -> struct(ws[i] AS a, ws[i+1] AS b)), "
+                "p -> length(p.a) >= 2 AND length(p.b) >= 2)"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    tot = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    ua = pairs.groupBy("a").agg(F.count("*").cast("long").alias("c_a"))
+    ub = pairs.groupBy("b").agg(F.count("*").cast("long").alias("c_b"))
+    scored = (
+        pc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("llr", F.expr(_LLR_EXPR))
+    )
+    return (
+        scored.orderBy(F.col("llr").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "c_ab", "c_a", "c_b", F.expr("round(llr, 9)").alias("llr"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Sen's slope (Mann 1945; Kendall 1975; Sen,
+# JASA 1968) per event-type daily-revenue series — the NONPARAMETRIC
+# trend detector: no normality assumption, robust to outliers, the
+# standard of environmental/ops monitoring (and the honest alternative
+# to fitting OLS on 30 points). The daily series is bounded (31 days),
+# so the O(n^2) pairwise statistics are in-row array folds over exact
+# integer daily cents; S, the tie-corrected variance, and Sen's median
+# slope are all engine-identical.
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytic_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT event_type, day(ts)::BIGINT AS d,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+      FROM events GROUP BY event_type, day(ts)
+    ),
+    packed AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             list(x ORDER BY d) AS xs, list(d ORDER BY d) AS ds
+      FROM daily GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n, xs, ds,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(
+               list_transform(generate_series(1, len(xs) - 1), i ->
+                 list_transform(generate_series(i + 1, len(xs)), j ->
+                   CASE WHEN xs[j] > xs[i] THEN 1
+                        WHEN xs[j] < xs[i] THEN -1 ELSE 0 END::BIGINT)))),
+               (p, q) -> p + q) AS s,
+             list_sort(flatten(
+               list_transform(generate_series(1, len(xs) - 1), i ->
+                 list_transform(generate_series(i + 1, len(xs)), j ->
+                   CAST(xs[j] - xs[i] AS DOUBLE) / CAST(ds[j] - ds[i] AS DOUBLE)))))
+               AS slopes
+      FROM packed
+    ),
+    ties AS (
+      SELECT event_type,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(l.cnts, t -> t * (t - 1) * (2 * t + 5))),
+               (p, q) -> p + q) AS tie_term
+      FROM (
+        SELECT event_type, list(c) AS cnts FROM (
+          SELECT event_type, x, count(*)::BIGINT AS c FROM daily
+          GROUP BY event_type, x
+        ) GROUP BY event_type
+      ) l
+    ),
+    z AS (
+      SELECT s.event_type, s.n, s.s, s.slopes, t.tie_term,
+             (CAST(s.n * (s.n - 1) * (2 * s.n + 5) - t.tie_term AS DOUBLE) / 18.0)
+               AS var_s
+      FROM stats s JOIN ties t ON t.event_type = s.event_type
+    )
+    SELECT event_type, n AS n_days, s,
+           round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                      ELSE 0.0 END, 9) AS z_stat,
+           round(CASE WHEN len(slopes) % 2 = 1 THEN slopes[(len(slopes) + 1) // 2]
+                      ELSE (slopes[len(slopes) // 2] + slopes[len(slopes) // 2 + 1]) / 2.0
+                 END / 100.0, 9) AS sen_slope_per_day,
+           CASE WHEN abs(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                              ELSE 0.0 END) > 1.96 THEN 1 ELSE 0 END AS significant
+    FROM z
+    """,
+    doc="Mann-Kendall nonparametric trend test + Sen's slope per "
+        "event-type daily-revenue series: pairwise sign statistic S and "
+        "the tie-corrected variance from exact integer daily cents, Sen's "
+        "slope = the exact median of pairwise slopes — all O(n^2) work is "
+        "in-row folds over the BOUNDED (<= 31-day) series, z continuity-"
+        "corrected at 1.96; the outlier-robust trend monitor beside the "
+        "parametric OLS/Theil-Sen family",
+)
+def analytic_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
+    packed = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)").alias("xs"),
+        F.expr("transform(array_sort(collect_list(struct(d, x))), p -> p.d)").alias("ds"),
+    )
+    stats = packed.select(
+        "event_type", "n", "xs", "ds",
+        F.expr(
+            "aggregate(flatten(transform(sequence(1, size(xs) - 1), i ->"
+            " transform(sequence(i + 1, size(xs)), j ->"
+            " CAST(CASE WHEN element_at(xs, j) > element_at(xs, i) THEN 1"
+            " WHEN element_at(xs, j) < element_at(xs, i) THEN -1 ELSE 0 END AS BIGINT)))),"
+            " CAST(0 AS BIGINT), (p, q) -> p + q)"
+        ).alias("s"),
+        F.expr(
+            "array_sort(flatten(transform(sequence(1, size(xs) - 1), i ->"
+            " transform(sequence(i + 1, size(xs)), j ->"
+            " CAST(element_at(xs, j) - element_at(xs, i) AS DOUBLE)"
+            " / CAST(element_at(ds, j) - element_at(ds, i) AS DOUBLE)))))"
+        ).alias("slopes"),
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "aggregate(collect_list(c * (c - 1) * (2 * c + 5)),"
+                " CAST(0 AS BIGINT), (p, q) -> p + q)"
+            ).alias("tie_term")
+        )
+    )
+    z = stats.join(ties, "event_type").withColumn(
+        "var_s",
+        F.expr(
+            "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0D"
+        ),
+    )
+    z_expr = (
+        "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)"
+        " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)"
+        " ELSE 0.0 END"
+    )
+    return z.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s",
+        F.expr(f"round({z_expr}, 9)").alias("z_stat"),
+        F.expr(
+            "round(CASE WHEN size(slopes) % 2 = 1"
+            " THEN element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))"
+            " ELSE (element_at(slopes, CAST(size(slopes) div 2 AS INT))"
+            " + element_at(slopes, CAST(size(slopes) div 2 + 1 AS INT))) / 2.0"
+            " END / 100.0, 9)"
+        ).alias("sen_slope_per_day"),
+        F.when(F.expr(f"abs({z_expr})") > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+# Pixel-entropy image QA through the real PPM decode (Shannon 1948;
+# the blank-frame/noise-screen detector every vision-data pipeline runs:
+# near-zero entropy is a solid card or letterbox slate, maximal entropy
+# is sensor noise or encrypted garbage — both are drop candidates before
+# feature extraction). The Arrow kernel ships only EXACT integer
+# (value, count) histogram rows from the decoded raster; the per-image
+# entropy is a value-ordered in-row fold of -(c/n)ln(c/n) — identical
+# op order on both engines — and the oracle replays the deterministic
+# raster byte-for-byte.
+
+@register(
+    "mm_image_entropy",
+    f"""
+    WITH {_MM_RASTER_CTE},
+    px AS (
+      SELECT doc_id, ascii(substr(ras, u.i, 1)) AS v, length(ras) AS n
+      FROM r, unnest(generate_series(1, length(ras))) AS u(i)
+    ),
+    hist AS (SELECT doc_id, v, max(n) AS n, count(*)::BIGINT AS cnt
+             FROM px GROUP BY doc_id, v),
+    packed AS (
+      SELECT doc_id, max(n)::BIGINT AS n_px, count(*)::INT AS n_levels,
+             list(cnt ORDER BY v) AS cs
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, n_px, n_levels,
+           round(list_reduce(list_prepend(0.0, list_transform(cs, c ->
+             -(CAST(c AS DOUBLE) / CAST(n_px AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(n_px AS DOUBLE)))),
+             (p, q) -> p + q), 9) AS entropy_nats
+    FROM packed
+    """,
+    doc="pixel-entropy image QA through the REAL PPM decode: the Arrow "
+        "kernel ships exact integer (value, count) histogram rows from "
+        "the decoded raster, per-image Shannon entropy is a value-ordered "
+        "in-row fold of -(c/n)ln(c/n) (identical op order both engines) "
+        "— near-zero flags solid/blank frames, maximal flags noise; the "
+        "keep/drop signal beside blur (variance-of-Laplacian) and "
+        "letterbox detection; oracle replays the raster byte-for-byte",
+)
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_consumer_spark.extensions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_table(docs, "doc_id", "text")
+    hist = M.raster_value_counts(media)
+    packed = hist.groupBy("media_id").agg(
+        F.sum("cnt").cast("long").alias("n_px"),
+        F.count("*").cast("int").alias("n_levels"),
+        F.expr("transform(array_sort(collect_list(struct(v, cnt))), x -> x.cnt)").alias(
+            "cs"
+        ),
+    )
+    return packed.select(
+        "media_id",
+        "n_px",
+        "n_levels",
+        F.expr(
+            "round(aggregate(cs, 0.0D, (p, c) ->"
+            " p + -(CAST(c AS DOUBLE) / CAST(n_px AS DOUBLE))"
+            " * ln(CAST(c AS DOUBLE) / CAST(n_px AS DOUBLE))), 9)"
+        ).alias("entropy_nats"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver verification window ordering (round 9).
 #
@@ -23322,6 +23626,10 @@ _R10_BACKLOG: tuple[str, ...] = (
     "analytic_item_item_cf",
     "text_burstiness",
     "sim_gram_power_iteration",
+    # round-9 wave 5
+    "analytic_gtest_collocations",
+    "analytic_mann_kendall",
+    "mm_image_entropy",
 )
 
 
