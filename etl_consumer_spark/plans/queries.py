@@ -23114,33 +23114,70 @@ _PI_DIM = 64
 _PI_ITERS = 64
 
 # matrix-vector product over the packed gram g (1-based list) and v
+# matrix-vector product over the TRACE-SCALED gram gd (1-based lists)
+# and the bound accumulator v — referenced only where the accumulator is
+# a bound lambda variable, so it is evaluated exactly once per use
 _PI_GV_SQL = (
     f"list_transform(generate_series(0, {_PI_DIM - 1}), i ->"
     f" list_reduce(list_prepend(0.0, list_transform(generate_series(0, {_PI_DIM - 1}),"
-    f" j -> CAST(g[i * {_PI_DIM} + j + 1] AS DOUBLE) * v[j + 1])), (p, q) -> p + q))"
+    f" j -> gd[i * {_PI_DIM} + j + 1] * v[j + 1])), (p, q) -> p + q))"
+)
+# ONE fold does everything: 64 un-normalized GV steps on the trace-scaled
+# matrix (lambda_scaled is in [1/d, 1], so 64 steps can shrink the iterate
+# to ~1e-116 at worst — far above double underflow — and the DIRECTION is
+# what matters), then step 65 normalizes (the accumulator is bound, so the
+# norm costs 2 passes over 64 elements, not a second GV), then step 66
+# appends the Rayleigh quotient as element d+1 (zip_with evaluates its GV
+# argument once). The old form normalized inside every step and computed
+# the Rayleigh product per-element: ~3x the GV count, and Catalyst's
+# projection collapse re-evaluated the whole fold in each downstream
+# reference — measured 8.1s; this form + localCheckpoint is ~1.5s.
+_PI_NORM_SQL = (
+    "list_transform(v, x -> x / sqrt(list_reduce(list_prepend(0.0,"
+    " list_transform(v, y -> y * y)), (p, q) -> p + q)))"
+)
+_PI_RAYLEIGH_SQL = (
+    f"list_reduce(list_prepend(0.0, list_transform({_PI_GV_SQL},"
+    f" (w, i) -> w * v[i])), (p, q) -> p + q)"
 )
 _PI_SOLVE_SQL = (
     # 0.125 must be cast: a bare DuckDB float literal is DECIMAL and the
     # whole fold silently runs in decimal arithmetic (measured: 3-decimal
     # precision on the eigvec) — Spark's 0.125D twin is DOUBLE
-    f"list_reduce(list_transform(generate_series(0, {_PI_ITERS}), k ->"
+    f"list_reduce(list_transform(generate_series(0, {_PI_ITERS + 2}), k ->"
     f" list_transform(generate_series(1, {_PI_DIM}), i -> 0.125::DOUBLE)),"
-    f" (v, x) -> list_transform({_PI_GV_SQL}, w -> w /"
-    f" sqrt(list_reduce(list_prepend(0.0, list_transform({_PI_GV_SQL},"
-    f" y -> y * y)), (p, q) -> p + q))))"
+    f" (v, x, k) -> CASE WHEN k <= {_PI_ITERS} THEN {_PI_GV_SQL}"
+    f" WHEN k = {_PI_ITERS + 1} THEN {_PI_NORM_SQL}"
+    f" ELSE list_append(v, {_PI_RAYLEIGH_SQL}) END)"
 )
 _PI_GV_SPARK = (
     f"transform(sequence(0, {_PI_DIM - 1}), i ->"
     f" aggregate(sequence(0, {_PI_DIM - 1}), 0.0D, (p, j) -> p"
-    f" + CAST(element_at(g, i * {_PI_DIM} + j + 1) AS DOUBLE)"
-    f" * element_at(v, j + 1)))"
+    f" + element_at(gd, i * {_PI_DIM} + j + 1) * element_at(v, j + 1)))"
+)
+_PI_NORM_SPARK = (
+    "transform(v, x -> x / sqrt(aggregate(transform(v, y -> y * y), 0.0D,"
+    " (p, q) -> p + q)))"
+)
+_PI_RAYLEIGH_SPARK = (
+    f"aggregate(zip_with(v, {_PI_GV_SPARK}, (a, b) -> a * b), 0.0D,"
+    f" (p, q) -> p + q)"
 )
 _PI_SOLVE_SPARK = (
-    f"aggregate(sequence(1, {_PI_ITERS}),"
+    f"aggregate(sequence(1, {_PI_ITERS + 2}),"
     f" transform(sequence(1, {_PI_DIM}), i -> 0.125D),"
-    f" (v, k) -> transform({_PI_GV_SPARK}, w -> w /"
-    f" sqrt(aggregate(transform({_PI_GV_SPARK}, y -> y * y), 0.0D,"
-    f" (p, q) -> p + q))))"
+    f" (v, k) -> CASE WHEN k <= {_PI_ITERS} THEN {_PI_GV_SPARK}"
+    f" WHEN k = {_PI_ITERS + 1} THEN {_PI_NORM_SPARK}"
+    f" ELSE concat(v, array({_PI_RAYLEIGH_SPARK})) END)"
+)
+_PI_TRACE_SQL = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(generate_series(0, {_PI_DIM - 1}), i -> g[i * {_PI_DIM + 1} + 1])),"
+    f" (p, q) -> p + q)"
+)
+_PI_TRACE_SPARK = (
+    f"aggregate(sequence(0, {_PI_DIM - 1}), CAST(0 AS BIGINT),"
+    f" (p, i) -> p + element_at(g, i * {_PI_DIM + 1} + 1))"
 )
 
 
@@ -23160,18 +23197,16 @@ _PI_SOLVE_SPARK = (
       GROUP BY (i - 1) * {_PI_DIM} + (j - 1)
     ),
     packed AS (SELECT list(gsum ORDER BY idx) AS g FROM cells),
-    solved AS (SELECT g, {_PI_SOLVE_SQL} AS v FROM packed),
-    lam AS (
-      SELECT v,
-             list_reduce(list_prepend(0.0,
-               list_transform(generate_series(1, {_PI_DIM}),
-                 i -> v[i] * ({_PI_GV_SQL})[i])), (p, q) -> p + q) AS eigval
-      FROM solved
-    )
+    prep AS (SELECT g, {_PI_TRACE_SQL} AS tr FROM packed),
+    scaled AS (
+      SELECT tr, list_transform(g, x -> CAST(x AS DOUBLE) / CAST(tr AS DOUBLE)) AS gd
+      FROM prep
+    ),
+    solved AS (SELECT tr, {_PI_SOLVE_SQL} AS sol FROM scaled)
     SELECT CAST(i - 1 AS BIGINT) AS component,
-           round(v[i], 9) AS eigvec,
-           round(eigval, 3) AS eigenvalue
-    FROM lam, unnest(generate_series(1, {_PI_DIM})) AS t(i)
+           round(sol[i], 9) AS eigvec,
+           round(sol[{_PI_DIM} + 1] * CAST(tr AS DOUBLE), 3) AS eigenvalue
+    FROM solved, unnest(generate_series(1, {_PI_DIM})) AS t(i)
     """,
     doc="dominant principal component of the embedding set via 64 power "
         "iterations on the Gram matrix: embeddings quantized to integer "
@@ -23197,19 +23232,28 @@ def sim_gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(idx, gsum))), x -> x.gsum)"
         ).alias("g")
     )
-    solved = packed.select("g", F.expr(_PI_SOLVE_SPARK).alias("v"))
-    lam = solved.select(
-        "v",
-        F.expr(
-            f"aggregate(transform(sequence(1, {_PI_DIM}), i ->"
-            f" element_at(v, i) * element_at({_PI_GV_SPARK}, i)),"
-            f" 0.0D, (p, q) -> p + q)"
-        ).alias("eigval"),
+    solved = (
+        packed.withColumn("tr", F.expr(_PI_TRACE_SPARK))
+        .withColumn(
+            "gd",
+            F.expr("transform(g, x -> CAST(x AS DOUBLE) / CAST(tr AS DOUBLE))"),
+        )
+        .select("tr", F.expr(_PI_SOLVE_SPARK).alias("sol"))
+        # materialize the 1-row fold result: downstream references the sol
+        # column twice (eigvec slice + eigenvalue element) and Catalyst's
+        # projection collapse would otherwise re-run the whole fold per
+        # reference (measured: most of an 8s wall)
+        .localCheckpoint()
     )
-    return lam.select(F.posexplode("v").alias("c", "ev"), F.col("eigval")).select(
+    return solved.select(
+        F.posexplode(F.expr(f"slice(sol, 1, {_PI_DIM})")).alias("c", "ev"),
+        F.expr(
+            f"round(element_at(sol, {_PI_DIM} + 1) * CAST(tr AS DOUBLE), 3)"
+        ).alias("eigenvalue"),
+    ).select(
         F.col("c").cast("long").alias("component"),
         F.expr("round(ev, 9)").alias("eigvec"),
-        F.expr("round(eigval, 3)").alias("eigenvalue"),
+        "eigenvalue",
     )
 
 

@@ -133,12 +133,15 @@ def test_gram_power_iteration_matches_numpy_spectrum(spark):
     emb = con.execute(f"SELECT embedding FROM '{SF}/embeddings.parquet'").fetchall()
     Qm = np.array([[round(x * 1000) for x in e] for (e,) in emb], dtype=np.int64)
     G = (Qm.T @ Qm).astype(np.float64)
-    # replay the registered 64-iteration fold exactly
+    # replay the registered fold: 64 UN-normalized steps on the
+    # trace-scaled matrix, one final normalization, Rayleigh * trace
+    tr = float(np.trace(G))
+    Gs = G / tr
     v = np.full(64, 0.125)
     for _ in range(64):
-        w = G @ v
-        v = w / np.sqrt((w * w).sum())
-    lam = v @ (G @ v)
+        v = Gs @ v
+    v = v / np.sqrt((v * v).sum())
+    lam = (v @ (Gs @ v)) * tr
     got_v = np.array([r["eigvec"] for r in rows])
     assert np.max(np.abs(got_v - v)) < 1e-6
     assert abs(rows[0]["eigenvalue"] - lam) < 1e-2
