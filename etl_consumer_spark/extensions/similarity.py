@@ -679,8 +679,14 @@ def gram_matrix_long(df: DataFrame, vec_col: str, dim: int, scale: int = 1000) -
                 dtype=np.float64,
             )
             # round half AWAY FROM ZERO — SQL round() semantics on both
-            # engines; np.round is banker's and would diverge on exact .5
-            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            # engines. np.round is banker's (diverges on exact .5), and
+            # floor(abs+0.5) over-rounds the largest double BELOW k+0.5
+            # (the +0.5 addition itself rounds up to k+1.0); comparing the
+            # exact fractional part avoids both traps (a - floor(a) is
+            # exact for doubles: Sterbenz for a >= 1, trivially for a < 1)
+            a = np.abs(y)
+            f = np.floor(a)
+            q = (np.sign(y) * (f + (a - f >= 0.5))).astype(np.int64)
             g = q.T @ q
             yield pd.DataFrame(
                 {"idx": np.arange(dim * dim, dtype=np.int64), "gsum": g.reshape(-1)}

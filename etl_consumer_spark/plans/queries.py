@@ -6575,7 +6575,14 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tok.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+            F.expr(
+                # zip_with(slice, slice): sequence(0, size-2) yields the
+                # DESCENDING [0,-1] for 1-token docs and w[-1] throws under
+                # Spark-4 ANSI; slices degrade to empty arrays instead
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
         ).alias("bigram"),
     )
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
@@ -12225,8 +12232,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             F.explode(
                 F.expr(
-                    "filter(transform(sequence(0, size(ws)-2), "
-                    "i -> struct(ws[i] AS a, ws[i+1] AS b)), "
+                    # slices degrade to empty for 1-token docs, where
+                    # sequence(0,-1) = [0,-1] would index ws[-1] (ANSI throw)
+                    "filter(zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                    "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+                    "(a, b) -> struct(a, b)), "
                     "p -> length(p.a) >= 2 AND length(p.b) >= 2)"
                 )
             ).alias("p")
@@ -13960,7 +13970,14 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tok.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+            F.expr(
+                # zip_with(slice, slice): sequence(0, size-2) yields the
+                # DESCENDING [0,-1] for 1-token docs and w[-1] throws under
+                # Spark-4 ANSI; slices degrade to empty arrays instead
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
         ).alias("bigram"),
     )
     c2 = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
@@ -17637,7 +17654,14 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tok.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+            F.expr(
+                # zip_with(slice, slice): sequence(0, size-2) yields the
+                # DESCENDING [0,-1] for 1-token docs and w[-1] throws under
+                # Spark-4 ANSI; slices degrade to empty arrays instead
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
         ).alias("bigram"),
     )
     c2 = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("c2"))
@@ -22117,14 +22141,8 @@ def sketch_countsketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v", "cnt")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(j, sgn * r AS e))),"
-                " x -> x.e)"
-            ).alias("es")
-        )
-        .select(
-            "v",
-            "cnt",
-            F.expr("array_sort(es)[2]").alias("cs_estimate"),
+                "element_at(array_sort(collect_list(sgn * r)), 3)"
+            ).alias("cs_estimate")
         )
     )
     return est.select(
@@ -22336,8 +22354,14 @@ def analytic_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scores s JOIN prior p ON p.c = s.c CROSS JOIN n
     ),
     pred AS (
+      -- argmax on the MICRO-QUANTIZED score: ln() is not guaranteed
+      -- bit-identical between JVM and C libm, so raw-double ordering
+      -- could flip near-tied classes across engines; quantization makes
+      -- the ordering identical unless scores differ by < 5e-7
       SELECT doc_id, c AS predicted,
-             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rnk
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC,
+                                         c ASC) AS rnk
       FROM full_scores
     )
     SELECT d.lang AS true_lang, p.predicted, count(*)::BIGINT AS n_docs
@@ -22349,7 +22373,10 @@ def analytic_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in-engine: Laplace-smoothed word-given-class log-probabilities "
         "from exact vocabulary-bounded count broadcasts, per-doc class "
         "scores as ordered folds (identical ln/mul/add order both "
-        "engines), argmax with deterministic class tie-break, output = "
+        "engines), argmax on the MICRO-QUANTIZED score (ln is not "
+        "guaranteed bit-identical across libm implementations; "
+        "quantization makes the ordering engine-stable) with a "
+        "deterministic class tie-break, output = "
         "the confusion matrix vs true labels — the shallow-classifier "
         "baseline a corpus pipeline runs before reaching for a model; "
         "near-chance on this synthetic corpus (shared vocabulary), "
@@ -22398,8 +22425,10 @@ def analytic_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+    # micro-quantized argmax key: see the oracle comment — raw-double
+    # ordering is vulnerable to last-ulp ln() divergence across engines
     w_rank = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("c").asc()
+        F.expr("CAST(round(score * 1000000) AS BIGINT)").desc(), F.col("c").asc()
     )
     pred = (
         full_scores.withColumn("rnk", F.row_number().over(w_rank))
@@ -23331,8 +23360,11 @@ def analytic_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = toks.select(
         F.explode(
             F.expr(
-                "filter(transform(sequence(0, size(ws)-2), "
-                "i -> struct(ws[i] AS a, ws[i+1] AS b)), "
+                # slices degrade to empty for 1-token docs, where
+                # sequence(0,-1) = [0,-1] would index ws[-1] (ANSI throw)
+                "filter(zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+                "(a, b) -> struct(a, b)), "
                 "p -> length(p.a) >= 2 AND length(p.b) >= 2)"
             )
         ).alias("p")
@@ -23375,9 +23407,12 @@ def analytic_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, day(ts)
     ),
     packed AS (
+      -- n >= 2: a single-day series has no pairs (and the engine's fold
+      -- ranges would go descending/ANSI-throw); a 1-point trend is moot
       SELECT event_type, count(*)::BIGINT AS n,
              list(x ORDER BY d) AS xs, list(d ORDER BY d) AS ds
       FROM daily GROUP BY event_type
+      HAVING count(*) >= 2
     ),
     stats AS (
       SELECT event_type, n, xs, ds,
@@ -23441,7 +23476,7 @@ def analytic_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)").alias("xs"),
         F.expr("transform(array_sort(collect_list(struct(d, x))), p -> p.d)").alias("ds"),
-    )
+    ).filter(F.col("n") >= 2)
     stats = packed.select(
         "event_type", "n", "xs", "ds",
         F.expr(

@@ -202,7 +202,14 @@ def test_pinball_median_is_half_mae(spark):
         f"""SELECT CAST(round(value * 1000000) AS BIGINT) FROM '{SF}/events.parquet'
             WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-21'"""
     ).fetchall()
-    loss = sum(round(5 * abs(y - train) / 10.0) for (y,) in ev)
+    def round_half_away(x):
+        import math
+
+        f = math.floor(x)
+        return f + (1 if x - f >= 0.5 else 0)
+
+    # python round() is banker's; the engines round half away from zero
+    loss = sum(round_half_away(5 * abs(y - train) / 10.0) for (y,) in ev)
     assert rows[5]["loss_sum_micro"] == loss
     assert rows[5]["n_eval"] == len(ev)
 

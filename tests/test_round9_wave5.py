@@ -119,3 +119,19 @@ def test_image_entropy_replay_and_bounds(spark):
         assert abs(r["entropy_nats"] - h) < 1e-6
         # hex alphabet: at most 16 levels -> H <= ln(16)
         assert -1e-9 <= r["entropy_nats"] <= math.log(16) + 1e-9
+
+
+def test_bigram_devices_survive_single_token_docs(spark):
+    """Review regression: sequence(0, size-2) yields the DESCENDING
+    [0, -1] for a 1-token array and ws[-1] throws under Spark-4 ANSI;
+    the zip_with(slice, slice) form must degrade to an empty pair list
+    instead. (Real corpora contain 1-word documents; the synthetic
+    tables happen not to.)"""
+    df = spark.createDataFrame([(["hello"],), (["a", "b", "c"],)], "ws array<string>")
+    out = df.selectExpr(
+        "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " slice(ws, 2, greatest(size(ws) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b)) AS bigrams"
+    ).collect()
+    got = {tuple(r["bigrams"]) for r in out}
+    assert got == {(), ("a b", "b c")}
