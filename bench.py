@@ -519,14 +519,45 @@ def main() -> None:
     result["quiet_wait_sec"] = quiet_wait
 
     # derived throughput: CDC events applied per second in the batch apply
-    # (3/4 of orders become events, replayed 2x in the query)
+    # (3/4 of orders become events, replayed 2x in the query).
+    # VERDICT r9 #2: dividing by ONE sub-second query time made the
+    # driver-recorded number swing ~2x with box state (r8 483k vs r9 252k,
+    # plan unchanged). Noise-proofed: replay the warm apply in a single
+    # timed loop until the measured section is >= BENCH_THROUGHPUT_MIN_SEC
+    # (default 5 s) wall-clock, then divide total events by total time —
+    # amortizing scheduler/GC jitter over >= ~6 replays at sf0.1.
     from etl_consumer_spark.sources.tables import load_table
 
     n_events = load_table(spark, sf_dir, "orders").count() * 3 // 4 * 2
+    min_sec = float(os.environ.get("BENCH_THROUGHPUT_MIN_SEC", "5.0"))
+    apply_q = QUERIES["cdc_apply_orders"]
+    # adaptive warmup: C2 keeps compiling codegen units for ~15-20 replays
+    # even after the _measure pass, so replay until the rolling-min replay
+    # time stops improving (3% threshold, patience 4, cap 20)
+    best_warm, since, warmups = None, 0, 0
+    for _ in range(20):
+        t0 = time.time()
+        apply_q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        warmups += 1
+        if best_warm is None or dt < best_warm * 0.97:
+            best_warm, since = dt, 0
+        else:
+            since += 1
+            if since >= 4:
+                break
+    # fixed replay count (not a time budget — a loop that exits on elapsed
+    # time quantizes to +-1 replay, ~10% noise on its own)
+    replays = max(1, int(min_sec / best_warm + 0.999))
+    t0 = time.time()
+    for _ in range(replays):
+        apply_q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
     result["sf"] = sf
-    result["cdc_events_per_sec"] = round(
-        n_events / result["queries"]["cdc_apply_orders"], 1
-    )
+    result["cdc_apply_warmups"] = warmups
+    result["cdc_apply_replays"] = replays
+    result["cdc_apply_replay_sec"] = round(elapsed, 3)
+    result["cdc_events_per_sec"] = round(n_events * replays / elapsed, 1)
     result["degraded"] = degraded
     print(json.dumps(result))
 

@@ -659,21 +659,29 @@ def gram_matrix_long(df: DataFrame, vec_col: str, dim: int, scale: int = 1000) -
     The naive formulation explodes d^2 rows per input row (a 4096x row
     blowup at d=64 — 20M rows per 5k vectors, forever linear-in-d^2 on
     the shuffle); this kernel instead computes each Arrow batch's partial
-    Gram with ONE integer matmul (numpy/BLAS) and emits d^2 rows per
-    BATCH, so the shuffle is O(partitions * d^2) regardless of row count.
-    Partial Grams merge by elementwise sum — the map-side-combinable
-    property the final groupBy exploits. int64 matmul keeps every partial
-    exact (|q| <= scale, so a batch of n rows is bounded by n * scale^2,
-    far under 2^63 for any realistic Arrow batch)."""
+    Gram with ONE integer matmul (numpy/BLAS), ACCUMULATES the partials
+    across every batch the invocation sees, and emits d^2 rows once per
+    PARTITION. (ADVICE r9: partitions above
+    spark.sql.execution.arrow.maxRecordsPerBatch rows span multiple Arrow
+    batches, so the earlier per-batch yield made the shuffle
+    O(batches * d^2) — accumulating in the kernel makes the claimed
+    O(partitions * d^2) bound true by construction.) Partial Grams merge
+    by elementwise sum — the map-side-combinable property the final
+    groupBy exploits. int64 matmul keeps every partial exact (|q| <=
+    scale, so a partition of n rows is bounded per cell by n * scale^2,
+    under 2^63 until ~10^13 rows in ONE partition)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
+            seen = True
             y = np.array(
                 [np.asarray(v, dtype=np.float64) * scale for v in pdf["_v"]],
                 dtype=np.float64,
@@ -687,9 +695,10 @@ def gram_matrix_long(df: DataFrame, vec_col: str, dim: int, scale: int = 1000) -
             a = np.abs(y)
             f = np.floor(a)
             q = (np.sign(y) * (f + (a - f >= 0.5))).astype(np.int64)
-            g = q.T @ q
+            acc += q.T @ q
+        if seen:
             yield pd.DataFrame(
-                {"idx": np.arange(dim * dim, dtype=np.int64), "gsum": g.reshape(-1)}
+                {"idx": np.arange(dim * dim, dtype=np.int64), "gsum": acc.reshape(-1)}
             )
 
     par = df.sparkSession.sparkContext.defaultParallelism

@@ -214,11 +214,6 @@ def streaming_topk_values(
       fails; the applyInPandasWithState operators above cover the
       cross-batch-state semantics in CI.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
     key_field = events.schema[key_col]
     out_schema = T.StructType(
         [
@@ -226,6 +221,27 @@ def streaming_topk_values(
             T.StructField("rank", T.IntegerType()),
             T.StructField("value", T.DoubleType()),
         ]
+    )
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        make_topk_processor(key_col, value_col, k), out_schema, "update", "none"
+    )
+
+
+def make_topk_processor(key_col: str, value_col: str, k: int):
+    """Build the ``TopKProcessor`` used by :func:`streaming_topk_values`.
+
+    Module-level factory (VERDICT r9 #6): the processor's merge/truncate
+    logic is the part that matters, and the live e2e can only run where
+    google.protobuf + RocksDB exist — so the class is constructed here,
+    against only the PUBLIC ``StatefulProcessor`` interface contract
+    (init/handleInputRows/close, a handle exposing ``getListState``, and a
+    ListState with exists/get/put), which lets ``tests/test_stateful.py``
+    drive it in CI with a fake handle while deployment uses the real one.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
     )
 
     class TopKProcessor(StatefulProcessor):
@@ -249,6 +265,4 @@ def streaming_topk_values(
         def close(self) -> None:
             pass
 
-    return events.groupBy(key_col).transformWithStateInPandas(
-        TopKProcessor(), out_schema, "update", "none"
-    )
+    return TopKProcessor()

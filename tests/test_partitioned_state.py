@@ -188,3 +188,136 @@ def test_interleaved_writers_overlapping_buckets_same_contract(spark, tmp_path):
     A raises before publishing, no half-applied bucket ever visible."""
     _, got = _interleave(spark, tmp_path, ids_a=[300], ids_b=[300])
     assert got == {(i, i * 10) for i in range(1, 9)} | {(300, 2)}
+
+
+def test_two_pipelines_partitioned_store_interleave_fails_loud_retry_converges(
+    spark, tmp_path
+):
+    """VERDICT r9 #5: the DEFAULT backend's documented two-writer
+    degradation, driven through two FULL CDCPipeline instances (the
+    log-commit e2e's shape, no store unit seams beyond the documented
+    staging hook). Writer B commits a complete stream while A sits
+    between staging and publish; B's pre-write recovery rolls back A's
+    staging, A's upsert fails LOUDLY into the K2/K3 channel (dead-letter
+    + distributed republish spill — never a silent drop, never a torn
+    bucket), and requeue + re-run converges A's batch. Final state =
+    serial apply of both streams."""
+    import json as _json
+    import threading
+
+    from etl_consumer_spark.config import Config
+    from etl_consumer_spark.sources.envelope import WireField
+    from etl_consumer_spark.sources.kafka import file_envelope_stream
+    from etl_consumer_spark.streaming.pipeline import CDCPipeline, TableSpec
+
+    server, db, tbl = "dbserver2", "batch", "batch_seq"
+    topic = f"{server}.{db}.{tbl}"
+    store_root = str(tmp_path / "state")
+    store_a = PartitionedParquetStateStore(spark, store_root, n_buckets=4)
+    store_b = PartitionedParquetStateStore(spark, store_root, n_buckets=4)
+    store_a.init(
+        tbl, spark.createDataFrame([(0, 0)], "id long, seq long"), ["id"]
+    )
+
+    def envelope(id_):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": None,
+                    "after": {"id": id_, "seq": id_ % 97},
+                    "source": {"name": server, "db": db, "table": tbl,
+                                "file": "mysql-bin.000082", "pos": id_, "row": 0,
+                                "query": None},
+                    "op": "c",
+                    "ts_ms": 1587202401764,
+                }
+            }
+        )
+
+    def write_transport(path, ids):
+        spark.createDataFrame(
+            [(topic, envelope(i).encode(), None, None) for i in ids],
+            "topic string, value binary, "
+            "headers array<struct<key:string,value:binary>>, timestamp timestamp",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    ids_a = list(range(1000, 1010))
+    ids_b = list(range(2000, 2010))
+    ta, tb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    write_transport(ta, ids_a)
+    write_transport(tb, ids_b)
+
+    def mk_pipe(name, store):
+        cfg = Config()
+        cfg.server, cfg.db_name, cfg.tables = server, db, [tbl]
+        return CDCPipeline(
+            spark,
+            cfg,
+            [TableSpec(tbl, [WireField("id", "int64"), WireField("seq", "int32")], ["id"])],
+            store,
+            dead_letter_path=str(tmp_path / f"dl_{name}"),
+            republish_path=str(tmp_path / f"rp_{name}"),
+        )
+
+    # deterministic collision: while A sits staged-but-unpublished, B runs
+    # its ENTIRE stream to completion (B's pre-write recovery discards A's
+    # staging — the documented crash-recovery rule applied to a live writer)
+    b_done = threading.Event()
+    errs: list[str] = []
+
+    def run_b():
+        try:
+            pipe_b = mk_pipe("b", store_b)
+            q = pipe_b.start(
+                file_envelope_stream(spark, tb),
+                checkpoint_dir=str(tmp_path / "ck_b"),
+                trigger_available_now=True,
+            )
+            q.awaitTermination(300)
+            if any(r.dead_letters for r in pipe_b.results):
+                errs.append("b: dead letters on a clean stream")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(f"b: {exc}")
+        finally:
+            b_done.set()
+
+    fired = {"done": False}
+
+    def a_staged(table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        threading.Thread(target=run_b).start()
+        assert b_done.wait(timeout=300), "B never finished"
+
+    store_a._post_stage_hook = a_staged
+    pipe_a = mk_pipe("a", store_a)
+    q = pipe_a.start(
+        file_envelope_stream(spark, ta),
+        checkpoint_dir=str(tmp_path / "ck_a"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    store_a._post_stage_hook = None
+    assert not errs, errs
+
+    # loud failure: A's slice was dead-lettered AND spilled for retry —
+    # nothing silently dropped, and the table is never torn: B's batch is
+    # fully visible, A's not at all
+    assert sum(r.dead_letters for r in pipe_a.results) == len(ids_a)
+    assert sum(r.republish for r in pipe_a.results) == len(ids_a)
+    mid = {(r["id"], r["seq"]) for r in store_a.read(tbl).collect()}
+    assert mid == {(0, 0)} | {(i, i % 97) for i in ids_b}
+
+    # clean retry convergence: drain A's spill into a retry transport and
+    # re-run — the replayed slice applies, final state = serial union
+    retry_t = str(tmp_path / "ta_retry")
+    assert pipe_a.requeue_republish(retry_t) == len(ids_a)
+    q2 = pipe_a.start(
+        file_envelope_stream(spark, retry_t),
+        checkpoint_dir=str(tmp_path / "ck_a2"),
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(300)
+    got = {(r["id"], r["seq"]) for r in store_a.read(tbl).collect()}
+    assert got == {(0, 0)} | {(i, i % 97) for i in ids_a + ids_b}

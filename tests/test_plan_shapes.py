@@ -371,7 +371,14 @@ def test_two_level_rank_windows_bucket_partitioned(spark):
 # plan shapes are pinned by the dedicated streaming tests above/elsewhere.
 
 LINT_BOUNDED_UNPARTITIONED_WHITELIST = {
-    # top-k/limit-bounded window inputs, each commented at its definition
+    # top-k/limit-bounded window inputs, each commented at its definition.
+    # Membership here is NOT a free pass (VERDICT r9 #7): every
+    # unpartitioned window in these plans must still show a limit node
+    # (TakeOrderedAndProject/GlobalLimit <= _WHITELIST_MAX_LIMIT) in its
+    # input SUBTREE — _unpartitioned_windows_without_limit checks the
+    # executed plan mechanically, so a composed query silently losing its
+    # limit (e.g. sketch_quantile_accuracy_eval's base query changing)
+    # fails the lint instead of inheriting the whitelist comment.
     "text_bm25_topk",          # vocabulary windows over a LIMIT-bounded frame
     "text_vocab_coverage",     # top-N vocab table (limit-bounded)
     "sketch_bottomk_quantiles",  # bottom-k rows only (limit-bounded)
@@ -379,6 +386,56 @@ LINT_BOUNDED_UNPARTITIONED_WHITELIST = {
     "sketch_quantile_accuracy_eval",  # composes sketch_bottomk_quantiles —
     # the inherited window runs over the same 100-row limit-bounded sample
 }
+
+# the largest driver-side-safe window input a whitelisted plan may declare
+_WHITELIST_MAX_LIMIT = 10_000
+
+
+def _tree_depth(line: str) -> int:
+    """Column of a physical-plan line's branch marker (``+-``/``:-``);
+    -1 for the root line. Children print at strictly greater columns."""
+    import re
+
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def _unpartitioned_windows_without_limit(plan: str, max_limit: int) -> list[str]:
+    """Every Window node whose spec is unpartitioned (first windowspec arg
+    is a sort key, not a ``_bkt`` bucket column) must have a
+    TakeOrderedAndProject/GlobalLimit of at most ``max_limit`` rows
+    somewhere in its input subtree. Returns the offending window lines."""
+    import re
+
+    lines = plan.splitlines()
+    problems = []
+    for i, line in enumerate(lines):
+        if "windowspecdefinition" not in line:
+            continue
+        unpart = False
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", line):
+            first = spec.split(",")[0]
+            if (" ASC" in first or " DESC" in first) and not re.match(
+                r"_?bkt#", first.strip()
+            ):
+                unpart = True
+        if not unpart:
+            continue
+        d = _tree_depth(line)
+        bounded = False
+        for nxt in lines[i + 1 :]:
+            nd = _tree_depth(nxt)
+            if 0 <= nd <= d:
+                break  # left the window's subtree
+            m = re.search(r"TakeOrderedAndProject\(limit=(\d+)", nxt) or re.search(
+                r"GlobalLimit (\d+)", nxt
+            )
+            if m and int(m.group(1)) <= max_limit:
+                bounded = True
+                break
+        if not bounded:
+            problems.append(f"unbounded unpartitioned window: {line.strip()[:110]}")
+    return problems
 
 
 def test_registry_plan_lint_no_global_windows_or_cartesian(spark):
@@ -393,7 +450,13 @@ def test_registry_plan_lint_no_global_windows_or_cartesian(spark):
         problems = []
         if "CartesianProduct" in plan:
             problems.append("CartesianProduct")
-        if name not in LINT_BOUNDED_UNPARTITIONED_WHITELIST:
+        if name in LINT_BOUNDED_UNPARTITIONED_WHITELIST:
+            # machine-checked bound: the limit must be IN the window's
+            # input subtree, not merely somewhere in the query
+            problems.extend(
+                _unpartitioned_windows_without_limit(plan, _WHITELIST_MAX_LIMIT)
+            )
+        else:
             for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
                 first = spec.split(",")[0]
                 if (" ASC" in first or " DESC" in first) and not re.match(
