@@ -257,6 +257,22 @@ HEADLINE = [
     "analytic_gtest_collocations",  # Dunning LLR 2x2, TakeOrdered top-20
     "analytic_mann_kendall",      # nonparametric trend + Sen slope
     "mm_image_entropy",           # pixel-entropy QA via real decode
+    # round-10 additions
+    "analytic_kalman_local_level",  # sequential filter fold per series
+    "analytic_haar_energy",       # integer wavelet pyramid
+    "analytic_isotonic_calibration",  # PAV minimax over deciles
+    "analytic_permutation_test",  # 64 map-side relabelings
+    "analytic_jackknife_ratio",   # delete-one-group replicates
+    "analytic_rdd_sharp",         # two-sided local OLS
+    "text_ocr_gibberish",         # consonant-run / vowel-density gate
+    "text_repeated_chunks",       # intra-doc boilerplate ppm
+    "sketch_bloom_cardinality",   # fill-ratio distinct estimate
+    "sample_systematic",          # every-10th on two-level order
+    "graph_bipartite_projection", # user x type one-mode projection
+    "mm_image_quadrant_energy",   # quadrant sums via real decode
+    "layout_partition_advisor",   # split/merge decision table
+    "cdc_exactly_once_audit",     # replay-detection invariant
+    "analytic_tail_index_hill",   # top-k Hill estimator
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

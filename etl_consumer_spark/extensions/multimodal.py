@@ -1523,3 +1523,48 @@ def raster_value_counts(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").repartition(par).mapInPandas(
         kernel, RASTER_HIST_SCHEMA
     )
+
+
+QUADRANT_SCHEMA = "media_id long, quadrant int, px_sum long, n_bytes long"
+
+
+def raster_quadrant_sums(media: DataFrame) -> DataFrame:
+    """Integral-image quadrant statistics through the real PPM decode:
+    the raster is split into 4 quadrants (top/bottom half-rows x
+    left/right half-columns, odd widths giving the right half the extra
+    column) and each emits its exact integer byte sum — the O(1)-per-
+    region box-sum reads an integral image (Viola & Jones, CVPR 2001)
+    exists to provide, here at the coarsest 2x2 grid. Brightness
+    asymmetry between quadrants is the vignetting/half-frame-corruption
+    QA gate; 4 rows per image regardless of raster size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                w, h, raster = decode_ppm(bytes(row["blob"]))
+                a = raster.reshape(h, w, 3).astype(np.int64)
+                hw, hh = w // 2, h // 2
+                quads = [
+                    a[:hh, :hw],
+                    a[:hh, hw:],
+                    a[hh:, :hw],
+                    a[hh:, hw:],
+                ]
+                for q, block in enumerate(quads):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "quadrant": q,
+                            "px_sum": int(block.sum()),
+                            "n_bytes": int(block.size),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "quadrant", "px_sum", "n_bytes"]
+            )
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, QUADRANT_SCHEMA
+    )

@@ -1,0 +1,95 @@
+"""Full-registry sf1.0 smoke sweep (VERDICT r9 #4).
+
+The sf0.1 -> sf1.0 scale point caught a real long-sum overflow in
+``analytic_tukey_hsd`` that no sf0.01 oracle could (the value range, not
+the logic, was the bug) — but only the 72-query frozen core plus the
+round-9 additions had ever executed above sf0.1. This sweep runs EVERY
+public registry query at sf1.0 (tools/gen_testdata.py data), records the
+per-query wall time and the ratio against a same-session sf0.1 pass, and
+flags (a) any error — the overflow/ANSI-edge class — and (b) any ratio
+above the 12x threshold the scale methodology uses (data grows 10x, so a
+sublinear plan stays well under it; the threshold tolerates fixed-cost
+amortization noise on sub-second queries).
+
+One timed run per query per scale (this is a smoke sweep for errors and
+gross scaling breaks, not a steady-state benchmark — bench.py owns those
+numbers). Stream-harness queries execute their full micro-batch protocol
+at both scales like any other query.
+
+Usage: python tools/sf1_sweep.py [out_json]
+Env:   SF1_DIR (default /root/repo/testdata_sf1),
+       SF01_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
+    from etl_consumer_spark.plans import QUERIES
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, entry in QUERIES.items():
+        t0 = time.time()
+        try:
+            entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — the sweep exists to catch these
+            errors[name] = str(exc)[:300]
+            times[name] = round(time.time() - t0, 3)
+        print(f"{name}: {times[name]}s" + (" ERROR" if name in errors else ""), flush=True)
+    return times, errors
+
+
+def main() -> None:
+    from etl_consumer_spark.session import get_spark
+
+    sf1_dir = os.environ.get("SF1_DIR", "/root/repo/testdata_sf1")
+    sf01_dir = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SF1_SWEEP.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="sf1_sweep", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    print("=== sf0.1 pass ===", flush=True)
+    t01, e01 = run_pass(spark, sf01_dir)
+    print("=== sf1.0 pass ===", flush=True)
+    t1, e1 = run_pass(spark, sf1_dir)
+
+    ratios = {
+        n: round(t1[n] / t01[n], 2)
+        for n in t1
+        if n in t01 and t01[n] > 0 and n not in e1 and n not in e01
+    }
+    # sub-second sf0.1 queries are dominated by fixed per-query cost; the
+    # 12x flag only means something when the numerator had room to scale
+    flagged = {
+        n: r for n, r in ratios.items() if r > 12.0 and t1.get(n, 0) > 2.0
+    }
+    result = {
+        "sf01_total": round(sum(t01.values()), 1),
+        "sf1_total": round(sum(t1.values()), 1),
+        "n_queries": len(t1),
+        "errors_sf01": e01,
+        "errors_sf1": e1,
+        "flagged_over_12x": flagged,
+        "ratio_median": sorted(ratios.values())[len(ratios) // 2] if ratios else None,
+        "ratios": ratios,
+        "times_sf1": t1,
+    }
+    with open(out, "w") as fh:
+        fh.write(json.dumps(result, indent=1))
+    print(json.dumps({k: v for k, v in result.items() if k not in ("ratios", "times_sf1")}))
+
+
+if __name__ == "__main__":
+    main()
