@@ -273,6 +273,14 @@ HEADLINE = [
     "layout_partition_advisor",   # split/merge decision table
     "cdc_exactly_once_audit",     # replay-detection invariant
     "analytic_tail_index_hill",   # top-k Hill estimator
+    "analytic_hmm_forward",       # scaled-forward HMM fold
+    "analytic_shewhart_xbar",     # X-bar/R control chart
+    "analytic_nelson_aalen",      # cumulative hazard fold
+    "sample_importance_truncation",  # clipped IS weights + ESS
+    "layout_bitmap_index",        # popcount invariants audit
+    "text_heaps_law",             # vocab growth log-log fit
+    "sim_mmr_rerank",             # 3-step greedy diversity rerank
+    "analytic_median_polish",     # robust two-way decomposition
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
