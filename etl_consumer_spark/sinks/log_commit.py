@@ -48,10 +48,17 @@ Protocol (Delta-style OCC on a shared POSIX filesystem):
 
 Equivalence: any successful interleaving is identical to SOME serial
 order of the same batches — the linearizability contract a real Delta
-MERGE provides. What this deliberately does NOT replicate: Delta's
-log checkpoints-as-consolidation and its protocol versioning (conflict
-granularity is now KEY level via the Bloom splice, finer than Delta's
-file level, at the cost of a bounded per-commit Bloom).
+MERGE provides. Protocol versioning (round 10, Delta PROTOCOL-action
+style): every commit carries ``min_reader`` / ``min_writer``; a store
+opened by older code refuses to read past a table whose committed
+min_reader exceeds what it understands, and refuses to WRITE when
+min_writer does (rather than corrupting invariants it doesn't know
+about — exactly Delta's forward-compatibility contract).
+``upgrade_protocol`` raises the floor as a normal arbitrated commit.
+What this deliberately does NOT replicate: Delta's log
+checkpoints-as-consolidation (conflict granularity is KEY level via
+the Bloom splice, finer than Delta's file level, at the cost of a
+bounded per-commit Bloom).
 
 Reference anchor: the reference consumer relies on MySQL transactions for
 this arbitration (main.go:135 — one db.Exec per event inside the target's
@@ -77,6 +84,12 @@ class CommitConflictError(RuntimeError):
     """Raised when a writer exhausts its optimistic-concurrency retries."""
 
 
+class ProtocolVersionError(RuntimeError):
+    """Raised when a table's committed protocol floor exceeds what this
+    code understands — refusing is the forward-compatibility contract
+    (an old writer must not corrupt invariants newer code added)."""
+
+
 class LogCommitStateStore:
     """Hash-bucketed state table whose commits are arbitrated by a numbered
     log — safe for MULTIPLE concurrent writers (optimistic concurrency),
@@ -87,6 +100,13 @@ class LogCommitStateStore:
     # before the first claim attempt — the window concurrent-writer tests
     # interleave into (precedent: PartitionedParquetStateStore's hooks)
     _pre_claim_hook = None
+
+    # protocol understood by THIS code: reader 1 = manifest/time-travel
+    # layout; writer 2 = key-Bloom splice commits (writer-1 tables are
+    # writable by this code — Blooms are additive). A table whose
+    # committed floor exceeds these raises ProtocolVersionError.
+    READER_VERSION = 1
+    WRITER_VERSION = 2
 
     # per-bucket key-Bloom sizing: 1024 bits (16 long words) x 4 probes.
     # At ~100 event keys per bucket the pairwise false-intersection rate
@@ -208,6 +228,53 @@ class LogCommitStateStore:
         if not self._claim(table, 0, commit):
             raise CommitConflictError(f"table {table!r} already initialized")
 
+    def _protocol(self, table: str) -> tuple[int, int]:
+        """The table's committed (min_reader, min_writer) floor — carried
+        on the latest commit like pk/schema; absent on pre-protocol
+        tables, which default to (1, 1)."""
+        _, commit = self._snapshot(table)
+        proto = commit.get("protocol", {})
+        return int(proto.get("min_reader", 1)), int(proto.get("min_writer", 1))
+
+    def _check_protocol(self, table: str, write: bool) -> None:
+        min_r, min_w = self._protocol(table)
+        if min_r > self.READER_VERSION:
+            raise ProtocolVersionError(
+                f"table {table!r} requires reader version {min_r}; this code "
+                f"understands {self.READER_VERSION} — upgrade before reading"
+            )
+        if write and min_w > self.WRITER_VERSION:
+            raise ProtocolVersionError(
+                f"table {table!r} requires writer version {min_w}; this code "
+                f"understands {self.WRITER_VERSION} — refusing to write"
+            )
+
+    def upgrade_protocol(self, table: str, min_reader: int, min_writer: int) -> int:
+        """Raise the table's protocol floor as a normal arbitrated commit
+        (Delta's PROTOCOL action): touches no buckets, so concurrent DML
+        rebases past it, but every LATER open sees the new floor. The
+        floor never lowers (max with the committed one)."""
+        self._check_protocol(table, write=True)
+        while True:
+            v, commit = self._snapshot(table)
+            meta = self._meta(table)
+            cur_r, cur_w = self._protocol(table)
+            next_commit = {
+                "version": v + 1,
+                "manifest": dict(commit["manifest"]),
+                "touched": [],
+                "pk": list(meta["pk"]),
+                "n_buckets": meta["n_buckets"],
+                "schema": meta["schema"],
+                "writer": "protocol",
+                "protocol": {
+                    "min_reader": max(min_reader, cur_r),
+                    "min_writer": max(min_writer, cur_w),
+                },
+            }
+            if self._claim(table, v + 1, next_commit):
+                return v + 1
+
     def _meta(self, table: str) -> dict:
         """pk / bucket-count / schema ride on EVERY commit (copied forward
         by upsert, rewritten by evolve), so the latest commit answers in
@@ -280,6 +347,7 @@ class LogCommitStateStore:
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Current state (or the exact state at any historical ``version`` —
         commits are immutable, so time travel is a manifest lookup)."""
+        self._check_protocol(table, write=False)
         if version is None:
             version, commit = self._snapshot(table)
         else:
@@ -415,6 +483,7 @@ class LogCommitStateStore:
         import random
         import time
 
+        self._check_protocol(table, write=True)
         attempt = 0
         # ADVICE r8: bound CLAIM races too, not just overlap re-merges — a
         # writer that repeatedly loses the version race to DISJOINT winners
@@ -450,6 +519,7 @@ class LogCommitStateStore:
             # a new pk/schema as a full-barrier conflict, and the re-merge
             # must run against the evolved definition, not the stale one
             meta = self._meta(table)
+            proto_floor = self._protocol(table)
             if pk_cols is not None and list(pk_cols) != list(meta["pk"]):
                 _cleanup()
                 raise ValueError(
@@ -613,6 +683,12 @@ class LogCommitStateStore:
                     # buckets can prove key-disjointness and splice instead
                     # of re-merging (bounded: words x touched buckets)
                     "key_blooms": blooms,
+                    # carry the protocol floor forward so _protocol answers
+                    # from the latest commit (absent -> (1, 1))
+                    "protocol": {
+                        "min_reader": proto_floor[0],
+                        "min_writer": proto_floor[1],
+                    },
                 }
                 if self._claim(table, latest + 1, next_commit):
                     self._maybe_checkpoint(table, latest + 1)
@@ -649,6 +725,7 @@ class LogCommitStateStore:
         full rewrite is acceptable; per-batch DML stays partial."""
         from etl_consumer_spark.sinks.state import evolve_frame, parse_rename_column
 
+        self._check_protocol(table, write=True)
         while True:
             base_v, _ = self._snapshot(table)
             meta = self._meta(table)
@@ -684,6 +761,10 @@ class LogCommitStateStore:
                 "n_buckets": n_buckets,
                 "schema": evolved.schema.json(),
                 "writer": "evolve",
+                "protocol": {
+                    "min_reader": self._protocol(table)[0],
+                    "min_writer": self._protocol(table)[1],
+                },
             }
             if self._claim(table, base_v + 1, commit):
                 self._maybe_checkpoint(table, base_v + 1)

@@ -842,3 +842,48 @@ def test_threaded_same_bucket_disjoint_writers_all_commit(spark, tmp_path):
     assert contents(stores[0]) == expect
     versions = stores[0]._log_versions("t")
     assert versions == list(range(5))  # init + four commits, gap-free
+
+
+def test_protocol_versioning_forward_compat(spark, tmp_path):
+    """Delta-style protocol floor: a table upgraded past this code's
+    writer version refuses writes (and past the reader version, reads)
+    LOUDLY instead of corrupting invariants newer code added; tables at
+    or below the floor behave normally, DML commits carry the floor
+    forward, and upgrade never lowers it."""
+    import pytest as _pytest
+
+    from etl_consumer_spark.sinks.log_commit import ProtocolVersionError
+
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
+    base = seed(spark, store)
+
+    # pre-upgrade: default floor (1, 1), everything works
+    store.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]))
+    assert store._protocol("t") == (1, 1)
+
+    # upgrade the writer floor to what this code supports: still writable,
+    # and the floor rides on later DML commits
+    v = store.upgrade_protocol("t", min_reader=1, min_writer=2)
+    assert store._protocol("t") == (1, 2)
+    store.upsert("t", ev_rows(spark, [(None, Row(id=101, v=2), 2, 0)]))
+    assert store._protocol("t") == (1, 2)  # carried forward by the upsert
+    assert contents(store) == base | {(100, 1), (101, 2)}
+
+    # a concurrent-era table demanding a FUTURE writer: writes refused,
+    # reads still fine (reader floor unchanged)
+    store.upgrade_protocol("t", min_reader=1, min_writer=99)
+    with _pytest.raises(ProtocolVersionError):
+        store.upsert("t", ev_rows(spark, [(None, Row(id=102, v=3), 3, 0)]))
+    with _pytest.raises(ProtocolVersionError):
+        store.evolve("t", "ALTER TABLE t ADD COLUMN extra INT")
+    assert contents(store) == base | {(100, 1), (101, 2)}  # readable, untouched
+
+    # future READER floor: even reads refuse
+    # (write the commit by hand — upgrade_protocol itself would refuse
+    # to WRITE to a min_writer-99 table, which is exactly the contract)
+    latest = store.current_version("t")
+    commit = store._read_commit("t", latest)
+    commit = dict(commit, version=latest + 1, protocol={"min_reader": 99, "min_writer": 99})
+    assert store._claim("t", latest + 1, commit)
+    with _pytest.raises(ProtocolVersionError):
+        store.read("t")
