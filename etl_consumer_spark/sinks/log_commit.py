@@ -321,6 +321,7 @@ class LogCommitStateStore:
         and each scan carries a _bucket partition filter — O(|keys|/
         n_buckets · state) I/O, the log-store twin of the partitioned
         store's indexed SELECT path."""
+        self._check_protocol(table, write=False)
         meta = self._meta(table)
         pk = meta["pk"]
         if not keys:
@@ -364,10 +365,14 @@ class LogCommitStateStore:
         n_buckets x _BLOOM_WORDS rows — bounded by table geometry, never by
         batch size (the bounded-collect discipline of the plan lint)."""
         m = self._BLOOM_WORDS * 64
+        # pre-mod both hashes: xxhash64 spans the full int64 range, so a
+        # raw h1 + i*h2 can overflow near Long.MIN/MAX and abort the whole
+        # upsert under Spark's default ANSI mode (review r10 finding #4);
+        # after pmod both terms are < m, far from any overflow
         rows = events.select(
             bucket_expr.alias("_b"),
-            F.xxhash64(*key_cols).alias("h1"),
-            F.hash(*key_cols).cast("long").alias("h2"),
+            F.pmod(F.xxhash64(*key_cols), F.lit(m)).alias("h1"),
+            F.pmod(F.hash(*key_cols).cast("long"), F.lit(m)).alias("h2"),
         )
         pos = rows.select(
             "_b",
@@ -519,7 +524,13 @@ class LogCommitStateStore:
             # a new pk/schema as a full-barrier conflict, and the re-merge
             # must run against the evolved definition, not the stale one
             meta = self._meta(table)
-            proto_floor = self._protocol(table)
+            # the captured floor is only a fallback: the commit composed in
+            # the claim loop re-reads the LATEST floor (finding #1 below)
+            mproto = meta.get("protocol", {})
+            proto_floor = (
+                int(mproto.get("min_reader", 1)),
+                int(mproto.get("min_writer", 1)),
+            )
             if pk_cols is not None and list(pk_cols) != list(meta["pk"]):
                 _cleanup()
                 raise ValueError(
@@ -664,7 +675,23 @@ class LogCommitStateStore:
                     pending = sorted(conflicted)
                     break
                 # disjoint winners: rebase our manifest onto the latest
-                base = self._read_commit(table, latest)["manifest"] if latest > base_v else manifest
+                if latest > base_v:
+                    latest_commit = self._read_commit(table, latest)
+                    base = latest_commit["manifest"]
+                    lproto = latest_commit.get("protocol", {})
+                else:
+                    base = manifest
+                    lproto = commit.get("protocol", {})
+                # floor = max(captured, latest): a protocol-only upgrade
+                # (touched=[]) never conflicts, so without this re-read a
+                # concurrent upgrade would be silently ERASED by our carry
+                # (review r10 finding #1). A still-newer upgrade landing
+                # after this read makes our claim fail -> loop re-reads,
+                # so a successful claim always carries the current max.
+                carry_floor = (
+                    max(proto_floor[0], int(lproto.get("min_reader", 1))),
+                    max(proto_floor[1], int(lproto.get("min_writer", 1))),
+                )
                 new_manifest = {
                     b: d for b, d in base.items() if b not in set(touched)
                 }
@@ -686,8 +713,8 @@ class LogCommitStateStore:
                     # carry the protocol floor forward so _protocol answers
                     # from the latest commit (absent -> (1, 1))
                     "protocol": {
-                        "min_reader": proto_floor[0],
-                        "min_writer": proto_floor[1],
+                        "min_reader": carry_floor[0],
+                        "min_writer": carry_floor[1],
                     },
                 }
                 if self._claim(table, latest + 1, next_commit):
@@ -753,6 +780,7 @@ class LogCommitStateStore:
                 for d in os.listdir(data_dir)
                 if d.startswith("_bucket=")
             }
+            floor = self._protocol(table)
             commit = {
                 "version": base_v + 1,
                 "manifest": manifest,
@@ -761,10 +789,7 @@ class LogCommitStateStore:
                 "n_buckets": n_buckets,
                 "schema": evolved.schema.json(),
                 "writer": "evolve",
-                "protocol": {
-                    "min_reader": self._protocol(table)[0],
-                    "min_writer": self._protocol(table)[1],
-                },
+                "protocol": {"min_reader": floor[0], "min_writer": floor[1]},
             }
             if self._claim(table, base_v + 1, commit):
                 self._maybe_checkpoint(table, base_v + 1)

@@ -887,3 +887,31 @@ def test_protocol_versioning_forward_compat(spark, tmp_path):
     assert store._claim("t", latest + 1, commit)
     with _pytest.raises(ProtocolVersionError):
         store.read("t")
+
+
+def test_concurrent_upgrade_not_erased_by_dml_carry(spark, tmp_path):
+    """Review r10 finding #1: a protocol upgrade committed while a DML
+    writer is in flight (touched=[] -> never a conflict) must NOT be
+    erased by the DML commit's floor carry — the claim-time re-read takes
+    the max of the captured and latest floors."""
+    from etl_consumer_spark.sinks.log_commit import ProtocolVersionError
+
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
+    seed(spark, a)
+
+    def b_upgrades(table):
+        a._pre_claim_hook = None
+        b.upgrade_protocol("t", min_reader=1, min_writer=2)
+
+    a._pre_claim_hook = b_upgrades
+    a.upsert("t", ev_rows(spark, [(None, Row(id=900, v=1), 1, 0)]))
+    # A's commit is the latest; it must carry B's raised floor forward
+    assert a._protocol("t") == (1, 2), "DML carry erased the concurrent upgrade"
+
+    # and the same guarantee through read_keys' new reader-floor check
+    b.upgrade_protocol("t", min_reader=99, min_writer=99)
+    import pytest as _pytest
+
+    with _pytest.raises(ProtocolVersionError):
+        a.read_keys("t", [1])
