@@ -377,6 +377,7 @@ _STREAM_QUERIES = (
     "stream_cdc_partitioned",
     "stream_cdc_snapshot_bootstrap",
     "stream_cdc_type_change",
+    "stream_cdc_scd2",  # r10: the sweep's most expensive stream row at sf1.0
 )
 
 
