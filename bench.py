@@ -281,6 +281,10 @@ HEADLINE = [
     "text_heaps_law",             # vocab growth log-log fit
     "sim_mmr_rerank",             # 3-step greedy diversity rerank
     "analytic_median_polish",     # robust two-way decomposition
+    "olap_semijoin_bloom_reduction",  # literal-Bloom fact-scan pruning
+    "cdc_view_maintenance",       # delta-only aggregate refresh
+    "mm_image_palette_mediancut", # histogram median-cut QA
+    "analytic_runs_test",         # Wald-Wolfowitz randomness check
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
