@@ -70,10 +70,21 @@ def main() -> None:
         for n in t1
         if n in t01 and t01[n] > 0 and n not in e1 and n not in e01
     }
+    from etl_consumer_spark.plans import QUERIES
+
     # sub-second sf0.1 queries are dominated by fixed per-query cost; the
-    # 12x flag only means something when the numerator had room to scale
+    # 12x flag only means something when the numerator had room to scale.
+    # scale_safe=False queries are RETAINED CORRECTNESS BASELINES (the
+    # registry convention: deliberately-unbounded exact twins of capped
+    # scale paths, e.g. the exact in-cluster IVF beside the derived-plane
+    # LSH) — their ratios are reported separately, never as regressions.
     flagged = {
-        n: r for n, r in ratios.items() if r > 12.0 and t1.get(n, 0) > 2.0
+        n: r
+        for n, r in ratios.items()
+        if r > 12.0 and t1.get(n, 0) > 2.0 and QUERIES[n].scale_safe
+    }
+    baseline_ratios = {
+        n: r for n, r in ratios.items() if not QUERIES[n].scale_safe
     }
     result = {
         "sf01_total": round(sum(t01.values()), 1),
@@ -82,6 +93,7 @@ def main() -> None:
         "errors_sf01": e01,
         "errors_sf1": e1,
         "flagged_over_12x": flagged,
+        "baseline_ratios_over_12x": {n: r for n, r in baseline_ratios.items() if r > 12.0},
         "ratio_median": sorted(ratios.values())[len(ratios) // 2] if ratios else None,
         "ratios": ratios,
         "times_sf1": t1,
