@@ -285,6 +285,7 @@ HEADLINE = [
     "cdc_view_maintenance",       # delta-only aggregate refresh
     "mm_image_palette_mediancut", # histogram median-cut QA
     "analytic_runs_test",         # Wald-Wolfowitz randomness check
+    "stream_cdc_scd2",            # deployable streaming-SCD2 path (phase-split)
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
