@@ -593,6 +593,62 @@ def embedding_near_dups_lsh(
     )
 
 
+def embedding_near_dups_lsh_auto(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_planes: int = 16,
+    dim: int = 64,
+    target_bucket: int = 32,
+) -> DataFrame:
+    """:func:`embedding_near_dups_lsh` with the plane count DERIVED from the
+    corpus size AT EXECUTION TIME — no driver-side ``count()`` (ADVICE r10:
+    the eager count ran a Spark job merely on plan construction, during
+    explain/lint/registry enumeration).
+
+    Derivation is integer-exact so both engines agree at every scale (a
+    float ``ceil(log2(n/32))`` flips on the last ulp exactly at power-of-two
+    corpus sizes): ``planes = greatest(4, length(bin((n-1) div 32)))`` is
+    the smallest p with ``n <= target_bucket * 2^p``, floored at 4. All
+    ``max_planes`` sign bits are computed per row (each is one dim-length
+    fold — linear) and the bucket is the length-``planes`` PREFIX, where
+    ``planes`` rides in as a broadcast one-row scalar; occupancy therefore
+    stays ~``target_bucket`` up to ``target_bucket * 2^max_planes`` vectors
+    (2M at the defaults — pass a larger ``max_planes`` beyond that)."""
+    from etl_consumer_spark.extensions.similarity import cosine_sim, hyperplane_lsh_bucket
+
+    planes = emb.agg(
+        F.least(
+            F.lit(max_planes),
+            F.greatest(
+                F.lit(4),
+                F.length(F.expr(f"bin((count(*) - 1) DIV {target_bucket})")),
+            ),
+        ).alias("_planes")
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    bucketed = (
+        emb.repartition(par)
+        .crossJoin(F.broadcast(planes))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_lsh_bucket(F.col(vec_col), max_planes, dim)
+            .substr(F.lit(1), F.col("_planes"))
+            .alias("bucket"),
+        )
+    )
+    a = bucketed.select(F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = bucketed.select(F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def simhash_hamming_pairs(
     simhashes: DataFrame,
     id_col: str = "doc_id",

@@ -114,6 +114,15 @@ class LogCommitStateStore:
     # bounded 16 words x touched buckets, independent of batch size.
     _BLOOM_WORDS = 16
     _BLOOM_K = 4
+    # Bloom hash-family version, carried on every splice-capable commit.
+    # Disjointness across two Blooms is only provable when BOTH were built
+    # by the same hash family; a winner whose commit carries a different
+    # (or missing) format falls back to the re-merge path. Format 2 salts
+    # h2 with a distinct xxhash64 seed column so it is independent of the
+    # bucket-assignment hash (ADVICE r10: format 1's h2 used the same
+    # F.hash as bucketing, collapsing to m/n_buckets distinct values
+    # within a bucket).
+    _BLOOM_FORMAT = 2
 
     def __init__(
         self,
@@ -254,7 +263,15 @@ class LogCommitStateStore:
         (Delta's PROTOCOL action): touches no buckets, so concurrent DML
         rebases past it, but every LATER open sees the new floor. The
         floor never lowers (max with the committed one)."""
+        import random
+        import time
+
         self._check_protocol(table, write=True)
+        # bounded like upsert's claim loop (ADVICE r10 #3): under sustained
+        # DML contention an unbounded spin could starve; each lost race
+        # backs off with the same jitter so herds de-synchronize
+        failures = 0
+        max_claim_failures = max(self.max_retries * 8, 16)
         while True:
             v, commit = self._snapshot(table)
             meta = self._meta(table)
@@ -274,6 +291,13 @@ class LogCommitStateStore:
             }
             if self._claim(table, v + 1, next_commit):
                 return v + 1
+            failures += 1
+            if failures > max_claim_failures:
+                raise CommitConflictError(
+                    f"gave up after {failures} lost protocol-claim races on "
+                    f"{table!r} (DML writers outpacing the upgrade)"
+                )
+            time.sleep(random.uniform(0, 0.02) * min(failures, 10))
 
     def _meta(self, table: str) -> dict:
         """pk / bucket-count / schema ride on EVERY commit (copied forward
@@ -369,10 +393,18 @@ class LogCommitStateStore:
         # raw h1 + i*h2 can overflow near Long.MIN/MAX and abort the whole
         # upsert under Spark's default ANSI mode (review r10 finding #4);
         # after pmod both terms are < m, far from any overflow
+        # h2 is salted with a distinct literal AND mapped to [1, m-1]:
+        # unsalted, h2 came from the same F.hash(*key_cols) that assigns
+        # buckets, so within a bucket h2 was congruent to the bucket id
+        # (mod n_buckets) — only m/n_buckets distinct values — and h2=0
+        # collapsed all k probes onto one bit (ADVICE r10 #2). The +1
+        # keeps the double-hash stride nonzero for every key.
         rows = events.select(
             bucket_expr.alias("_b"),
             F.pmod(F.xxhash64(*key_cols), F.lit(m)).alias("h1"),
-            F.pmod(F.hash(*key_cols).cast("long"), F.lit(m)).alias("h2"),
+            (F.pmod(F.xxhash64(F.lit("bloom-h2"), *key_cols), F.lit(m - 1)) + F.lit(1)).alias(
+                "h2"
+            ),
         )
         pos = rows.select(
             "_b",
@@ -627,7 +659,15 @@ class LogCommitStateStore:
                             or winner.get("schema", meta["schema"]) != meta["schema"]
                         ):
                             meta_changed = True
-                        wblooms = winner.get("key_blooms", {})
+                        # disjointness is only provable within one hash
+                        # family: a winner written by a different Bloom
+                        # format (or none) gets an empty map, so every
+                        # overlap with it re-merges instead of splicing
+                        wblooms = (
+                            winner.get("key_blooms", {})
+                            if winner.get("bloom_format") == self._BLOOM_FORMAT
+                            else {}
+                        )
                         for b in overlap:
                             if self.row_level_splice and self._blooms_disjoint(
                                 blooms.get(b), wblooms.get(b)
@@ -692,6 +732,20 @@ class LogCommitStateStore:
                     max(proto_floor[0], int(lproto.get("min_reader", 1))),
                     max(proto_floor[1], int(lproto.get("min_writer", 1))),
                 )
+                # a concurrent upgrade_protocol that raised the floor ABOVE
+                # what this code understands must abort the in-flight write,
+                # not be max-carried into a commit this writer is no longer
+                # allowed to make (ADVICE r10 #1 — Delta likewise fails
+                # transactions on a concurrent protocol commit)
+                if carry_floor[1] > self.WRITER_VERSION or carry_floor[0] > self.READER_VERSION:
+                    _cleanup()
+                    raise ProtocolVersionError(
+                        f"table {table!r} protocol floor rose to "
+                        f"reader={carry_floor[0]}/writer={carry_floor[1]} while this "
+                        f"write was in flight; this code understands "
+                        f"reader={self.READER_VERSION}/writer={self.WRITER_VERSION} — "
+                        "aborting instead of committing past the upgrade"
+                    )
                 new_manifest = {
                     b: d for b, d in base.items() if b not in set(touched)
                 }
@@ -710,6 +764,7 @@ class LogCommitStateStore:
                     # buckets can prove key-disjointness and splice instead
                     # of re-merging (bounded: words x touched buckets)
                     "key_blooms": blooms,
+                    "bloom_format": self._BLOOM_FORMAT,
                     # carry the protocol floor forward so _protocol answers
                     # from the latest commit (absent -> (1, 1))
                     "protocol": {
@@ -781,6 +836,17 @@ class LogCommitStateStore:
                 if d.startswith("_bucket=")
             }
             floor = self._protocol(table)
+            # same in-flight-upgrade guard as upsert's claim loop (ADVICE
+            # r10 #1): the floor re-read on retry may exceed what this code
+            # understands — refuse to commit the evolve past it
+            if floor[1] > self.WRITER_VERSION or floor[0] > self.READER_VERSION:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ProtocolVersionError(
+                    f"table {table!r} protocol floor rose to "
+                    f"reader={floor[0]}/writer={floor[1]} during evolve; this code "
+                    f"understands reader={self.READER_VERSION}/"
+                    f"writer={self.WRITER_VERSION} — aborting"
+                )
             commit = {
                 "version": base_v + 1,
                 "manifest": manifest,

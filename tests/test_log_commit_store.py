@@ -915,3 +915,81 @@ def test_concurrent_upgrade_not_erased_by_dml_carry(spark, tmp_path):
 
     with _pytest.raises(ProtocolVersionError):
         a.read_keys("t", [1])
+
+
+def test_inflight_upgrade_above_writer_version_aborts_dml(spark, tmp_path):
+    """ADVICE r10 #1: a concurrent upgrade_protocol that raises the floor
+    ABOVE this code's WRITER_VERSION while a DML write is in flight must
+    abort that write (Delta fails transactions on a concurrent protocol
+    commit) — NOT be max-carried into a commit the writer is no longer
+    allowed to make. The old behavior committed version 3 here."""
+    from etl_consumer_spark.sinks.log_commit import ProtocolVersionError
+
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
+    base = seed(spark, a)
+
+    def b_upgrades_past_us(table):
+        a._pre_claim_hook = None
+        b.upgrade_protocol("t", min_reader=1, min_writer=99)
+
+    a._pre_claim_hook = b_upgrades_past_us
+    with pytest.raises(ProtocolVersionError):
+        a.upsert("t", ev_rows(spark, [(None, Row(id=900, v=1), 1, 0)]))
+    # the aborted write left no trace: the floor is B's upgrade, the state
+    # is untouched, and A's staged data directory was cleaned up
+    assert a._protocol("t") == (1, 99)
+    # reading still works (reader floor stayed at 1)
+    assert contents(a) == base
+    data_root = a._data_root("t")
+    committed = {d for v in a._log_versions("t") for d in a._read_commit("t", v)["manifest"].values()}
+    on_disk = {f"{data_root}/{d}" for d in os.listdir(data_root)}
+    assert on_disk <= committed, "aborted upsert leaked an uncommitted data dir"
+
+
+def test_bloom_format_mismatch_disables_splice(spark, tmp_path, monkeypatch):
+    """The key-splice shortcut is only sound when both Blooms come from the
+    SAME hash family: a winner commit carrying a different bloom_format
+    (older code) must force the re-merge path even if the stale-format
+    bitsets happen to AND to zero. Proof by apply_cdc call count: 3 calls
+    (A's original, B's, and A's re-merge) instead of the splice path's 2."""
+    import etl_consumer_spark.sinks.log_commit as lc
+
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=1)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=1)
+    b._BLOOM_FORMAT = 1  # instance shadow: B stamps its commits as format 1
+    base = seed(spark, a)
+
+    calls = {"n": 0}
+    real = lc.apply_cdc
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        return real(*args, **kw)
+
+    monkeypatch.setattr(lc, "apply_cdc", counting)
+
+    def b_commits(table):
+        a._pre_claim_hook = None
+        b.upsert("t", ev_rows(spark, [(None, Row(id=901, v=2), 1, 0)]))
+
+    a._pre_claim_hook = b_commits
+    a.upsert("t", ev_rows(spark, [(None, Row(id=902, v=5), 1, 0)]))
+    assert calls["n"] == 3, (
+        f"expected re-merge (3 apply_cdc calls) on bloom-format mismatch, saw {calls['n']}"
+    )
+    assert contents(a) == base | {(901, 2), (902, 5)}
+
+
+def test_upgrade_protocol_claim_races_are_bounded(spark, tmp_path, monkeypatch):
+    """ADVICE r10 #3: upgrade_protocol must not spin forever under
+    sustained DML contention — it bounds lost claim races exactly like
+    upsert and raises CommitConflictError."""
+    store = LogCommitStateStore(spark, str(tmp_path), n_buckets=2, max_retries=1)
+    seed(spark, store)
+    monkeypatch.setattr(LogCommitStateStore, "_claim", lambda self, *a, **kw: False)
+    import random as _random
+
+    monkeypatch.setattr(_random, "uniform", lambda a, b: 0.0)  # no backoff sleep in CI
+    with pytest.raises(CommitConflictError):
+        store.upgrade_protocol("t", min_reader=1, min_writer=2)

@@ -101,6 +101,11 @@ def main() -> None:
     with open(out, "w") as fh:
         fh.write(json.dumps(result, indent=1))
     print(json.dumps({k: v for k, v in result.items() if k not in ("ratios", "times_sf1")}))
+    # ADVICE r10 #4: the sweep must GATE, not just report — run_all_gates.sh
+    # runs under `set -e`, so a nonzero exit on any error or scaling flag is
+    # what makes the overflow/superlinearity class actually block a round.
+    if e01 or e1 or flagged:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
