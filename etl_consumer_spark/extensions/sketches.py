@@ -222,3 +222,92 @@ def cm_registers(df: DataFrame, value: Column) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    value_col: str,
+    ranks: DataFrame,
+    id_col: str = "rn",
+    p_col: str = "p",
+    out_col: str = "exact",
+) -> DataFrame:
+    """EXACT linearly-interpolated percentiles of an integer-valued column
+    WITHOUT a single-reducer percentile buffer — the distributed ground
+    truth for sketch accuracy audits (VERDICT r10 #5).
+
+    Spark's ``percentile()`` aggregate merges a per-value count map on ONE
+    reducer: at sf1.0 the lineitem cents column has 4.6M distinct values
+    and the merge dominated ``sketch_quantile_accuracy_eval`` (17 s warm);
+    at 100 TB the buffer simply OOMs. Here the (value, count) histogram is
+    built by an ordinary distributed groupBy, globally ordered by the
+    two-level bucket prefix-sum device (``two_level_order`` — partitioned
+    windows plus a bounded side table, never a full sort on one task), and
+    each requested rank fetches its two bracketing rows with a broadcast
+    8-row position join.
+
+    Interpolation matches ``percentile(v, p)`` / DuckDB ``quantile_cont``:
+    0-based position ``p*(n-1)``, ``lo + (hi - lo) * frac``. For dyadic
+    percentiles (.25/.5/.75/1.0) over integer values every operation is
+    exact in doubles, so the result is bit-identical to both engines'
+    built-ins by construction, not by luck.
+
+    ``ranks`` is a small (id, p) DataFrame; returns (id, ``out_col``)."""
+    from etl_consumer_spark.extensions.sampling import two_level_order
+
+    h = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_f"))
+        .withColumn("_negv", -F.col("_v"))
+    )
+    # two_level_order ranks by (key DESC, tie ASC); negating the value
+    # yields ascending value order, cum = inclusive running count
+    ordered = two_level_order(h, key_col="_negv", tie_col="_v", val_col="_f")
+    tot = h.agg(F.sum("_f").alias("_n"))
+    tgt = (
+        ranks.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            (F.col(p_col) * (F.col("_n") - 1)).alias("_pos"),
+        )
+        .select(
+            id_col,
+            (F.col("_pos") - F.floor("_pos")).cast("double").alias("_frac"),
+            (F.floor("_pos") + 1).cast("long").alias("_tlo"),
+            F.when(F.col("_pos") == F.floor("_pos"), F.floor("_pos") + 1)
+            .otherwise(F.floor("_pos") + 2)
+            .cast("long")
+            .alias("_thi"),
+        )
+    )
+    pos_tall = tgt.select(
+        id_col,
+        "_frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("which"), F.col("_tlo").alias("t")),
+                F.struct(F.lit("hi").alias("which"), F.col("_thi").alias("t")),
+            )
+        ).alias("_w"),
+    ).select(id_col, "_frac", F.col("_w.which").alias("which"), F.col("_w.t").alias("t"))
+    # each histogram row owns positions (cum - f, cum]; the position probe
+    # is a broadcast nested-loop against 2x|ranks| rows — map-side, no
+    # shuffle of the histogram
+    hit = ordered.join(
+        F.broadcast(pos_tall),
+        (F.col("t") <= F.col("cum")) & (F.col("t") > F.col("cum") - F.col("_f")),
+    )
+    return (
+        hit.groupBy(id_col, "_frac")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("_v"))).alias("_vlo"),
+            F.max(F.when(F.col("which") == "hi", F.col("_v"))).alias("_vhi"),
+        )
+        .select(
+            id_col,
+            (
+                F.col("_vlo").cast("double")
+                + (F.col("_vhi") - F.col("_vlo")).cast("double") * F.col("_frac")
+            ).alias(out_col),
+        )
+    )
