@@ -286,6 +286,18 @@ HEADLINE = [
     "mm_image_palette_mediancut", # histogram median-cut QA
     "analytic_runs_test",         # Wald-Wolfowitz randomness check
     "stream_cdc_scd2",            # deployable streaming-SCD2 path (phase-split)
+    # round 11
+    "analytic_theil_index",       # inequality decomposition (order-free micro terms)
+    "analytic_kendall_tau_daily", # tau-b over the bounded day-pair join
+    "analytic_kruskal_wallis",    # k-sample rank test on the two-level rank device
+    "analytic_friedman_test",     # blocked rank test, zero-filled grid
+    "analytic_hurst_rs",          # rescaled-range persistence diagnostic
+    "analytic_weibull_fit",       # median-rank survival fit (no exp across engines)
+    "analytic_dtw_daily",         # nested-runtime-fold DTW, exact integer cost
+    "olap_dq_audit",              # dbt/Deequ-style rule suite in two scans
+    "layout_sort_order_advisor",  # zone-width table behind OPTIMIZE/ZORDER choices
+    "dedup_minhash_band_tuning",  # LSH S-curve cost table, no pair join
+    "mm_image_rle_runs",          # RLE compressibility through the real decode
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

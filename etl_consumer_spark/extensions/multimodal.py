@@ -1568,3 +1568,45 @@ def raster_quadrant_sums(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").repartition(par).mapInPandas(
         kernel, QUADRANT_SCHEMA
     )
+
+
+RLE_SCHEMA = "media_id long, n_bytes long, n_runs long, max_run long"
+
+
+def raster_run_lengths(media: DataFrame) -> DataFrame:
+    """Run-length statistics through the real PPM decode: number of
+    maximal equal-byte runs and the longest run per raster. A
+    posterized/banded image (or a constant corrupt frame) collapses to
+    few long runs — the compressibility QA signal RLE-era codecs (PCX,
+    TGA; Golomb 1966 for the run-length coding theory) exploit, read
+    here as n_runs/n_bytes. Bounded output: one row per image; the
+    per-image cost is one vectorized np.diff pass over the raster."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                _, _, raster = decode_ppm(bytes(row["blob"]))
+                a = raster.reshape(-1)
+                if a.size == 0:
+                    out.append(
+                        {"media_id": row["media_id"], "n_bytes": 0, "n_runs": 0, "max_run": 0}
+                    )
+                    continue
+                changes = np.nonzero(np.diff(a.astype(np.int16)))[0]
+                bounds = np.concatenate(([-1], changes, [a.size - 1]))
+                lens = np.diff(bounds)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_bytes": int(a.size),
+                        "n_runs": int(lens.size),
+                        "max_run": int(lens.max()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "n_bytes", "n_runs", "max_run"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.select("media_id", "blob").repartition(par).mapInPandas(
+        kernel, RLE_SCHEMA
+    )

@@ -136,3 +136,26 @@ def test_value_counts_feed_mediancut_palette_invariants(spark):
     pal_hi = sum(v * k for v, k in hist.items() if v > cut) // n_hi
     assert pal_lo <= cut < pal_hi
     assert (pal_lo, pal_hi) == (10, 200)
+
+
+def test_run_lengths_exact_and_degenerate(spark):
+    from etl_consumer_spark.extensions.multimodal import raster_run_lengths
+
+    blobs = [
+        ppm(2, 2, bytes([5] * 12)),                      # constant: 1 run of 12
+        ppm(2, 2, bytes([1, 2] * 6)),                    # alternating: 12 runs of 1
+        ppm(1, 1, bytes([9, 9, 13])),                    # 1x1 pixel: runs 2, max 2
+        ppm(4, 1, bytes([7] * 5 + [8] * 3 + [7] * 4)),   # mixed: runs 3, max 5
+    ]
+    out = {
+        r["media_id"]: (r["n_bytes"], r["n_runs"], r["max_run"])
+        for r in raster_run_lengths(media_df(spark, blobs)).collect()
+    }
+    assert out[0] == (12, 1, 12)
+    assert out[1] == (12, 12, 1)
+    assert out[2] == (3, 2, 2)
+    assert out[3] == (12, 3, 5)
+    # invariant: run lengths partition the raster (max_run <= n_bytes,
+    # n_runs in [1, n_bytes])
+    for n_bytes, n_runs, max_run in out.values():
+        assert 1 <= n_runs <= n_bytes and max_run <= n_bytes
