@@ -298,6 +298,14 @@ HEADLINE = [
     "layout_sort_order_advisor",  # zone-width table behind OPTIMIZE/ZORDER choices
     "dedup_minhash_band_tuning",  # LSH S-curve cost table, no pair join
     "mm_image_rle_runs",          # RLE compressibility through the real decode
+    "cdc_scd_type6",              # Kimball 1+2+3 hybrid dimension
+    "layout_analyze_stats",       # ANALYZE-style exact column stats
+    "analytic_cochran_armitage",  # ordered-dose trend test
+    "analytic_levene_bf",         # Brown-Forsythe equal-spread check
+    "analytic_negbin_moments",    # overdispersion / NB moment fit
+    "analytic_vif",               # multicollinearity gate (closed-form 3-var)
+    "sim_ivf_balance",            # IVF list-imbalance diagnostic
+    "analytic_bland_altman",      # limits-of-agreement readout
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
