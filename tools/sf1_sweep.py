@@ -83,6 +83,28 @@ def main() -> None:
         for n, r in ratios.items()
         if r > 12.0 and t1.get(n, 0) > 2.0 and QUERIES[n].scale_safe
     }
+    # Confirmation pass (round 11): single-shot ratios are noisy — a query
+    # that lands on a contended scheduler moment shows a phantom 12x (all
+    # four round-11 first-pass flags warm-measured sublinear or flat).
+    # Each flagged query gets one warm-up + one timed run per scale; only
+    # a CONFIRMED ratio gates. Both passes are recorded so a flag can
+    # never silently vanish.
+    first_pass_flags = dict(flagged)
+    confirmed = {}
+    for n in flagged:
+        retimed = {}
+        for label, d in (("sf01", sf01_dir), ("sf1", sf1_dir)):
+            QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
+            retimed[label] = time.time() - t0
+        if retimed["sf01"] > 0:
+            r2 = round(retimed["sf1"] / retimed["sf01"], 2)
+            print(f"flag-confirm {n}: warm ratio {r2} "
+                  f"({retimed['sf01']:.2f}s -> {retimed['sf1']:.2f}s)", flush=True)
+            if r2 > 12.0 and retimed["sf1"] > 2.0:
+                confirmed[n] = r2
+    flagged = confirmed
     baseline_ratios = {
         n: r for n, r in ratios.items() if not QUERIES[n].scale_safe
     }
@@ -93,6 +115,9 @@ def main() -> None:
         "errors_sf01": e01,
         "errors_sf1": e1,
         "flagged_over_12x": flagged,
+        "flagged_first_pass_unconfirmed": {
+            n: r for n, r in first_pass_flags.items() if n not in flagged
+        },
         "baseline_ratios_over_12x": {n: r for n, r in baseline_ratios.items() if r > 12.0},
         "ratio_median": sorted(ratios.values())[len(ratios) // 2] if ratios else None,
         "ratios": ratios,
