@@ -306,6 +306,10 @@ HEADLINE = [
     "analytic_vif",               # multicollinearity gate (closed-form 3-var)
     "sim_ivf_balance",            # IVF list-imbalance diagnostic
     "analytic_bland_altman",      # limits-of-agreement readout
+    "analytic_mahalanobis_outliers",  # multivariate outlier gate
+    "analytic_hodges_lehmann",    # Walsh-average pseudo-median
+    "analytic_cpk_capability",    # Cp/Cpk process capability
+    "analytic_youden_threshold",  # ROC operating point (exact argmax)
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
