@@ -93,11 +93,17 @@ def main() -> None:
     confirmed = {}
     for n in flagged:
         retimed = {}
-        for label, d in (("sf01", sf01_dir), ("sf1", sf1_dir)):
-            QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
-            t0 = time.time()
-            QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
-            retimed[label] = time.time() - t0
+        try:
+            for label, d in (("sf01", sf01_dir), ("sf1", sf1_dir)):
+                QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
+                retimed[label] = time.time() - t0
+        except Exception as exc:  # noqa: BLE001 — keep the flag, never lose the sweep
+            print(f"flag-confirm {n}: ERROR during re-measure ({str(exc)[:120]}) "
+                  "— keeping the first-pass flag", flush=True)
+            confirmed[n] = flagged[n]
+            continue
         if retimed["sf01"] > 0:
             r2 = round(retimed["sf1"] / retimed["sf01"], 2)
             print(f"flag-confirm {n}: warm ratio {r2} "
