@@ -310,6 +310,7 @@ HEADLINE = [
     "analytic_hodges_lehmann",    # Walsh-average pseudo-median
     "analytic_cpk_capability",    # Cp/Cpk process capability
     "analytic_youden_threshold",  # ROC operating point (exact argmax)
+    "analytic_survival_rmst",     # area under the KM curve to tau=30d
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

@@ -123,3 +123,42 @@ def test_youden_matches_bruteforce_sweep_replay(spark):
     assert abs(row["fpr"] - fp / n_neg) < 1e-9
     assert abs(row["youden_j"] - (tp / n_pos - fp / n_neg)) < 1e-9
     assert row["youden_j"] >= 0  # the all-positive threshold gives J = 0
+
+
+def test_survival_rmst_matches_python_km_replay(spark):
+    """KM products and the step-function integral replayed with a plain
+    python loop over explicit at-risk counts; also checks RMST against
+    the direct 'mean of min(dur, tau) restricted by events' bound-free
+    identities (RMST <= tau, RMST >= tau * S_final)."""
+    rows = Q.QUERIES["analytic_survival_rmst"].fn(spark, SF).collect()
+    out = {r["duration_days"]: r for r in rows}
+    users = raw(
+        f"""SELECT user_id, date_diff('day', min(ts), max(ts)),
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            FROM '{SF}/events.parquet' GROUP BY user_id"""
+    )
+    byd = defaultdict(lambda: [0, 0])
+    for _, dur, ev in users:
+        byd[dur][0] += 1
+        byd[dur][1] += ev
+    n_all = sum(v[0] for v in byd.values())
+    at_risk = n_all
+    s = 1.0
+    prev_t = 0
+    rmst = 0.0
+    s_prev = 1.0
+    for t in sorted(byd):
+        n_total, n_events = byd[t]
+        rmst += s_prev * (min(t, 30) - min(prev_t, 30))
+        s = s * (1.0 - n_events / at_risk)
+        r = out[t]
+        assert r["n_at_risk"] == at_risk and r["n_events"] == n_events
+        assert abs(r["km_survival"] - s) < 1e-9
+        at_risk -= n_total
+        prev_t = t
+        s_prev = s
+    rmst += s_prev * (30 - min(prev_t, 30))
+    for r in rows:
+        assert abs(r["rmst_30d"] - rmst) < 1e-6
+    assert 0.0 < rmst <= 30.0
+    assert rmst >= 30.0 * s_prev - 1e-9  # area under a curve ending at S_final
