@@ -103,10 +103,12 @@ class LogCommitStateStore:
 
     # protocol understood by THIS code: reader 1 = manifest/time-travel
     # layout; writer 2 = key-Bloom splice commits (writer-1 tables are
-    # writable by this code — Blooms are additive). A table whose
-    # committed floor exceeds these raises ProtocolVersionError.
+    # writable by this code — Blooms are additive); writer 3 =
+    # bloom_format-GATED splice (disjointness trusted only within one
+    # hash family). A table whose committed floor exceeds these raises
+    # ProtocolVersionError.
     READER_VERSION = 1
-    WRITER_VERSION = 2
+    WRITER_VERSION = 3
 
     # per-bucket key-Bloom sizing: 1024 bits (16 long words) x 4 probes.
     # At ~100 event keys per bucket the pairwise false-intersection rate
@@ -123,6 +125,14 @@ class LogCommitStateStore:
     # F.hash as bucketing, collapsing to m/n_buckets distinct values
     # within a bucket).
     _BLOOM_FORMAT = 2
+    # Floor stamped on every commit that CARRIES format-2 Blooms. The
+    # format gate above is one-sided on its own: writer-2 binaries
+    # (pre-gate) never check bloom_format, so their format-1 Blooms
+    # ANDed against a format-2 commit's can falsely prove disjointness
+    # and splice away concurrent updates (ADVICE r11). Raising
+    # min_writer to 3 on format-2 commits fences those binaries through
+    # the existing _check_protocol / in-flight-upgrade guards instead.
+    _SPLICE_MIN_WRITER = 3
 
     def __init__(
         self,
@@ -766,10 +776,18 @@ class LogCommitStateStore:
                     "key_blooms": blooms,
                     "bloom_format": self._BLOOM_FORMAT,
                     # carry the protocol floor forward so _protocol answers
-                    # from the latest commit (absent -> (1, 1))
+                    # from the latest commit (absent -> (1, 1)). A commit
+                    # carrying format-2 Blooms raises the writer floor to
+                    # _SPLICE_MIN_WRITER so pre-format-gate (writer-2)
+                    # binaries are fenced out before they can AND a
+                    # cross-family Bloom pair into a false splice.
                     "protocol": {
                         "min_reader": carry_floor[0],
-                        "min_writer": carry_floor[1],
+                        "min_writer": (
+                            max(carry_floor[1], self._SPLICE_MIN_WRITER)
+                            if blooms and self._BLOOM_FORMAT >= 2
+                            else carry_floor[1]
+                        ),
                     },
                 }
                 if self._claim(table, latest + 1, next_commit):

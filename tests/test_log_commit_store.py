@@ -857,16 +857,18 @@ def test_protocol_versioning_forward_compat(spark, tmp_path):
     store = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
     base = seed(spark, store)
 
-    # pre-upgrade: default floor (1, 1), everything works
+    # a format-2 Bloom-carrying upsert stamps the splice writer floor
+    # (ADVICE r11: fences pre-format-gate writer-2 binaries that would
+    # trust a cross-family Bloom AND) — still writable by this code
     store.upsert("t", ev_rows(spark, [(None, Row(id=100, v=1), 1, 0)]))
-    assert store._protocol("t") == (1, 1)
+    assert store._protocol("t") == (1, LogCommitStateStore._SPLICE_MIN_WRITER)
 
-    # upgrade the writer floor to what this code supports: still writable,
-    # and the floor rides on later DML commits
+    # upgrade never lowers the floor: a request BELOW the stamped floor
+    # is a no-op max, and the floor rides on later DML commits
     v = store.upgrade_protocol("t", min_reader=1, min_writer=2)
-    assert store._protocol("t") == (1, 2)
+    assert store._protocol("t") == (1, 3)
     store.upsert("t", ev_rows(spark, [(None, Row(id=101, v=2), 2, 0)]))
-    assert store._protocol("t") == (1, 2)  # carried forward by the upsert
+    assert store._protocol("t") == (1, 3)  # carried forward by the upsert
     assert contents(store) == base | {(100, 1), (101, 2)}
 
     # a concurrent-era table demanding a FUTURE writer: writes refused,
@@ -893,11 +895,16 @@ def test_concurrent_upgrade_not_erased_by_dml_carry(spark, tmp_path):
     """Review r10 finding #1: a protocol upgrade committed while a DML
     writer is in flight (touched=[] -> never a conflict) must NOT be
     erased by the DML commit's floor carry — the claim-time re-read takes
-    the max of the captured and latest floors."""
+    the max of the captured and latest floors.
+
+    Splicing is disabled so the commit carries no Blooms and therefore no
+    _SPLICE_MIN_WRITER stamp: with the stamp the floor would read (1, 3)
+    whether or not the carry worked, and min_writer=2 would no longer be
+    a sensitive probe for erasure."""
     from etl_consumer_spark.sinks.log_commit import ProtocolVersionError
 
-    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
-    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=4)
+    a = LogCommitStateStore(spark, str(tmp_path), n_buckets=4, row_level_splice=False)
+    b = LogCommitStateStore(spark, str(tmp_path), n_buckets=4, row_level_splice=False)
     seed(spark, a)
 
     def b_upgrades(table):
@@ -979,6 +986,31 @@ def test_bloom_format_mismatch_disables_splice(spark, tmp_path, monkeypatch):
         f"expected re-merge (3 apply_cdc calls) on bloom-format mismatch, saw {calls['n']}"
     )
     assert contents(a) == base | {(901, 2), (902, 5)}
+
+
+def test_format2_bloom_commit_fences_pre_gate_writers(spark, tmp_path):
+    """ADVICE r11: the bloom_format gate is one-sided — a pre-gate
+    writer-2 binary never CHECKS bloom_format, so its format-1 Blooms
+    ANDed against a format-2 commit's can falsely prove key-disjointness
+    and splice away concurrent updates. The commit-side fence: any commit
+    carrying format-2 Blooms stamps min_writer=_SPLICE_MIN_WRITER, so the
+    old binary's own _check_protocol refuses the write BEFORE it can
+    compare Blooms. Reads stay allowed (reader floor untouched)."""
+    from etl_consumer_spark.sinks.log_commit import ProtocolVersionError
+
+    new = LogCommitStateStore(spark, str(tmp_path), n_buckets=2)
+    base = seed(spark, new)
+    new.upsert("t", ev_rows(spark, [(None, Row(id=300, v=1), 1, 0)]))
+    assert new._protocol("t")[1] == LogCommitStateStore._SPLICE_MIN_WRITER
+
+    old = LogCommitStateStore(spark, str(tmp_path), n_buckets=2)
+    old.WRITER_VERSION = 2  # instance shadow: a pre-format-gate binary
+    old._BLOOM_FORMAT = 1
+    with pytest.raises(ProtocolVersionError):
+        old.upsert("t", ev_rows(spark, [(None, Row(id=301, v=2), 2, 0)]))
+    # fenced before any data moved; the new-format table is intact and
+    # still readable by the old binary (reader floor is 1)
+    assert contents(old) == base | {(300, 1)}
 
 
 def test_upgrade_protocol_claim_races_are_bounded(spark, tmp_path, monkeypatch):
