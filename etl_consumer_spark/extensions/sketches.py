@@ -311,3 +311,137 @@ def exact_percentiles_distributed(
             ).alias(out_col),
         )
     )
+
+
+def exact_percentiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: list[float],
+    out_names: list[str],
+    order_scale: int = 1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Grouped EXACT linearly-interpolated percentiles without Spark's
+    ``percentile()`` single-reducer count-map merge — the per-GROUP
+    sibling of :func:`exact_percentiles_distributed` (VERDICT r11 #2:
+    ``olap_percentiles`` groups 4.6M distinct prices onto 3 reducers).
+
+    Shape: one distributed (group, value) histogram groupBy; a per-group
+    two-level bucket prefix sum (windows partitioned by (group, bucket);
+    the offset window is partitioned by group over <= ``n_buckets`` rows,
+    never a corpus sort on one task); then each of the |groups| x |ps|
+    requested positions fetches its two bracketing histogram rows with a
+    broadcast position join, exactly like the ungrouped device.
+
+    Interpolation reproduces Spark ``percentile(v, p)`` bit-for-bit:
+    0-based position ``p * (n-1)`` in doubles, then
+    ``double(lo) + (double(hi) - double(lo)) * frac`` — the exact
+    operation order of Percentile.getPercentile, so swapping the physical
+    plan cannot move a rounded 6-decimal digit.
+
+    ``order_scale``: multiplier making ``value * order_scale`` an exact
+    integer (e.g. 100 for a DECIMAL(12,2) price) — the integer order key
+    the range-bucketing device requires. Values themselves interpolate at
+    full precision. Returns one row per group with ``out_names`` columns.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        df.groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_f"))
+        .withColumn("_vk", (F.col("_v") * F.lit(order_scale)).cast("long"))
+    )
+    # global value bounds bucket ALL groups' histograms on one scale —
+    # the bucket is a pure function of the value, so within every group
+    # the bucket index still increases along the value order
+    bounds = h.agg(F.min("_vk").alias("_lo"), F.max("_vk").alias("_hi"))
+    b = (
+        h.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bkt",
+            # exact integer floor division (same rationale as
+            # two_level_order: a float quotient could round a boundary
+            # key into the wrong bucket)
+            F.expr(f"((_vk - _lo) * {n_buckets}) div (_hi - _lo + 1)").cast("long"),
+        )
+        .drop("_lo", "_hi")
+    )
+    w_in = Window.partitionBy("_g", "_bkt").orderBy(F.col("_vk").asc())
+    within = b.withColumn("_cum_in", F.sum("_f").over(w_in))
+    # per-(group, bucket) totals -> per-group bucket offsets: the window
+    # is PARTITIONED by group and scans <= n_buckets rows per partition
+    bkt = b.groupBy("_g", "_bkt").agg(F.sum("_f").alias("_tot"))
+    w_g = Window.partitionBy("_g").orderBy("_bkt")
+    off = bkt.select(
+        "_g", "_bkt", (F.sum("_tot").over(w_g) - F.col("_tot")).alias("_off")
+    )
+    ordered = within.join(F.broadcast(off), ["_g", "_bkt"]).withColumn(
+        "cum", F.col("_cum_in") + F.col("_off")
+    )
+    tot = h.groupBy("_g").agg(F.sum("_f").alias("_n"))
+    qs = F.array(
+        *[
+            F.struct(F.lit(name).alias("_pn"), F.lit(float(p)).cast("double").alias("_p"))
+            for name, p in zip(out_names, ps)
+        ]
+    )
+    tgt = (
+        tot.select("_g", "_n", F.explode(qs).alias("_q"))
+        .select(
+            F.col("_g").alias("_tg"),
+            F.col("_q._pn").alias("_pn"),
+            (F.col("_q._p") * (F.col("_n") - 1)).alias("_pos"),
+        )
+        .select(
+            "_tg",
+            "_pn",
+            (F.col("_pos") - F.floor("_pos")).cast("double").alias("_frac"),
+            (F.floor("_pos") + 1).cast("long").alias("_tlo"),
+            F.when(F.col("_pos") == F.floor("_pos"), F.floor("_pos") + 1)
+            .otherwise(F.floor("_pos") + 2)
+            .cast("long")
+            .alias("_thi"),
+        )
+    )
+    pos_tall = tgt.select(
+        "_tg",
+        "_pn",
+        "_frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("which"), F.col("_tlo").alias("t")),
+                F.struct(F.lit("hi").alias("which"), F.col("_thi").alias("t")),
+            )
+        ).alias("_w"),
+    ).select("_tg", "_pn", "_frac", F.col("_w.which").alias("which"), F.col("_w.t").alias("t"))
+    # 2 x |groups| x |ps| probe rows broadcast against the histogram —
+    # map-side, the histogram never shuffles again
+    hit = ordered.join(
+        F.broadcast(pos_tall),
+        (F.col("_g") == F.col("_tg"))
+        & (F.col("t") <= F.col("cum"))
+        & (F.col("t") > F.col("cum") - F.col("_f")),
+    )
+    tall = (
+        hit.groupBy("_g", "_pn", "_frac")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("_v"))).alias("_vlo"),
+            F.max(F.when(F.col("which") == "hi", F.col("_v"))).alias("_vhi"),
+        )
+        .select(
+            "_g",
+            "_pn",
+            (
+                F.col("_vlo").cast("double")
+                + (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
+                * F.col("_frac")
+            ).alias("_val"),
+        )
+    )
+    return tall.groupBy(F.col("_g").alias(group_col)).agg(
+        *[
+            F.max(F.when(F.col("_pn") == name, F.col("_val"))).alias(name)
+            for name in out_names
+        ]
+    )
