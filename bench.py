@@ -614,7 +614,47 @@ def main() -> None:
     result["cdc_apply_replay_sec"] = round(elapsed, 3)
     result["cdc_events_per_sec"] = round(n_events * replays / elapsed, 1)
     result["degraded"] = degraded
-    print(json.dumps(result))
+
+    # VERDICT r11 #4: the driver retains only the last 2000 chars of
+    # stdout and parses the final JSON line — the full per-query map
+    # (400+ registry names' worth of headline entries) outgrew that
+    # capture in round 9, silently degrading cross-round comparison to
+    # whatever fit the tail (BENCH_r11.json: "parsed": null). The FULL
+    # result now lands in BENCH_FULL.json (committed each round, so git
+    # history keeps every round's complete per-query map) and stdout's
+    # one JSON line carries the frozen HEADLINE_CORE per-query times plus
+    # every total — small enough to parse, stable enough to diff.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f)
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "sf", "headline_core_total",
+            "headline_core_n", "scale_safe_total", "baseline_only_total",
+            "cdc_events_per_sec", "cdc_apply_replays", "cdc_apply_replay_sec",
+            "bench_attempts", "quiet_wait_sec", "calib_drift", "degraded",
+        )
+        if k in result
+    }
+    compact["n_queries_full"] = len(result["queries"])
+    compact["full"] = "BENCH_FULL.json"
+    # greedy-fit core per-query times (2dp) into the remaining budget, in
+    # HEADLINE_CORE's frozen order so rounds carry a comparable prefix;
+    # the COMPLETE map is in BENCH_FULL.json either way
+    compact["queries"] = {}
+    budget = 1850
+    for n in HEADLINE_CORE:
+        compact["queries"][n] = round(result["queries"][n], 2)
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][n]
+            break
+    line = json.dumps(compact)
+    assert len(line) < 1900, (
+        f"compact bench line is {len(line)} chars — the driver captures "
+        "2000; trim HEADLINE_CORE metadata, never let this silently regrow"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

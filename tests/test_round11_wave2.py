@@ -77,8 +77,11 @@ def test_analyze_stats_matches_python_replay(spark):
 def test_cochran_armitage_matches_python_replay(spark):
     row = Q.QUERIES["analytic_cochran_armitage"].fn(spark, SF).collect()[0]
     g = defaultdict(lambda: [0, 0])
-    for day, et in raw(f"SELECT day(ts), event_type FROM '{SF}/events.parquet'"):
-        s = day % 7
+    # ADVICE r11: the dose score is the ISO WEEKDAY (0 = Monday), not
+    # day-of-month mod 7 — replay via python's own weekday(), a third
+    # implementation independent of both isodow and F.weekday
+    for ts, et in raw(f"SELECT ts, event_type FROM '{SF}/events.parquet'"):
+        s = ts.weekday()
         g[s][0] += 1
         g[s][1] += 1 if et == "error" else 0
     n = sum(v[0] for v in g.values())
