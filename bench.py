@@ -311,6 +311,19 @@ HEADLINE = [
     "analytic_cpk_capability",    # Cp/Cpk process capability
     "analytic_youden_threshold",  # ROC operating point (exact argmax)
     "analytic_survival_rmst",     # area under the KM curve to tau=30d
+    # round 12
+    "analytic_wasserstein_1d",    # exact earth-mover distance, one terminal divide
+    "analytic_mood_median",       # k-sample median test, micro-quantized chi2
+    "analytic_dunn_test",         # KW post-hoc pairwise z on shared rank device
+    "analytic_ljung_box",         # white-noise portmanteau, exact integer rhos
+    "analytic_jarque_bera",       # normality from wide-integer power sums
+    "analytic_durbin_watson",     # serial correlation, integer-scaled residuals
+    "analytic_ndcg_at10",         # ranking quality, nano-quantized gains
+    "analytic_mrr_at10",          # reciprocal rank as exact floor(1e9/rank)
+    "analytic_jsd_weekday_weekend",  # bounded symmetric drift divergence
+    "sample_halton_qmc",          # hash-exact radical-inverse stratification
+    "analytic_brier_online",      # proper-scoring forecast health check
+    "text_collocations_pmi",      # top-20 PMI collocations, quantized cut
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE

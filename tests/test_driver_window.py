@@ -23,7 +23,7 @@ from check_oracle import registry_fingerprint  # noqa: E402
 from etl_consumer_spark.plans.queries import (
     QUERIES,
     _DRIVER_WINDOW,
-    _R12_BACKLOG,
+    _R13_BACKLOG,
     _ordered_names,
 )
 
@@ -84,15 +84,15 @@ def test_unverified_backlog_is_bounded_and_enumerated():
     entries than a driver window can absorb. Every registered query must be
     (a) driver-verified in some CORRECTNESS_r*.json, (b) in the current
     _DRIVER_WINDOW (scheduled for this round's verification), or (c) in the
-    explicit, bounded _R12_BACKLOG. Adding a new query therefore forces a
+    explicit, bounded _R13_BACKLOG. Adding a new query therefore forces a
     conscious scheduling decision, and the backlog can never exceed one
     window (50)."""
     verified = _driver_verified_names()
-    scheduled = set(_DRIVER_WINDOW) | set(_R12_BACKLOG)
+    scheduled = set(_DRIVER_WINDOW) | set(_R13_BACKLOG)
     orphans = [n for n in QUERIES if n not in verified and n not in scheduled]
     assert not orphans, (
         f"{len(orphans)} registry entries are neither driver-verified nor "
-        f"scheduled in _DRIVER_WINDOW/_R12_BACKLOG: {orphans[:10]} — schedule "
+        f"scheduled in _DRIVER_WINDOW/_R13_BACKLOG: {orphans[:10]} — schedule "
         "them (and keep the backlog <= 50) before registering more queries"
     )
     backlog = [n for n in QUERIES if n not in verified and n not in set(_DRIVER_WINDOW)]
@@ -103,8 +103,8 @@ def test_unverified_backlog_is_bounded_and_enumerated():
 
 
 def test_backlog_names_are_registered_and_disjoint_from_window():
-    assert len(set(_R12_BACKLOG)) == len(_R12_BACKLOG)
-    missing = [n for n in _R12_BACKLOG if n not in QUERIES]
+    assert len(set(_R13_BACKLOG)) == len(_R13_BACKLOG)
+    missing = [n for n in _R13_BACKLOG if n not in QUERIES]
     assert not missing, f"backlog names not registered: {missing}"
-    overlap = set(_R12_BACKLOG) & set(_DRIVER_WINDOW)
+    overlap = set(_R13_BACKLOG) & set(_DRIVER_WINDOW)
     assert not overlap, f"names both in window and backlog: {sorted(overlap)}"
