@@ -97,6 +97,7 @@ HEADLINE = [
     "layout_compaction",          # small-file rewrite + XOR fingerprint
     "text_rake_keywords",         # stopword-island phrases, integer scores
     "olap_percentiles_exact",     # exact p50/p90/p99 per group
+    "olap_percentiles",           # r12: grouped distributed-histogram rewrite
     "analytic_entropy_mi",        # contingency counts + broadcast marginals
     "analytic_markov_transitions",  # per-user lag window + pair counts
     "text_zipf_fit",              # ordered-fold OLS over top-100 ranks
