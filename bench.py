@@ -325,6 +325,11 @@ HEADLINE = [
     "sample_halton_qmc",          # hash-exact radical-inverse stratification
     "analytic_brier_online",      # proper-scoring forecast health check
     "text_collocations_pmi",      # top-20 PMI collocations, quantized cut
+    "analytic_cochran_q",         # k-treatment McNemar over user-day blocks
+    "analytic_kendall_w",         # concordance of daily type rankings
+    "analytic_jonckheere",        # ordered-alternative k-sample trend
+    "analytic_page_trend",        # Page's L over week-blocked weekday doses
+    "analytic_mase_daily",        # scale-free forecast accuracy (integer sums)
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
