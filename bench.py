@@ -330,6 +330,9 @@ HEADLINE = [
     "analytic_jonckheere",        # ordered-alternative k-sample trend
     "analytic_page_trend",        # Page's L over week-blocked weekday doses
     "analytic_mase_daily",        # scale-free forecast accuracy (integer sums)
+    "analytic_sign_test",         # exact binomial paired test, integer C(m,i) fold
+    "analytic_wilcoxon_signed_rank",  # magnitude-aware paired rank test
+    "text_vocab_hapax",           # corpus frequency-spectrum profile
 ]
 
 # VERDICT r7 #7: a FROZEN cross-round comparison subset. The full HEADLINE
