@@ -667,6 +667,11 @@ def main() -> None:
     compact["queries"] = {}
     budget = 1850
     for n in HEADLINE_CORE:
+        # a names-subset run (or a skipped query) may omit a core name —
+        # skip it rather than KeyError after the measurement pass
+        # (ADVICE r12); the frozen-order prefix semantics are preserved
+        if n not in result["queries"]:
+            continue
         compact["queries"][n] = round(result["queries"][n], 2)
         if len(json.dumps(compact)) > budget:
             del compact["queries"][n]

@@ -246,17 +246,27 @@ def exact_percentiles_distributed(
     each requested rank fetches its two bracketing rows with a broadcast
     8-row position join.
 
-    Interpolation matches ``percentile(v, p)`` / DuckDB ``quantile_cont``:
-    0-based position ``p*(n-1)``, ``lo + (hi - lo) * frac``. For dyadic
-    percentiles (.25/.5/.75/1.0) over integer values every operation is
-    exact in doubles, so the result is bit-identical to both engines'
-    built-ins by construction, not by luck.
+    Interpolation mirrors Spark ``percentile(v, p)`` operation-for-
+    operation (ADVICE r12): 0-based position ``p*(n-1)`` in doubles, then
+    the symmetric weighted form ``(higher - position) * lo +
+    (position - lower) * hi`` — the exact arithmetic of
+    Percentile.getPercentile (sql/catalyst Percentile.scala), with the
+    integral-position case returning ``lo`` directly as the builtin does.
+    DuckDB ``quantile_cont`` uses ``lo + (hi - lo) * frac``, which can
+    differ by 1 ulp at a rounding boundary; for dyadic percentiles
+    (.25/.5/.75/1.0) over integer values both forms are exact in doubles
+    and all three agree bit-for-bit by construction.
+
+    NULL values of ``value_col`` are dropped up front, matching
+    ``percentile()`` / ``quantile_cont`` null-skipping semantics
+    (ADVICE r12: a null row must not inflate ``n`` or rank positions).
 
     ``ranks`` is a small (id, p) DataFrame; returns (id, ``out_col``)."""
     from etl_consumer_spark.extensions.sampling import two_level_order
 
     h = (
-        df.groupBy(F.col(value_col).alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_f"))
         .withColumn("_negv", -F.col("_v"))
     )
@@ -273,6 +283,9 @@ def exact_percentiles_distributed(
         .select(
             id_col,
             (F.col("_pos") - F.floor("_pos")).cast("double").alias("_frac"),
+            # (higher - position) carried separately so the final combine
+            # can reproduce getPercentile's weighted form exactly
+            (F.ceil("_pos").cast("double") - F.col("_pos")).alias("_cfrac"),
             (F.floor("_pos") + 1).cast("long").alias("_tlo"),
             F.when(F.col("_pos") == F.floor("_pos"), F.floor("_pos") + 1)
             .otherwise(F.floor("_pos") + 2)
@@ -283,13 +296,16 @@ def exact_percentiles_distributed(
     pos_tall = tgt.select(
         id_col,
         "_frac",
+        "_cfrac",
         F.explode(
             F.array(
                 F.struct(F.lit("lo").alias("which"), F.col("_tlo").alias("t")),
                 F.struct(F.lit("hi").alias("which"), F.col("_thi").alias("t")),
             )
         ).alias("_w"),
-    ).select(id_col, "_frac", F.col("_w.which").alias("which"), F.col("_w.t").alias("t"))
+    ).select(
+        id_col, "_frac", "_cfrac", F.col("_w.which").alias("which"), F.col("_w.t").alias("t")
+    )
     # each histogram row owns positions (cum - f, cum]; the position probe
     # is a broadcast nested-loop against 2x|ranks| rows — map-side, no
     # shuffle of the histogram
@@ -298,17 +314,21 @@ def exact_percentiles_distributed(
         (F.col("t") <= F.col("cum")) & (F.col("t") > F.col("cum") - F.col("_f")),
     )
     return (
-        hit.groupBy(id_col, "_frac")
+        hit.groupBy(id_col, "_frac", "_cfrac")
         .agg(
             F.max(F.when(F.col("which") == "lo", F.col("_v"))).alias("_vlo"),
             F.max(F.when(F.col("which") == "hi", F.col("_v"))).alias("_vhi"),
         )
         .select(
             id_col,
-            (
-                F.col("_vlo").cast("double")
-                + (F.col("_vhi") - F.col("_vlo")).cast("double") * F.col("_frac")
-            ).alias(out_col),
+            # Percentile.getPercentile verbatim: integral position returns
+            # the lower key; otherwise (higher-pos)*lo + (pos-lower)*hi
+            F.when(F.col("_frac") == F.lit(0.0), F.col("_vlo").cast("double"))
+            .otherwise(
+                F.col("_cfrac") * F.col("_vlo").cast("double")
+                + F.col("_frac") * F.col("_vhi").cast("double")
+            )
+            .alias(out_col),
         )
     )
 
@@ -334,11 +354,15 @@ def exact_percentiles_grouped(
     requested positions fetches its two bracketing histogram rows with a
     broadcast position join, exactly like the ungrouped device.
 
-    Interpolation reproduces Spark ``percentile(v, p)`` bit-for-bit:
-    0-based position ``p * (n-1)`` in doubles, then
-    ``double(lo) + (double(hi) - double(lo)) * frac`` — the exact
-    operation order of Percentile.getPercentile, so swapping the physical
-    plan cannot move a rounded 6-decimal digit.
+    Interpolation reproduces Spark ``percentile(v, p)`` bit-for-bit BY
+    CONSTRUCTION (ADVICE r12): 0-based position ``p * (n-1)`` in doubles,
+    then Percentile.getPercentile's own symmetric weighted form
+    ``(higher - position) * double(lo) + (position - lower) * double(hi)``
+    (integral positions return ``lo`` directly, as the builtin does) —
+    not the ``lo + (hi-lo)*frac`` form, which agrees only within 1 ulp.
+    Swapping the physical plan therefore cannot move a rounded digit.
+    NULLs in ``value_col`` are dropped up front, matching
+    ``percentile()`` / ``quantile_cont`` null-skipping semantics.
 
     ``order_scale``: multiplier making ``value * order_scale`` an exact
     integer (e.g. 100 for a DECIMAL(12,2) price) — the integer order key
@@ -348,7 +372,8 @@ def exact_percentiles_grouped(
     from pyspark.sql import Window
 
     h = (
-        df.groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_f"))
         .withColumn("_vk", (F.col("_v") * F.lit(order_scale)).cast("long"))
     )
@@ -397,6 +422,9 @@ def exact_percentiles_grouped(
             "_tg",
             "_pn",
             (F.col("_pos") - F.floor("_pos")).cast("double").alias("_frac"),
+            # (higher - position), kept separate for getPercentile's
+            # weighted combine below
+            (F.ceil("_pos").cast("double") - F.col("_pos")).alias("_cfrac"),
             (F.floor("_pos") + 1).cast("long").alias("_tlo"),
             F.when(F.col("_pos") == F.floor("_pos"), F.floor("_pos") + 1)
             .otherwise(F.floor("_pos") + 2)
@@ -408,13 +436,21 @@ def exact_percentiles_grouped(
         "_tg",
         "_pn",
         "_frac",
+        "_cfrac",
         F.explode(
             F.array(
                 F.struct(F.lit("lo").alias("which"), F.col("_tlo").alias("t")),
                 F.struct(F.lit("hi").alias("which"), F.col("_thi").alias("t")),
             )
         ).alias("_w"),
-    ).select("_tg", "_pn", "_frac", F.col("_w.which").alias("which"), F.col("_w.t").alias("t"))
+    ).select(
+        "_tg",
+        "_pn",
+        "_frac",
+        "_cfrac",
+        F.col("_w.which").alias("which"),
+        F.col("_w.t").alias("t"),
+    )
     # 2 x |groups| x |ps| probe rows broadcast against the histogram —
     # map-side, the histogram never shuffles again
     hit = ordered.join(
@@ -424,7 +460,7 @@ def exact_percentiles_grouped(
         & (F.col("t") > F.col("cum") - F.col("_f")),
     )
     tall = (
-        hit.groupBy("_g", "_pn", "_frac")
+        hit.groupBy("_g", "_pn", "_frac", "_cfrac")
         .agg(
             F.max(F.when(F.col("which") == "lo", F.col("_v"))).alias("_vlo"),
             F.max(F.when(F.col("which") == "hi", F.col("_v"))).alias("_vhi"),
@@ -432,11 +468,14 @@ def exact_percentiles_grouped(
         .select(
             "_g",
             "_pn",
-            (
-                F.col("_vlo").cast("double")
-                + (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
-                * F.col("_frac")
-            ).alias("_val"),
+            # Percentile.getPercentile verbatim: integral position returns
+            # the lower key; otherwise (higher-pos)*lo + (pos-lower)*hi
+            F.when(F.col("_frac") == F.lit(0.0), F.col("_vlo").cast("double"))
+            .otherwise(
+                F.col("_cfrac") * F.col("_vlo").cast("double")
+                + F.col("_frac") * F.col("_vhi").cast("double")
+            )
+            .alias("_val"),
         )
     )
     return tall.groupBy(F.col("_g").alias(group_col)).agg(

@@ -132,6 +132,14 @@ class LogCommitStateStore:
     # and splice away concurrent updates (ADVICE r11). Raising
     # min_writer to 3 on format-2 commits fences those binaries through
     # the existing _check_protocol / in-flight-upgrade guards instead.
+    # Residual one-time migration race (ADVICE r12): a writer-2 binary
+    # from the narrow pre-r10 era — Bloom splice but no claim-time
+    # in-flight floor abort — that is ALREADY mid-commit when the first
+    # format-2 commit lands can still complete one cross-family splice
+    # before the fence takes effect (it re-reads the floor only at
+    # entry). Operationally: quiesce writers once before first running a
+    # writer-3 binary against a shared table; every later interleaving
+    # is covered by the entry check + claim-time abort.
     _SPLICE_MIN_WRITER = 3
 
     def __init__(
