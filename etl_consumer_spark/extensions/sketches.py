@@ -321,9 +321,15 @@ def exact_percentiles_distributed(
         )
         .select(
             id_col,
-            # Percentile.getPercentile verbatim: integral position returns
-            # the lower key; otherwise (higher-pos)*lo + (pos-lower)*hi
-            F.when(F.col("_frac") == F.lit(0.0), F.col("_vlo").cast("double"))
+            # Percentile.getPercentile verbatim: integral position OR
+            # equal bracketing keys return the lower key without
+            # arithmetic (the builtin's two no-interpolation guards —
+            # without the second, cfrac*v + frac*v could round to
+            # v +/- 1 ulp); otherwise (higher-pos)*lo + (pos-lower)*hi
+            F.when(
+                (F.col("_frac") == F.lit(0.0)) | (F.col("_vlo") == F.col("_vhi")),
+                F.col("_vlo").cast("double"),
+            )
             .otherwise(
                 F.col("_cfrac") * F.col("_vlo").cast("double")
                 + F.col("_frac") * F.col("_vhi").cast("double")
@@ -468,9 +474,15 @@ def exact_percentiles_grouped(
         .select(
             "_g",
             "_pn",
-            # Percentile.getPercentile verbatim: integral position returns
-            # the lower key; otherwise (higher-pos)*lo + (pos-lower)*hi
-            F.when(F.col("_frac") == F.lit(0.0), F.col("_vlo").cast("double"))
+            # Percentile.getPercentile verbatim: integral position OR
+            # equal bracketing keys return the lower key without
+            # arithmetic (the builtin's two no-interpolation guards —
+            # without the second, cfrac*v + frac*v could round to
+            # v +/- 1 ulp); otherwise (higher-pos)*lo + (pos-lower)*hi
+            F.when(
+                (F.col("_frac") == F.lit(0.0)) | (F.col("_vlo") == F.col("_vhi")),
+                F.col("_vlo").cast("double"),
+            )
             .otherwise(
                 F.col("_cfrac") * F.col("_vlo").cast("double")
                 + F.col("_frac") * F.col("_vhi").cast("double")

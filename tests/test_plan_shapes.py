@@ -27,7 +27,9 @@ BROADCAST_JOIN_QUERIES = [
     "olap_q8_market_share",
     "olap_q9_product_type_profit",
     "olap_revenue_by_nation",
-    # the benchmark-set join of the decontamination guard
+    # the benchmark-set join of the decontamination guard (no explicit
+    # hint since ADVICE r12 — corpus-derived set — but at test scale
+    # Catalyst must still auto-broadcast it under the size threshold)
     "text_decontaminate",
     # PQ: codebook and distance tables must broadcast
     "sim_pq_encode",
@@ -257,8 +259,9 @@ def test_moments_and_percentiles_single_exchange(spark):
 
 
 def test_rake_broadcasts_word_scores_and_takeordered(spark):
-    """The word->score join must broadcast (vocabulary-bounded table) and
-    the global top-20 must plan as TakeOrdered, not a full sort."""
+    """The word->score join carries no explicit hint (corpus-growing
+    vocabulary, ADVICE r12) but must still AUTO-broadcast at test scale,
+    and the global top-20 must plan as TakeOrdered, not a full sort."""
     plan = _plan(spark, "text_rake_keywords")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
@@ -479,3 +482,43 @@ def test_round6_wave_tops_and_windows(spark):
     plan = _plan(spark, "sample_balanced_classes")
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "lang" in spec, f"unpartitioned class window: {spec}"
+
+
+def test_builtin_percentile_sites_carry_a_documented_bound():
+    """Source-level lint (VERDICT r12 #7): Spark's builtin ``percentile()``
+    / ``percentile_approx`` merges a per-distinct-value count map on ONE
+    reducer, so every registered query that calls it must either state a
+    cardinality bound at the call site (the literal marker
+    ``percentile() bound`` in its doc or a nearby comment, as the winsorize
+    / MAD / histogram sites do) or route through the
+    ``exact_percentiles_distributed`` / ``exact_percentiles_grouped``
+    devices. Turns the prose discipline into a mechanical gate, like the
+    CartesianProduct and unbounded-window lints above."""
+    import re
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parent.parent
+        / "etl_consumer_spark"
+        / "plans"
+        / "queries.py"
+    ).read_text()
+    # split into per-registration blocks; the header before the first
+    # @register holds only helpers (no registered query code)
+    blocks = src.split("@register(")[1:]
+    offenders = []
+    for block in blocks:
+        name_m = re.match(r'\s*"([^"]+)"', block)
+        name = name_m.group(1) if name_m else "<unparsed>"
+        # builtin use = a percentile/percentile_approx call inside an
+        # F.expr SQL string (the only idiom the registry uses); doc
+        # mentions like "percentile()" don't match because they are not
+        # inside F.expr(
+        calls = re.findall(r'F\.expr\(\s*f?"[^"]*percentile(?:_approx)?\s*\(', block)
+        if calls and "percentile() bound" not in block:
+            offenders.append(name)
+    assert not offenders, (
+        "builtin percentile() without a documented cardinality bound "
+        f"(add a 'percentile() bound:' note or use the exact_percentiles_* "
+        f"devices): {offenders}"
+    )
