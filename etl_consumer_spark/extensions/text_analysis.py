@@ -397,12 +397,15 @@ def subword_tokenize(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
-def winnow_selections(df, id_col: str = "doc_id", text_col: str = "text",
-                      k: int = 4, w: int = 5):
-    """The raw winnowing selection set: (id, pos, h) of every selected
-    k-gram hash (see ``winnow_fingerprints`` for the scheme). Exposed so
-    overlap detection can join selection sets directly — two documents
-    sharing a run of >= w+k-1 words are guaranteed a common h."""
+def _winnow_picks(df, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 4, w: int = 5):
+    """Per-window winnowing picks BEFORE dedup: one (id, h, pos) row per
+    gram position, duplicated whenever adjacent windows select the same
+    gram. Kept separate so ``winnow_fingerprints`` can dedup inside its
+    per-doc aggregate (``collect_set``) and reuse the window's
+    hash(id) partitioning — ``.distinct()`` here would shuffle on
+    (id, h, pos) and force the downstream groupBy(id) to shuffle AGAIN
+    (guide §2.4: two operations keyed the same way share one exchange)."""
     from pyspark.sql import Window as W
 
     toks = tokens(F.lower(F.col(text_col)))
@@ -427,10 +430,16 @@ def winnow_selections(df, id_col: str = "doc_id", text_col: str = "text",
     )
     frame = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(frame)
-    return (
-        grams.select("id", sel["h"].alias("h"), (-sel["np"]).alias("pos"))
-        .distinct()
-    )
+    return grams.select("id", sel["h"].alias("h"), (-sel["np"]).alias("pos"))
+
+
+def winnow_selections(df, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 4, w: int = 5):
+    """The raw winnowing selection set: (id, pos, h) of every selected
+    k-gram hash (see ``winnow_fingerprints`` for the scheme). Exposed so
+    overlap detection can join selection sets directly — two documents
+    sharing a run of >= w+k-1 words are guaranteed a common h."""
+    return _winnow_picks(df, id_col, text_col, k, w).distinct()
 
 
 def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
@@ -455,13 +464,19 @@ def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
     self-join), one distinct, one groupBy(doc). Per-doc work is linear in
     length; the SQL oracle uses the quadratic join formulation, the engine
     the O(n) frame — same selection set by construction."""
-    picked = winnow_selections(df, id_col, text_col, k, w)
+    # pre-dedup picks + collect_SET: the per-doc set dedup runs inside the
+    # one groupBy(id), which reuses the selection window's hash(id)
+    # partitioning — one exchange total after the scan, where the old
+    # winnow_selections().distinct() + groupBy chain paid three
+    # (window shuffle, distinct on (id,h,pos), re-shuffle on id)
+    picked = _winnow_picks(df, id_col, text_col, k, w)
     ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("h")))),
+        F.array_sort(F.collect_set(F.struct(F.col("pos"), F.col("h")))),
         lambda s: s["h"].cast("string"),
     )
     return picked.groupBy("id").agg(
-        F.count("*").cast("long").alias("n_fingerprints"),
+        F.size(F.collect_set(F.struct(F.col("pos"), F.col("h"))))
+        .cast("long").alias("n_fingerprints"),
         F.md5(F.array_join(ordered, ",").cast("binary")).alias("fp_md5"),
     )
 

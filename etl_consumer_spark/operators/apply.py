@@ -79,19 +79,39 @@ def compact_events(
 ) -> DataFrame:
     """Project events to (pk..., _before, _after, _op) keeping only the last
     writer per key. Key is taken from the after image, falling back to the
-    before image (delete events have no after)."""
+    before image (delete events have no after).
+
+    The per-key latest is a ``max(struct(pos, ts, before, after))``
+    aggregation rather than a row_number window: same keep-the-latest
+    semantics on any consistent stream (ordering is (pos, ts) first), but
+    the aggregate gets partial map-side combining — at-least-once replays
+    collapse before the exchange instead of shuffling every duplicate —
+    and the reducer hash-aggregates instead of sorting (guide §2.3). On
+    (pos, ts) TIES the struct comparison falls through to the images,
+    which only differs from the window's arbitrary pick on streams that
+    carry two different payloads at one binlog position — already outside
+    the reference's single-writer model; replay duplicates are identical
+    and unaffected."""
     keys = [
         F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
         for k in pk_cols
     ]
     ev = events.select(
         *keys,
-        F.col(before_col).alias("_before"),
-        F.col(after_col).alias("_after"),
-        F.col(pos_col).alias("_pos"),
-        F.col(ts_col).alias("_ts"),
+        F.struct(
+            F.col(pos_col).alias("_pos"),
+            F.col(ts_col).alias("_ts"),
+            F.col(before_col).alias("_before"),
+            F.col(after_col).alias("_after"),
+        ).alias("_evt"),
     )
-    latest = last_writer_wins(ev, pk_cols, "_pos", "_ts")
+    latest = ev.groupBy(*pk_cols).agg(F.max("_evt").alias("_evt")).select(
+        *pk_cols,
+        F.col("_evt._before").alias("_before"),
+        F.col("_evt._after").alias("_after"),
+        F.col("_evt._pos").alias("_pos"),
+        F.col("_evt._ts").alias("_ts"),
+    )
     return latest.withColumn("_op", classify_op(F.col("_before"), F.col("_after")))
 
 

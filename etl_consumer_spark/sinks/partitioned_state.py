@@ -425,15 +425,22 @@ class PartitionedParquetStateStore:
             broadcast_batch=broadcast, cache_handle=handle,
         )
         staging = self._staging(table)
+        # hash-cluster on the bucket before the write: repartition(k,
+        # "_bucket") puts ALL rows of a bucket in one task for ANY k, so
+        # each touched bucket still lands in exactly ONE file per rewrite
+        # (vs tasks x buckets small files — CDC batches are small, so
+        # compact files beat intra-bucket parallelism). The task count is
+        # clamped to the session's parallelism: a corpus-wide batch that
+        # touches thousands of buckets must not schedule thousands of
+        # near-empty write tasks (r12 sweep: 1465 sub-second tasks per
+        # SCD2 staged write at sf1.0 — pure scheduler overhead; guide
+        # §2.2/§6 — fewer, larger tasks). The merge plan reads only LIVE
+        # table files, never staging, so no cache pinning is needed
+        # around this write.
+        width = max(1, min(len(touched), self.spark.sparkContext.defaultParallelism))
         (
             new_slice.withColumn("_bucket", self._bucket(pk_cols, layout))
-            # hash-cluster on the bucket before the write: each touched
-            # bucket lands in exactly one task -> ONE file per bucket
-            # per rewrite (vs tasks x buckets small files — CDC batches
-            # are small, so compact files beat intra-bucket parallelism).
-            # The merge plan reads only LIVE table files, never staging,
-            # so no cache pinning is needed around this write.
-            .repartition(max(len(touched), 1), "_bucket")
+            .repartition(width, "_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(staging)

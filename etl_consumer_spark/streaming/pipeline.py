@@ -271,9 +271,16 @@ class CDCPipeline:
         m2 = _re.match(r"(?i)RENAME COLUMN (\w+) TO (\w+)$", rest)
         if m2:
             old, new = m2.groups()
-            for f in spec.fields:
-                if f.name == old:
-                    f.name = new
+            # REBUILD the list with replaced field objects (like the other
+            # branches) instead of mutating f.name in place: WireField
+            # instances are commonly shared between TableSpecs (callers pass
+            # a module-level field list), and an in-place rename would leak
+            # into every other pipeline holding the same objects
+            import dataclasses as _dc
+
+            spec.fields = [
+                _dc.replace(f, name=new) if f.name == old else f for f in spec.fields
+            ]
             spec.pk_cols = [new if c == old else c for c in spec.pk_cols]
             return
         m2 = _re.match(r"(?i)ALTER COLUMN (\w+) TYPE (.+)$", rest)
@@ -379,6 +386,20 @@ class CDCPipeline:
         batch = drop_tombstones(batch)                                         # S7
         if batch.isEmpty():  # DDL-only batch
             return
+        # A file-transport micro-batch inherits the transport's file count
+        # as its partitioning — often far below the cluster's parallelism
+        # (a 2-file batch would run the whole JSON parse+decode chain on 2
+        # cores). Kafka transports inherit topic partitions and usually
+        # don't need this. The repartition sits HERE, below the routing /
+        # isEmpty probes, so those limit-1 scans read the transport
+        # directly instead of pulling the whole batch through a shuffle
+        # (guide §2.4 — the old top-level repartition made every probe job
+        # pay a full map-side shuffle of the raw batch); only the parse →
+        # decode → apply chain, which needs the parallelism, pays it, and
+        # exactly once via the parsed cache.
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if batch.rdd.getNumPartitions() < min(parallelism, 32):
+            batch = batch.repartition(min(parallelism, 32))
         parsed = parse_dml_envelope(batch)
         # E4: parse failures are logged-and-dropped (no dead letter for DML)
         parsed = parsed.filter(F.col("envelope.payload").isNotNull())
@@ -515,15 +536,6 @@ class CDCPipeline:
     # -- foreachBatch entry point ------------------------------------------
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> BatchResult:
-        # A file-transport micro-batch inherits the transport's file count as
-        # its partitioning — often far below the cluster's parallelism (a
-        # 2-file batch would run the whole JSON parse+decode chain on 2
-        # cores). Kafka transports inherit topic partitions and usually don't
-        # need this. The repartition shuffle is cheap relative to an
-        # under-parallelized parse; skip it when the batch is already wide.
-        parallelism = self.spark.sparkContext.defaultParallelism
-        if batch.rdd.getNumPartitions() < min(parallelism, 32):
-            batch = batch.repartition(min(parallelism, 32))
         result = BatchResult(epoch_id=epoch_id)
         if self.retry_transport_path is not None:
             # E3 consume side (closed-loop mode only): not-yet-due retries

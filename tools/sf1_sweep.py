@@ -1,4 +1,4 @@
-"""Full-registry sf1.0 smoke sweep (VERDICT r9 #4).
+"""Full-registry sf1.0 smoke sweep (VERDICT r9 #4; quiet-machine guard r13).
 
 The sf0.1 -> sf1.0 scale point caught a real long-sum overflow in
 ``analytic_tukey_hsd`` that no sf0.01 oracle could (the value range, not
@@ -16,9 +16,22 @@ gross scaling breaks, not a steady-state benchmark — bench.py owns those
 numbers). Stream-harness queries execute their full micro-batch protocol
 at both scales like any other query.
 
+Quiet-machine discipline (VERDICT r12 #1 — the r12 final sweep ran with
+its sf0.1 leg concurrent to the pytest suite and inflated walls up to
+6.5x without tripping the >12x flag): the sweep now reuses bench.py's
+guards — a loadavg quiet-wait before each pass, the single-thread and
+16-process CPU calibrations bracketing each pass, a ``degraded`` verdict
+when parallel calibration drifts >1.5x across a pass, and an automatic
+warm re-measure of any row whose sf1/sf0.1 ratio exceeds
+SWEEP_REMEASURE_RATIO (default 3x) so a contended moment can never
+masquerade as a scaling break in the committed artifact. A degraded
+artifact is still written (evidence must never vanish) but exits nonzero
+so run_all_gates.sh refuses the round on it.
+
 Usage: python tools/sf1_sweep.py [out_json]
 Env:   SF1_DIR (default /root/repo/testdata_sf1),
-       SF01_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+       SF01_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
+       SWEEP_REMEASURE_RATIO (default 3.0).
 """
 
 from __future__ import annotations
@@ -51,19 +64,45 @@ def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
 def main() -> None:
     from etl_consumer_spark.session import get_spark
 
+    # bench.py owns the quiet-machine guards; the sweep reuses them verbatim
+    # so the two gate artifacts share one calibration methodology
+    from bench import _cpu_calibration, _cpu_calibration_parallel, _wait_for_quiet
+
     sf1_dir = os.environ.get("SF1_DIR", "/root/repo/testdata_sf1")
     sf01_dir = os.environ.get("SF01_DIR", "/root/testdata/sf0.1")
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SF1_SWEEP.json"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    quiet_wait = _wait_for_quiet()
     spark = get_spark(
         app_name="sf1_sweep", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
 
+    calib: dict[str, float] = {"quiet_wait_sec": quiet_wait}
+    drift = 1.0
+
+    def bracketed_pass(label: str, sf_dir: str):
+        """One run_pass with loadavg quiet-wait before and the single-thread +
+        parallel16 CPU calibrations bracketing it; records the drift."""
+        nonlocal drift
+        calib[f"quiet_wait_{label}_sec"] = _wait_for_quiet()
+        calib[f"loadavg_{label}_before"] = round(os.getloadavg()[0], 2)
+        calib[f"calib_{label}_before_sec"] = _cpu_calibration()
+        calib[f"calib_parallel16_{label}_before_sec"] = _cpu_calibration_parallel()
+        times, errors = run_pass(spark, sf_dir)
+        calib[f"calib_{label}_after_sec"] = _cpu_calibration()
+        after_p = _cpu_calibration_parallel()
+        calib[f"calib_parallel16_{label}_after_sec"] = after_p
+        calib[f"loadavg_{label}_after"] = round(os.getloadavg()[0], 2)
+        before_p = calib[f"calib_parallel16_{label}_before_sec"]
+        drift = max(drift, after_p / before_p, before_p / after_p)
+        return times, errors
+
     print("=== sf0.1 pass ===", flush=True)
-    t01, e01 = run_pass(spark, sf01_dir)
+    t01, e01 = bracketed_pass("sf01", sf01_dir)
     print("=== sf1.0 pass ===", flush=True)
-    t1, e1 = run_pass(spark, sf1_dir)
+    t1, e1 = bracketed_pass("sf1", sf1_dir)
+    degraded = drift > 1.5
 
     ratios = {
         n: round(t1[n] / t01[n], 2)
@@ -71,6 +110,44 @@ def main() -> None:
         if n in t01 and t01[n] > 0 and n not in e1 and n not in e01
     }
     from etl_consumer_spark.plans import QUERIES
+
+    # Auto re-measure (VERDICT r12 #1): any row whose single-shot ratio
+    # exceeds SWEEP_REMEASURE_RATIO gets one warm-up + one timed run per
+    # scale AFTER a quiet-wait, and the committed row becomes the warm
+    # number — a contended moment must not be recorded as a scaling break.
+    # Both measurements are kept (first_pass_*) so evidence never vanishes.
+    remeasure_ratio = float(os.environ.get("SWEEP_REMEASURE_RATIO", "3.0"))
+    remeasured: dict[str, dict[str, float]] = {}
+    for n in sorted(ratios):
+        if ratios[n] <= remeasure_ratio or n in e01 or n in e1:
+            continue
+        _wait_for_quiet()
+        warm: dict[str, float] = {}
+        try:
+            for label, d in (("sf01", sf01_dir), ("sf1", sf1_dir)):
+                QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                QUERIES[n].fn(spark, d).write.format("noop").mode("overwrite").save()
+                warm[label] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — keep the cold row on re-measure failure
+            print(f"re-measure {n}: ERROR ({str(exc)[:120]}) — keeping cold row", flush=True)
+            continue
+        if warm["sf01"] > 0:
+            remeasured[n] = {
+                "first_pass_sf01": t01[n],
+                "first_pass_sf1": t1[n],
+                "first_pass_ratio": ratios[n],
+                "warm_sf01": warm["sf01"],
+                "warm_sf1": warm["sf1"],
+                "warm_ratio": round(warm["sf1"] / warm["sf01"], 2),
+            }
+            t01[n], t1[n] = warm["sf01"], warm["sf1"]
+            ratios[n] = remeasured[n]["warm_ratio"]
+            print(
+                f"re-measure {n}: {remeasured[n]['first_pass_ratio']}x cold -> "
+                f"{ratios[n]}x warm ({warm['sf01']}s -> {warm['sf1']}s)",
+                flush=True,
+            )
 
     # sub-second sf0.1 queries are dominated by fixed per-query cost; the
     # 12x flag only means something when the numerator had room to scale.
@@ -118,6 +195,11 @@ def main() -> None:
         "sf01_total": round(sum(t01.values()), 1),
         "sf1_total": round(sum(t1.values()), 1),
         "n_queries": len(t1),
+        "degraded": degraded,
+        "calib_drift": round(drift, 3),
+        "calibration": calib,
+        "remeasured_over_threshold": remeasured,
+        "remeasure_ratio_threshold": remeasure_ratio,
         "errors_sf01": e01,
         "errors_sf1": e1,
         "flagged_over_12x": flagged,
@@ -131,11 +213,14 @@ def main() -> None:
     }
     with open(out, "w") as fh:
         fh.write(json.dumps(result, indent=1))
-    print(json.dumps({k: v for k, v in result.items() if k not in ("ratios", "times_sf1")}))
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("ratios", "times_sf1", "calibration", "remeasured_over_threshold")}))
     # ADVICE r10 #4: the sweep must GATE, not just report — run_all_gates.sh
     # runs under `set -e`, so a nonzero exit on any error or scaling flag is
     # what makes the overflow/superlinearity class actually block a round.
-    if e01 or e1 or flagged:
+    # r13: a degraded (calib-drift >1.5x) pass also refuses to gate — the
+    # artifact is written for evidence but the round must re-run it quiet.
+    if e01 or e1 or flagged or degraded:
         sys.exit(1)
 
 
