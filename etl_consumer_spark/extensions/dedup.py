@@ -111,7 +111,12 @@ def minhash_signatures(
         F.min((F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return with_h.groupBy(id_col).agg(*aggs)
+    # lazily materialized: one signature row per doc (bounded), and the
+    # audit queries consume signatures 2-3x (both pair sides + banding) —
+    # without this each consumer re-runs the shingle explode + md5 + the
+    # groupBy from the raw corpus (r13: dedup_minhash_b_bit carried 261
+    # plan operators / 84 Exchanges from exactly this duplication)
+    return with_h.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
 
 
 def lsh_buckets(
@@ -189,6 +194,9 @@ def candidate_pairs(
             grouped.select(F.explode(pair_structs).alias("_p"))
             .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
             .distinct()
+            # pair set is cap-bounded and consumed by several audit stages
+            # (estimate join, candidate-doc semi-join, exact-Jaccard join)
+            .localCheckpoint(eager=False)
         )
     # Uncapped path: bucket self-join (an unbounded bucket must spread over
     # tasks, not sit in one array). Pre-partition the SHARED frame on the
@@ -840,7 +848,10 @@ def semdedup_flags(
     ranked = assigned.withColumn(
         "rnk",
         F.row_number().over(Window.partitionBy("cl").orderBy("d2", "id")),
-    ).join(q, "id")
+    ).join(q, "id").localCheckpoint(eager=False)
+    # ^ three consumers (both pair sides + the final flag join) would each
+    # re-run the assignment pass, the rank window and the qv join — one
+    # row per vector, so materializing once is batch-bounded
     a = ranked.select(
         "cl", F.col("rnk").alias("arnk"),
         F.col("qv").alias("aqv"), F.col("nrm").alias("anrm"),

@@ -265,7 +265,12 @@ def hits_fixed_point(edges: DataFrame, iterations: int = 2) -> DataFrame:
     graph's in-degree after the usual hub capping."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select("src", "dst").distinct()
+    # same lineage discipline as pagerank_fixed_point: the edge list feeds
+    # TWO joins per round and each half-step's score table feeds the next —
+    # without per-round localCheckpoints the unrolled plan doubles per
+    # consumer (measured r13: 1049 operators / 364 Exchanges / 184 scans at
+    # iterations=2 — planning cost alone dominated the query)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -278,22 +283,24 @@ def hits_fixed_point(edges: DataFrame, iterations: int = 2) -> DataFrame:
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("score").alias("raw"))
+            .localCheckpoint(eager=True)  # consumed by the max AND the norm
         )
         amax = a_raw.agg(F.max("raw").alias("mx"))
         a = a_raw.crossJoin(F.broadcast(amax)).select(
             F.col("dst").alias("node"),
             F.expr(f"raw * {HITS_SCALE} div mx").cast("long").alias("score"),
-        )
+        ).localCheckpoint(eager=True)
         h_raw = (
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum("score").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hmax = h_raw.agg(F.max("raw").alias("mx"))
         h = h_raw.crossJoin(F.broadcast(hmax)).select(
             F.col("src").alias("node"),
             F.expr(f"raw * {HITS_SCALE} div mx").cast("long").alias("score"),
-        )
+        ).localCheckpoint(eager=True)
     hubs = h.select("node", F.col("score").alias("hub_score"))
     auths = a.select("node", F.col("score").alias("auth_score"))
     return (

@@ -269,6 +269,9 @@ def exact_percentiles_distributed(
         .groupBy(F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_f"))
         .withColumn("_negv", -F.col("_v"))
+        # histogram-sized; two consumers (order device + total) — without
+        # this each re-runs the histogram groupBy from the base table
+        .localCheckpoint(eager=False)
     )
     # two_level_order ranks by (key DESC, tie ASC); negating the value
     # yields ascending value order, cum = inclusive running count
@@ -382,6 +385,8 @@ def exact_percentiles_grouped(
         .groupBy(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_f"))
         .withColumn("_vk", (F.col("_v") * F.lit(order_scale)).cast("long"))
+        # histogram-sized; three consumers (bounds, bucketing, totals)
+        .localCheckpoint(eager=False)
     )
     # global value bounds bucket ALL groups' histograms on one scale —
     # the bucket is a pure function of the value, so within every group
