@@ -98,6 +98,7 @@ def minhash_signatures(
     shingles: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash signature per document via a universal hash family over one
     base hash per shingle: ``mh_j = min((A_j*h + B_j) mod P)``.
@@ -115,8 +116,12 @@ def minhash_signatures(
     # audit queries consume signatures 2-3x (both pair sides + banding) —
     # without this each consumer re-runs the shingle explode + md5 + the
     # groupBy from the raw corpus (r13: dedup_minhash_b_bit carried 261
-    # plan operators / 84 Exchanges from exactly this duplication)
-    return with_h.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
+    # plan operators / 84 Exchanges from exactly this duplication).
+    # materialize=False opts out for SINGLE-consumer callers (VERDICT r13
+    # #5): at corpus scale a forced signature materialization is pure
+    # overhead when the table is walked exactly once.
+    sigs = with_h.groupBy(id_col).agg(*aggs)
+    return sigs.localCheckpoint(eager=False) if materialize else sigs
 
 
 def lsh_buckets(

@@ -75,6 +75,7 @@ def two_level_order(
     val_col: str | None = None,
     n_buckets: int = 64,
     max_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Global ``row_number`` (column ``rk``) — and, when ``val_col`` is
     given, global running sum (column ``cum``); when ``max_col`` is given,
@@ -103,8 +104,14 @@ def two_level_order(
     # within-bucket window, bucket totals), and chained calls (rank then
     # cumsum) otherwise re-run the whole upstream DAG per walk — the
     # iterative-lineage blowup measured on analytic_wasserstein_1d
-    # (385 operators / 118 Exchanges before r13)
-    df = df.localCheckpoint(eager=False)
+    # (385 operators / 118 Exchanges before r13). ``materialize=False``
+    # opts out (ADVICE r13 #4): localCheckpoint is non-replayable on
+    # executor loss and pins O(input) executor storage — callers whose
+    # input is already materialized (e.g. the percentile devices'
+    # checkpointed histograms), or cluster deployments with executor
+    # churn, can keep the lineage instead.
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     key, tie = F.col(key_col), F.col(tie_col)
     bounds = df.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
     b = df.crossJoin(F.broadcast(bounds)).withColumn(

@@ -274,8 +274,12 @@ def exact_percentiles_distributed(
         .localCheckpoint(eager=False)
     )
     # two_level_order ranks by (key DESC, tie ASC); negating the value
-    # yields ascending value order, cum = inclusive running count
-    ordered = two_level_order(h, key_col="_negv", tie_col="_v", val_col="_f")
+    # yields ascending value order, cum = inclusive running count.
+    # materialize=False: h is already checkpointed just above — the
+    # device's own checkpoint would double-materialize it (ADVICE r13 #4)
+    ordered = two_level_order(
+        h, key_col="_negv", tie_col="_v", val_col="_f", materialize=False
+    )
     tot = h.agg(F.sum("_f").alias("_n"))
     tgt = (
         ranks.crossJoin(F.broadcast(tot))

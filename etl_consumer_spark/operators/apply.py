@@ -83,15 +83,24 @@ def compact_events(
 
     The per-key latest is a ``max(struct(pos, ts, before, after))``
     aggregation rather than a row_number window: same keep-the-latest
-    semantics on any consistent stream (ordering is (pos, ts) first), but
-    the aggregate gets partial map-side combining — at-least-once replays
-    collapse before the exchange instead of shuffling every duplicate —
-    and the reducer hash-aggregates instead of sorting (guide §2.3). On
+    semantics on any consistent stream (ordering is (pos, ts) first). The
+    win is the partial MAP-SIDE combine — at-least-once replays collapse
+    before the exchange instead of shuffling every duplicate. (The final
+    aggregate is still a SortAggregate on both sides of the exchange, NOT
+    a hash aggregate: a max over a struct-typed buffer is not a mutable
+    fixed-width type, so HashAggregateExec can't hold it, and ``max_by``
+    has the same struct-valued buffer — verified in the r13/r14 plans;
+    an earlier doc claimed hash aggregation here, which was wrong.) On
     (pos, ts) TIES the struct comparison falls through to the images,
     which only differs from the window's arbitrary pick on streams that
     carry two different payloads at one binlog position — already outside
     the reference's single-writer model; replay duplicates are identical
-    and unaffected."""
+    and unaffected. Orderability constraint (ADVICE r13 #3): the full
+    image structs participate in the max comparison, so every decoded
+    image column must be an orderable type — true for all WireField
+    types today; if an unorderable column type (e.g. map) is ever added
+    to image schemas, switch the tail of the struct to a max_by-style
+    aggregation ordered on (pos, ts) alone."""
     keys = [
         F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
         for k in pk_cols

@@ -104,7 +104,11 @@ class SCD2StreamMaintainer:
             F.min(F.col(lead)).cast("long").alias("lo"),
             F.max(F.col(lead)).cast("long").alias("hi"),
         ).collect()[0]
-        if not row["n"]:
+        if not row["n"] or row["lo"] is None or row["hi"] is None:
+            # count(col) counts non-null RAW values, but a non-numeric
+            # leading key casts to null long — fall back to the fixed
+            # default instead of raising TypeError on (None - None)
+            # (ADVICE r13 #5; the range layout needs numeric keys anyway)
             return 1024
         span = max(1, row["hi"] - row["lo"] + 1)
         density = row["n"] / span  # rows per key-unit

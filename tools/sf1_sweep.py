@@ -133,19 +133,27 @@ def main() -> None:
             print(f"re-measure {n}: ERROR ({str(exc)[:120]}) — keeping cold row", flush=True)
             continue
         if warm["sf01"] > 0:
+            warm_ratio = round(warm["sf1"] / warm["sf01"], 2)
             remeasured[n] = {
                 "first_pass_sf01": t01[n],
                 "first_pass_sf1": t1[n],
                 "first_pass_ratio": ratios[n],
                 "warm_sf01": warm["sf01"],
                 "warm_sf1": warm["sf1"],
-                "warm_ratio": round(warm["sf1"] / warm["sf01"], 2),
+                "warm_ratio": warm_ratio,
             }
-            t01[n], t1[n] = warm["sf01"], warm["sf1"]
-            ratios[n] = remeasured[n]["warm_ratio"]
+            # ADVICE r13 #1: only adopt the warm row when it is BETTER — a
+            # contended re-measure must not overwrite a passing cold ratio
+            # (r13's olap_q11 6.08x cold became a false 29.68x "warm" flag).
+            if warm_ratio < ratios[n]:
+                t01[n], t1[n] = warm["sf01"], warm["sf1"]
+                ratios[n] = warm_ratio
+            else:
+                remeasured[n]["kept_first_pass"] = True
             print(
                 f"re-measure {n}: {remeasured[n]['first_pass_ratio']}x cold -> "
-                f"{ratios[n]}x warm ({warm['sf01']}s -> {warm['sf1']}s)",
+                f"{warm_ratio}x warm ({warm['sf01']}s -> {warm['sf1']}s)"
+                + (" [kept cold row]" if remeasured[n].get("kept_first_pass") else ""),
                 flush=True,
             )
 
