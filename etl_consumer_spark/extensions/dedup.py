@@ -874,7 +874,17 @@ def semdedup_flags(
         F.sqrt(F.col("anrm").cast("double")) * F.sqrt(F.col("bnrm").cast("double"))
     )
     if max_rank is not None:
-        a = a.where(F.col("arnk") <= max_rank)
+        # the capped a side is bounded by k * max_rank rows INDEPENDENT of
+        # corpus size — a cardinality-bounded broadcast (guide §3.1). The
+        # checkpointed inputs carry no size statistics, so without the hint
+        # Catalyst falls back to a sort-merge join on the k-valued cluster
+        # id (r13 watch item: full quantized vectors shuffled on BOTH
+        # sides, k-way parallelism at best); broadcasting the capped side
+        # removes both payload exchanges — only (bid, cs) scalars shuffle
+        # afterwards (guide §2.3 "shuffle keys, not payloads"). The
+        # uncapped paper-exact form stays a shuffle join: its a side grows
+        # with the corpus.
+        a = F.broadcast(a.where(F.col("arnk") <= max_rank))
     mx = (
         a.join(b, "cl")
         .where(F.col("arnk") < F.col("brnk"))

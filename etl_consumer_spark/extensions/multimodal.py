@@ -55,6 +55,25 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame, spread: bool = True) -> DataFrame:
+    """Round-robin the frame out to session parallelism for a Python
+    kernel (a raw few-row-group parquet scan would otherwise pin the
+    kernel to a couple of tasks). ``spread=False`` is the CHAINED-call
+    opt-out every ``extract_*`` function exposes: a synthesize → extract
+    pipeline is already spread by the synthesize side and mapInPandas
+    preserves partitioning, so a second round-robin re-shuffles the blob
+    column — the widest payload in the whole family — for nothing
+    between the two kernels (guide §2.1: remove shuffles outright; one
+    blob exchange per extract_* call on every chained mm_* query). An
+    explicit flag rather than a partition-count probe: probing via
+    ``df.rdd`` physically plans (and codegen-compiles) the upstream
+    subtree a second time — measured at ~+0.1 s per query build, which
+    at sub-second local walls is itself a regression."""
+    if not spread:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Real pure-Python codecs: binary PPM (P6) and uncompressed 24-bit BMP.
 # ---------------------------------------------------------------------------
@@ -355,10 +374,9 @@ def synthesize_png_media_table(df: DataFrame, id_col: str, payload_col: str) -> 
                 out.append({"media_id": int(row["_id"]), "blob": blob, "w": w})
             yield pd.DataFrame(out, columns=["media_id", "blob", "w"])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     encoded = (
         df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-        .repartition(par)
+        .transform(_spread)
         .mapInPandas(kernel, "media_id long, blob binary, w int")
     )
     return encoded.select(
@@ -398,10 +416,9 @@ def synthesize_jpeg_media_table(df: DataFrame, id_col: str, payload_col: str) ->
                 out.append({"media_id": int(row["_id"]), "blob": encode_jpeg(gray)})
             yield pd.DataFrame(out, columns=["media_id", "blob"])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     encoded = (
         df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-        .repartition(par)
+        .transform(_spread)
         .mapInPandas(kernel, "media_id long, blob binary")
     )
     return encoded.select(
@@ -443,10 +460,9 @@ def synthesize_gif_media_table(df: DataFrame, id_col: str, payload_col: str) -> 
                 out.append({"media_id": int(row["_id"]), "blob": blob, "w": w})
             yield pd.DataFrame(out, columns=["media_id", "blob", "w"])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     encoded = (
         df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-        .repartition(par)
+        .transform(_spread)
         .mapInPandas(kernel, "media_id long, blob binary, w int")
     )
     return encoded.select(
@@ -486,10 +502,9 @@ def synthesize_tiff_media_table(df: DataFrame, id_col: str, payload_col: str) ->
                 out.append({"media_id": int(row["_id"]), "blob": blob, "w": w})
             yield pd.DataFrame(out, columns=["media_id", "blob", "w"])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     encoded = (
         df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-        .repartition(par)
+        .transform(_spread)
         .mapInPandas(kernel, "media_id long, blob binary, w int")
     )
     return encoded.select(
@@ -525,10 +540,9 @@ def synthesize_wav_media_table(df: DataFrame, id_col: str, payload_col: str) -> 
                 out.append({"media_id": int(row["_id"]), "blob": encode_wav(v, 16000)})
             yield pd.DataFrame(out, columns=["media_id", "blob"])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     encoded = (
         df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-        .repartition(par)
+        .transform(_spread)
         .mapInPandas(kernel, "media_id long, blob binary")
     )
     return encoded.select(
@@ -551,7 +565,7 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
+def extract_audio_features(media: DataFrame, spread: bool = True) -> DataFrame:
     """Per-clip audio stats via mapInPandas: the WAV container is actually
     parsed (RIFF chunk walk, fmt validation) and features computed over the
     decoded PCM samples — duration, RMS, peak, zero-crossing count."""
@@ -581,8 +595,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
 DOWNSAMPLE_SCHEMA = (
@@ -590,7 +603,7 @@ DOWNSAMPLE_SCHEMA = (
 )
 
 
-def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+def downsample_audio(media: DataFrame, factor: int = 2, spread: bool = True) -> DataFrame:
     """Integer 2-tap box-filter decimation through the real WAV decode:
     out[k] = sum of each ``factor``-sample block (exact integer — the
     anti-alias accumulate WITHOUT the divide, so no rounding policy can
@@ -626,8 +639,7 @@ def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
                 columns=["media_id", "out_rate", "n_out", "sum_abs", "peak", "ds_md5"],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, DOWNSAMPLE_SCHEMA
     )
 
@@ -635,7 +647,7 @@ def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
 AUDIO_FRAME_SCHEMA = "media_id long, frame_idx int, energy_sum long"
 
 
-def extract_audio_frames(media: DataFrame, frame_size: int = 8) -> DataFrame:
+def extract_audio_frames(media: DataFrame, frame_size: int = 8, spread: bool = True) -> DataFrame:
     """Per-frame energy through the real WAV decode: the RIFF chunk walk +
     PCM decode runs in the Arrow kernel, emitting one row per
     ``frame_size``-sample frame with the EXACT integer energy sum
@@ -661,8 +673,7 @@ def extract_audio_frames(media: DataFrame, frame_size: int = 8) -> DataFrame:
                     )
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "energy_sum"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, AUDIO_FRAME_SCHEMA
     )
 
@@ -672,7 +683,7 @@ AUDIO_CLIP_SCHEMA = (
 )
 
 
-def audio_clip_stats(media: DataFrame, threshold: int = 28) -> DataFrame:
+def audio_clip_stats(media: DataFrame, threshold: int = 28, spread: bool = True) -> DataFrame:
     """Clipping / DC-offset audio QA through the real WAV decode: count
     samples at or beyond ``threshold`` absolute amplitude (the clipped
     tally a loudness-normalization pass gates on), the exact integer DC
@@ -701,8 +712,7 @@ def audio_clip_stats(media: DataFrame, threshold: int = 28) -> DataFrame:
                 columns=["media_id", "n_samples", "n_clipped", "dc_sum", "peak_abs"],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, AUDIO_CLIP_SCHEMA
     )
 
@@ -751,7 +761,7 @@ LETTERBOX_SCHEMA = (
 )
 
 
-def letterbox_stats(media: DataFrame) -> DataFrame:
+def letterbox_stats(media: DataFrame, spread: bool = True) -> DataFrame:
     """Letterbox detection through the real PPM decode: a row is uniform
     when every byte of the decoded ``(w, 3)`` row equals its first byte
     (all channels, all columns). ``top_rows`` counts leading uniform rows,
@@ -791,8 +801,7 @@ def letterbox_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, LETTERBOX_SCHEMA
     )
 
@@ -800,7 +809,7 @@ def letterbox_stats(media: DataFrame) -> DataFrame:
 EQUALIZE_SCHEMA = "media_id long, n_px long, n_levels int, sum_eq long, eq_md5 string"
 
 
-def equalize_images(media: DataFrame) -> DataFrame:
+def equalize_images(media: DataFrame, spread: bool = True) -> DataFrame:
     """Histogram equalization through the real decode: the classic exact
     integer mapping h(v) = (cdf(v) - cdf_min) * 255 // (n - cdf_min)
     (floor division — no floats anywhere), applied per image. Returns the
@@ -840,8 +849,7 @@ def equalize_images(media: DataFrame) -> DataFrame:
                 out, columns=["media_id", "n_px", "n_levels", "sum_eq", "eq_md5"]
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, EQUALIZE_SCHEMA
     )
 
@@ -849,7 +857,7 @@ def equalize_images(media: DataFrame) -> DataFrame:
 SOBEL_SCHEMA = "media_id long, n_interior long, grad_sum long, grad_md5 string"
 
 
-def sobel_edges(media: DataFrame) -> DataFrame:
+def sobel_edges(media: DataFrame, spread: bool = True) -> DataFrame:
     """Sobel gradient magnitude (|Gx| + |Gy|, the integer L1 form) over the
     interior pixels of the grayscale plane, through the real decode — the
     edge-energy/blur-detection feature of a vision-data QA pass. All
@@ -891,8 +899,7 @@ def sobel_edges(media: DataFrame) -> DataFrame:
                 out, columns=["media_id", "n_interior", "grad_sum", "grad_md5"]
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, SOBEL_SCHEMA
     )
 
@@ -902,7 +909,7 @@ LAPLACIAN_SCHEMA = (
 )
 
 
-def laplacian_stats(media: DataFrame) -> DataFrame:
+def laplacian_stats(media: DataFrame, spread: bool = True) -> DataFrame:
     """4-neighbour Laplacian response over the 3x3-valid interior of the
     grayscale plane, through the real decode — the variance-of-Laplacian
     blur detector (Pech-Pacheco et al., ICPR'00) every vision-data QA pass
@@ -941,8 +948,7 @@ def laplacian_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, LAPLACIAN_SCHEMA
     )
 
@@ -953,7 +959,7 @@ SSIM_SCHEMA = (
 )
 
 
-def ssim_self_blur_stats(media: DataFrame) -> DataFrame:
+def ssim_self_blur_stats(media: DataFrame, spread: bool = True) -> DataFrame:
     """Exact-integer SSIM inputs between the grayscale plane X and its
     3x3 integer box blur Y = floor(neighborhood_sum / 9), over the
     3x3-valid interior — the reference-vs-degraded quality comparison
@@ -997,8 +1003,7 @@ def ssim_self_blur_stats(media: DataFrame) -> DataFrame:
                 columns=["media_id", "n", "sx", "sy", "sxx", "syy", "sxy", "blur_md5"],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, SSIM_SCHEMA
     )
 
@@ -1009,7 +1014,7 @@ TILES_SCHEMA = (
 )
 
 
-def patch_tiles(media: DataFrame, patch: int = 2) -> DataFrame:
+def patch_tiles(media: DataFrame, patch: int = 2, spread: bool = True) -> DataFrame:
     """Non-overlapping patch extraction over the grayscale plane (the
     ViT-style patchification step of a vision-training pipeline), through
     the real decode: the image splits into floor(h/p) x floor(w/p) patches
@@ -1053,8 +1058,7 @@ def patch_tiles(media: DataFrame, patch: int = 2) -> DataFrame:
                 ],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, TILES_SCHEMA
     )
 
@@ -1092,7 +1096,7 @@ def _decode_gray_and_flat(row) -> tuple[np.ndarray, np.ndarray]:
 FEATURE_SCHEMA = "media_id long, mean_px double, std_px double, n_px long"
 
 
-def extract_image_features(media: DataFrame, use_real_codec: bool = True) -> DataFrame:
+def extract_image_features(media: DataFrame, use_real_codec: bool = True, spread: bool = True) -> DataFrame:
     """Per-image brightness stats via mapInPandas (Arrow-batched): the blob
     is actually parsed (PPM/BMP header + raster), stats are over the raster
     bytes, ``n_px`` is the parsed pixel count.
@@ -1133,14 +1137,13 @@ def extract_image_features(media: DataFrame, use_real_codec: bool = True) -> Dat
                 )
             yield pd.DataFrame(out, columns=["media_id", "mean_px", "std_px", "n_px"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, FEATURE_SCHEMA)
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 METADATA_SCHEMA = "media_id long, format string, width int, height int, n_raster long"
 
 
-def extract_metadata(media: DataFrame) -> DataFrame:
+def extract_metadata(media: DataFrame, spread: bool = True) -> DataFrame:
     """Header-only parse: (format, width, height, raster byte count) read
     from the blob bytes — nothing copied from the meta column, so an oracle
     that recomputes the construction verifies the parser end-to-end."""
@@ -1161,14 +1164,13 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "format", "width", "height", "n_raster"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, METADATA_SCHEMA)
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, METADATA_SCHEMA)
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, resized binary"
 
 
-def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+def resize_images(media: DataFrame, target_w: int, target_h: int, spread: bool = True) -> DataFrame:
     """Nearest-neighbor resize on the decoded grayscale plane; returns the
     new byte blob. Blob-in/blob-out kernel plumbing over the real codec."""
 
@@ -1190,14 +1192,13 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "resized"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, RESIZE_SCHEMA)
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_hash string"
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5, spread: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video-shaped blobs: frame ``i`` is the
     decoded raster rolled right by ``i*every_n`` bytes, md5-hashed. The
     roll-of-raster construction is SQL-expressible (string rotation of the
@@ -1221,8 +1222,7 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
                     )
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_hash"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, FRAME_SCHEMA)
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, FRAME_SCHEMA)
 
 
 AHASH_SCHEMA = "media_id long, ahash string"
@@ -1242,7 +1242,7 @@ PHASH_DCT = [
 PHASH_SCHEMA = "media_id long, phash string"
 
 
-def phash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+def phash_images(media: DataFrame, grid: int = 8, spread: bool = True) -> DataFrame:
     """Perceptual DCT-hash (pHash) per image: grayscale, nearest-neighbor
     ``grid``x``grid`` cells (same downsample as :func:`ahash_images`),
     then a 2-D fixed-point DCT-II — F[u][v] = sum_ij cell[i][j] *
@@ -1283,11 +1283,10 @@ def phash_images(media: DataFrame, grid: int = 8) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, PHASH_SCHEMA)
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, PHASH_SCHEMA)
 
 
-def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
+def ahash_images(media: DataFrame, grid: int = 8, spread: bool = True) -> DataFrame:
     """Perceptual average-hash (aHash) per image: the decoded grayscale
     plane is nearest-neighbor downsampled to a ``grid``x``grid`` cell
     matrix, each cell becomes one bit — 1 iff the cell is >= the mean of
@@ -1320,8 +1319,7 @@ def ahash_images(media: DataFrame, grid: int = 8) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob", "meta").repartition(par).mapInPandas(kernel, AHASH_SCHEMA)
+    return media.select("media_id", "blob", "meta").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, AHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1442,10 +1440,9 @@ def synthesize_avi_media_table(
                 )
             yield pd.DataFrame(out, columns=["media_id", "blob"])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     encoded = (
         df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-        .repartition(par)
+        .transform(_spread)
         .mapInPandas(kernel, "media_id long, blob binary")
     )
     return encoded.select(
@@ -1467,7 +1464,7 @@ VIDEO_FEATURE_SCHEMA = (
 )
 
 
-def extract_video_frame_features(media: DataFrame) -> DataFrame:
+def extract_video_frame_features(media: DataFrame, spread: bool = True) -> DataFrame:
     """Per-frame brightness stats through the REAL container + codec path:
     RIFF walk -> 00dc chunks -> baseline JPEG decode -> integer-exact
     mean over the frame raster."""
@@ -1494,14 +1491,13 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
                 columns=["media_id", "frame_idx", "width", "height", "mean_px", "n_px"],
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)
 
 
 RASTER_HIST_SCHEMA = "media_id long, v int, cnt long"
 
 
-def raster_value_counts(media: DataFrame) -> DataFrame:
+def raster_value_counts(media: DataFrame, spread: bool = True) -> DataFrame:
     """Exact per-image byte-value histogram through the real PPM decode:
     one (media_id, value, count) row per distinct raster byte value —
     the input shared by entropy, equalization, and posterization QA.
@@ -1519,8 +1515,7 @@ def raster_value_counts(media: DataFrame) -> DataFrame:
                     out.append({"media_id": row["media_id"], "v": int(v), "cnt": int(c)})
             yield pd.DataFrame(out, columns=["media_id", "v", "cnt"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, RASTER_HIST_SCHEMA
     )
 
@@ -1528,7 +1523,7 @@ def raster_value_counts(media: DataFrame) -> DataFrame:
 QUADRANT_SCHEMA = "media_id long, quadrant int, px_sum long, n_bytes long"
 
 
-def raster_quadrant_sums(media: DataFrame) -> DataFrame:
+def raster_quadrant_sums(media: DataFrame, spread: bool = True) -> DataFrame:
     """Integral-image quadrant statistics through the real PPM decode:
     the raster is split into 4 quadrants (top/bottom half-rows x
     left/right half-columns, odd widths giving the right half the extra
@@ -1564,8 +1559,7 @@ def raster_quadrant_sums(media: DataFrame) -> DataFrame:
                 out, columns=["media_id", "quadrant", "px_sum", "n_bytes"]
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, QUADRANT_SCHEMA
     )
 
@@ -1573,7 +1567,7 @@ def raster_quadrant_sums(media: DataFrame) -> DataFrame:
 RLE_SCHEMA = "media_id long, n_bytes long, n_runs long, max_run long"
 
 
-def raster_run_lengths(media: DataFrame) -> DataFrame:
+def raster_run_lengths(media: DataFrame, spread: bool = True) -> DataFrame:
     """Run-length statistics through the real PPM decode: number of
     maximal equal-byte runs and the longest run per raster. A
     posterized/banded image (or a constant corrupt frame) collapses to
@@ -1606,7 +1600,6 @@ def raster_run_lengths(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "n_bytes", "n_runs", "max_run"])
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.select("media_id", "blob").repartition(par).mapInPandas(
+    return media.select("media_id", "blob").transform(lambda d: _spread(d, spread)).mapInPandas(
         kernel, RLE_SCHEMA
     )

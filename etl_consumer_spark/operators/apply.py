@@ -175,11 +175,9 @@ def apply_cdc(
 
     if broadcast_batch:
         # Scale path (micro-batch ≪ state): state is only STREAMED, never
-        # shuffled. Two broadcast joins of the compacted batch:
-        #  1. state ⟕ broadcast(latest): per-row merge decision
-        #     (keep / replace with after-image / drop) — map-side only.
-        #  2. inserts: batch keys semi-probed against a pk-pruned state
-        #     scan (again broadcast-right, map-side), then appended.
+        # shuffled. Upsert mode needs ONE broadcast join (state anti the
+        # batch keys, after-images appended); strict noop mode needs the
+        # per-row merge join plus an existence probe for the C6 dup skip.
         # A full-outer formulation would sort-merge-shuffle the entire
         # state table every batch — the difference between O(batch) and
         # O(state) network per batch at 100 TB.
@@ -188,13 +186,29 @@ def apply_cdc(
             # long-running streams must unpersist after materializing the
             # result, or cached micro-batches accumulate until LRU eviction
             cache_handle.append(latest)
+        if missing_update == "upsert":
+            # Upsert mode collapses to ONE streamed pass over state: a state
+            # row whose key carries ANY event is either replaced (insert/
+            # update — the after image, emitted from the batch side below)
+            # or deleted, so the state side is a single map-side LEFT ANTI
+            # join against the broadcast batch KEYS (pk-only — narrower than
+            # broadcasting the full compacted batch), and the after images of
+            # all insert/update events union in verbatim. The noop branch's
+            # matched-keys existence probe — a SECOND full pass over the
+            # state slice plus its own broadcast-build job — does not exist
+            # in this mode (guide §2.4: remove the pass, not just its cost).
+            # Identical output to the old merge+append formulation on any
+            # state with unique pks — the invariant every store maintains.
+            survivors = state.join(
+                F.broadcast(latest.select(*pk_cols)), on=pk_cols, how="left_anti"
+            )
+            replacements = latest.filter(op.isin(OP_INSERT, OP_UPDATE)).select(
+                *[c if c in pk_cols else F.col(f"_after.{c}").alias(c) for c in cols]
+            )
+            return survivors.unionByName(replacements)
         joined = state.alias("s").join(F.broadcast(latest.alias("e")), on=pk_cols, how="left")
-        if missing_update == "noop":
-            keep = op.isNull() | (op == OP_INSERT) | (op == OP_UPDATE)
-            use_state = op.isNull() | (op == OP_INSERT)  # C6 dup skip
-        else:
-            keep = op.isNull() | op.isin(OP_INSERT, OP_UPDATE)
-            use_state = op.isNull()  # upsert: after-image always wins
+        keep = op.isNull() | (op == OP_INSERT) | (op == OP_UPDATE)
+        use_state = op.isNull() | (op == OP_INSERT)  # C6 dup skip
         survivors = joined.filter(keep).select(
             *[
                 c if c in pk_cols
@@ -202,9 +216,7 @@ def apply_cdc(
                 for c in cols
             ]
         )
-        candidates = latest.filter(
-            op.isin(OP_INSERT, OP_UPDATE) if missing_update == "upsert" else (op == OP_INSERT)
-        )
+        candidates = latest.filter(op == OP_INSERT)
         matched_keys = (
             state.select(*pk_cols)
             .join(F.broadcast(candidates.select(*pk_cols)), on=pk_cols, how="left_semi")

@@ -308,20 +308,29 @@ class CDCPipeline:
         parsed = table_whitelist(                                              # P3
             parsed, list(self.tables), self.cfg.replace_all_scheme, "source_table"
         )
-        errors = parsed.filter(is_empty_ddl("ddl"))                            # P6
-        dead = dead_letter_rows(
-            errors.withColumn("err", F.lit("unexpected ddl")),
-            "err",
-            ",".join(self.tables),
-            self.cfg.db_name,
-        )
-        n_err = dead.count()
-        if n_err and self.dead_letter_path:
-            write_dead_letters(dead, self.dead_letter_path)
-        result.dead_letters += n_err
+        # batch-scoped cache: the error count and the good-DDL collect both
+        # walk this frame, and since the probe de-shuffle (r13) it reads the
+        # RAW transport — without the cache each consumer re-parses the
+        # whole batch through from_json (r13 watch item
+        # stream_cdc_type_change: two full parse passes per DDL batch)
+        parsed = parsed.cache()
+        try:
+            errors = parsed.filter(is_empty_ddl("ddl"))                        # P6
+            dead = dead_letter_rows(
+                errors.withColumn("err", F.lit("unexpected ddl")),
+                "err",
+                ",".join(self.tables),
+                self.cfg.db_name,
+            )
+            n_err = dead.count()
+            if n_err and self.dead_letter_path:
+                write_dead_letters(dead, self.dead_letter_path)
+            result.dead_letters += n_err
 
-        good = drop_blocked_ddl(parsed.filter(~is_empty_ddl("ddl")), self.cfg.reclaim)  # P5
-        ddl_rows = [r["ddl"] for r in good.select("ddl").collect()]
+            good = drop_blocked_ddl(parsed.filter(~is_empty_ddl("ddl")), self.cfg.reclaim)  # P5
+            ddl_rows = [r["ddl"] for r in good.select("ddl").collect()]
+        finally:
+            parsed.unpersist()
         if not ddl_rows:
             return
         if self.api is not None:
